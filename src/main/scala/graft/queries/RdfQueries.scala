@@ -1,0 +1,125 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rdf._
+import graft.store.QuadStore
+
+/** RDF-layer entries for the verify gate. The oracle trick: round-trip
+  * a relational table through RDF serialization → parser → quads →
+  * reassembly; the DuckDB oracle reads the table directly. Any parser
+  * or store defect breaks the hash match.
+  */
+object RdfQueries {
+  import Tables._
+
+  private val NS = "http://graft.example/"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N-Quads parser round-trip: nation → NT docs (one per partition) →
+    // parse → quads → pivot back to rows. Fully distributed: docs are
+    // built and parsed inside mapPartitions, no driver collect.
+    "rdf_roundtrip_nquads" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val doc = it.map { case (k, name, rk) =>
+            s"""<${NS}nation/$k> <${NS}name> "${Term.escapeLiteral(name)}" .
+               |<${NS}nation/$k> <${NS}regionkey> "$rk"^^<${Term.XSD_INTEGER}> .""".stripMargin
+          }.mkString("\n")
+          if (doc.isEmpty) Iterator.empty else Iterator.single(doc)
+        }
+      val quads = docs.flatMap(d => NQuadsParser.parse(d, allowGraph = true))
+      quads.toDF()
+        .groupBy(regexp_extract(col("subject.lex"), "nation/(\\d+)$", 1).cast("int").as("n_nationkey"))
+        .agg(
+          max(when(col("predicate.lex") === s"${NS}name", col("obj.lex"))).as("n_name"),
+          max(when(col("predicate.lex") === s"${NS}regionkey", col("obj.lex"))).cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    // Turtle parser round-trip over supplier, with prefixes, typed and
+    // plain literals exercised.
+    "rdf_roundtrip_turtle" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("long"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val body = it.map { case (k, name, nk) =>
+            s"""g:supplier_$k g:name "${Term.escapeLiteral(name)}" ; g:nation $nk ."""
+          }.mkString("\n")
+          if (body.isEmpty) Iterator.empty
+          else Iterator.single(s"@prefix g: <$NS> .\n" + body)
+        }
+      val quads = docs.flatMap(d => TurtleParser.parseTurtle(d))
+      quads.toDF()
+        .groupBy(regexp_extract(col("subject.lex"), "supplier_(\\d+)$", 1).cast("long").as("s_suppkey"))
+        .agg(
+          max(when(col("predicate.lex") === s"${NS}name", col("obj.lex"))).as("s_name"),
+          max(when(col("predicate.lex") === s"${NS}nation", col("obj.lex"))).cast("int").as("s_nationkey"))
+        .orderBy(col("s_suppkey"))
+    },
+    // QuadStore ingest + set-semantics: region rows become quads,
+    // ingested TWICE (idempotence), counted per predicate from store
+    // state. Oracle: region count per predicate, unaffected by the
+    // double ingest.
+    "rdf_store_set_semantics" -> { (s, dir) =>
+      import s.implicits._
+      val rows = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect() // region has 5 rows; driver-side by design
+      val quads = rows.toSeq.flatMap { case (k, name) =>
+        Seq(
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}key"),
+            Term.typed(k.toString, Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("rdfstore").toString)
+      store.addQuads(0, quads)
+      store.addQuads(1, quads) // idempotent re-ingest
+      store.quads()
+        .groupBy(col("predicate.lex").as("predicate"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicate"))
+    },
+    // Patch-op semantics at relational scale: every order is an Add,
+    // every 'F'-status order is a later Delete; latest-op-wins state
+    // must equal the non-F orders. This is the distributed form of the
+    // store's merge (adds/deletes as one shuffle).
+    "rdf_patch_semantics" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val adds = ord.select(col("o_orderkey"), col("o_orderpriority"),
+        lit("A").as("op"), lit(0L).as("seq"))
+      val dels = ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          lit("D").as("op"), lit(1L).as("seq"))
+      adds.unionByName(dels)
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(max_by(col("op"), col("seq")).as("last_op"))
+        .filter(col("last_op") === "A")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rdf_roundtrip_nquads" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "rdf_roundtrip_turtle" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+    "rdf_store_set_semantics" ->
+      s"""SELECT predicate, n FROM (
+          SELECT '${NS}key' AS predicate, COUNT(*) AS n FROM region
+          UNION ALL SELECT '${NS}name', COUNT(*) FROM region)
+          ORDER BY predicate""",
+    "rdf_patch_semantics" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE o_orderstatus <> 'F' GROUP BY 1 ORDER BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,145 @@
+package graft.rdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Line-oriented N-Triples / N-Quads parser — the hot ingest path (the
+  * reference's default Content-Type is application/n-quads,
+  * README.md:8-9). Unlike Turtle there are no prefixes, so each line
+  * parses independently; errors carry the 1-based line number.
+  */
+object NQuadsParser {
+
+  /** @param allowGraph true for N-Quads (optional 4th term), false for N-Triples */
+  def parse(doc: String, allowGraph: Boolean): Seq[Quad] = {
+    val out = ArrayBuffer[Quad]()
+    var lineNo = 0
+    var start = 0
+    val n = doc.length
+    while (start <= n) {
+      val nl = doc.indexOf('\n', start)
+      val end = if (nl < 0) n else nl
+      lineNo += 1
+      if (end > start) parseLine(doc, start, end, lineNo, allowGraph, out)
+      start = end + 1
+      if (nl < 0) start = n + 1
+    }
+    out.toSeq
+  }
+
+  private def parseLine(doc: String, from: Int, to: Int, lineNo: Int,
+                        allowGraph: Boolean, out: ArrayBuffer[Quad]): Unit = {
+    val s = new Scanner(doc, from, to, lineNo)
+    s.skipWs()
+    if (s.atEnd || s.peek == '#') return
+    val subj = s.term()
+    if (!subj.isIri && !subj.isBlank) s.fail("subject must be IRI or blank node")
+    val pred = s.term()
+    if (!pred.isIri) s.fail("predicate must be an IRI")
+    val obj = s.term()
+    s.skipWs()
+    var graph: Term = null
+    if (!s.atEnd && s.peek != '.') {
+      if (!allowGraph) s.fail("unexpected 4th term in N-Triples")
+      graph = s.term()
+      if (!graph.isIri && !graph.isBlank) s.fail("graph label must be IRI or blank node")
+      s.skipWs()
+    }
+    if (s.atEnd || s.peek != '.') s.fail("missing '.' terminator")
+    s.advance()
+    s.skipWs()
+    if (!s.atEnd && s.peek != '#') s.fail("trailing content after '.'")
+    out += Quad(graph, subj, pred, obj)
+  }
+
+  /** Scanner over one line; shared with the RDF Patch parser. */
+  private[rdf] final class Scanner(doc: String, from: Int, val to: Int, lineNo: Int) {
+    var pos: Int = from
+
+    def atEnd: Boolean = pos >= to
+    def peek: Char = doc.charAt(pos)
+    def advance(): Unit = pos += 1
+
+    def skipWs(): Unit =
+      while (pos < to && (doc.charAt(pos) == ' ' || doc.charAt(pos) == '\t' || doc.charAt(pos) == '\r'))
+        pos += 1
+
+    def term(): Term = {
+      skipWs()
+      if (atEnd) fail("unexpected end of line")
+      peek match {
+        case '<' =>
+          advance()
+          val sb = new StringBuilder
+          while (!atEnd && peek != '>') {
+            if (peek == '\\') { advance(); sb.append(unescape()) }
+            else { sb.append(peek); advance() }
+          }
+          if (atEnd) fail("unterminated IRI")
+          advance()
+          Term.iri(sb.toString)
+        case '_' =>
+          advance()
+          if (atEnd || peek != ':') fail("expected '_:'")
+          advance()
+          val start = pos
+          while (!atEnd && !isTermEnd(peek)) advance()
+          if (pos == start) fail("empty blank node label")
+          Term.blank(doc.substring(start, pos))
+        case '"' =>
+          advance()
+          val sb = new StringBuilder
+          while (!atEnd && peek != '"') {
+            if (peek == '\\') { advance(); sb.append(unescape()) }
+            else { sb.append(peek); advance() }
+          }
+          if (atEnd) fail("unterminated literal")
+          advance()
+          val lex = sb.toString
+          if (!atEnd && peek == '@') {
+            advance()
+            val start = pos
+            while (!atEnd && (peek.isLetterOrDigit || peek == '-')) advance()
+            if (pos == start) fail("empty language tag")
+            Term.langLit(lex, doc.substring(start, pos))
+          } else if (pos + 1 < to && peek == '^' && doc.charAt(pos + 1) == '^') {
+            pos += 2
+            val dt = term()
+            if (!dt.isIri) fail("datatype must be an IRI")
+            if (dt.lex == Term.XSD_STRING) Term.lit(lex) else Term.typed(lex, dt.lex)
+          } else Term.lit(lex)
+        case c => fail(s"unexpected character '$c'")
+      }
+    }
+
+    private def isTermEnd(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\r' || c == '.'
+
+    private def unescape(): String = {
+      if (atEnd) fail("dangling escape")
+      val c = peek
+      advance()
+      c match {
+        case 't' => "\t"
+        case 'b' => "\b"
+        case 'n' => "\n"
+        case 'r' => "\r"
+        case 'f' => "\f"
+        case '"' => "\""
+        case '\'' => "'"
+        case '\\' => "\\"
+        case 'u' =>
+          if (pos + 4 > to) fail("bad \\u escape")
+          val hex = doc.substring(pos, pos + 4); pos += 4
+          Integer.parseInt(hex, 16).toChar.toString
+        case 'U' =>
+          if (pos + 8 > to) fail("bad \\U escape")
+          val hex = doc.substring(pos, pos + 8); pos += 8
+          new String(Character.toChars(Integer.parseInt(hex, 16)))
+        case other => fail(s"bad escape '\\$other'")
+      }
+    }
+
+    def fail(msg: String): Nothing =
+      throw new RdfParseException(s"[line $lineNo] $msg")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.rdf
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Payload materialization + content-type dispatch (SURVEY.md §2.2
+  * rows 10-11; reference FusekiProjector.materialiseValue,
+  * FusekiProjector.java:502-508 and FusekiSink.java:41-45).
+  *
+  * An event's value bytes decode, per its Content-Type header, to
+  * either a quad set ("dataset" kind) or an RDF Patch op stream
+  * ("patch" kind). Default content type is application/n-quads
+  * (README.md:8-9). Malformed payloads yield a non-null `_corrupt`
+  * column (PERMISSIVE-mode analogue) instead of failing the job —
+  * the DLQ split happens downstream on that column.
+  */
+object RdfParse {
+
+  val CT_NQUADS = "application/n-quads"
+  val CT_NTRIPLES = "application/n-triples"
+  val CT_TURTLE = "text/turtle"
+  val CT_TRIG = "application/trig"
+  val CT_PATCH = "application/rdf-patch"
+
+  final case class Decoded(
+      kind: String,               // "dataset" | "patch" | null on error
+      quads: Seq[Quad],           // dataset kind
+      ops: Seq[PatchOp],          // patch kind (full stream incl. markers)
+      _corrupt: String)           // non-null ⇒ deserialization failure
+
+  /** Normalize a Content-Type header (strip parameters, lowercase). */
+  def normalize(ct: String): String = {
+    if (ct == null || ct.trim.isEmpty) CT_NQUADS
+    else {
+      val semi = ct.indexOf(';')
+      (if (semi >= 0) ct.substring(0, semi) else ct).trim.toLowerCase
+    }
+  }
+
+  /** Decode one payload. `scope` namespaces blank-node labels so that
+    * distinct events can never collide (blank identity is per-document
+    * in RDF; the reference gets this from Jena's per-parse labels).
+    */
+  def decode(value: Array[Byte], contentType: String, scope: String): Decoded = {
+    val ct = normalize(contentType)
+    try {
+      val doc = new String(value, StandardCharsets.UTF_8)
+      ct match {
+        case CT_NQUADS =>
+          Decoded("dataset", scopeBlanks(NQuadsParser.parse(doc, allowGraph = true), scope), null, null)
+        case CT_NTRIPLES =>
+          Decoded("dataset", scopeBlanks(NQuadsParser.parse(doc, allowGraph = false), scope), null, null)
+        case CT_TURTLE | "application/x-turtle" =>
+          Decoded("dataset", scopeBlanks(TurtleParser.parseTurtle(doc), scope), null, null)
+        case CT_TRIG =>
+          Decoded("dataset", scopeBlanks(TurtleParser.parseTrig(doc), scope), null, null)
+        case CT_PATCH | "text/rdf-patch" =>
+          Decoded("patch", null, RdfPatchParser.parse(doc), null)
+        case other =>
+          Decoded(null, null, null, s"No RDF parser for content type '$other'")
+      }
+    } catch {
+      case e: RdfParseException => Decoded(null, null, null, s"$ct: ${e.getMessage}")
+      case e: Exception => Decoded(null, null, null, s"$ct: unexpected ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  private def scopeTerm(t: Term, scope: String): Term =
+    if (t != null && t.isBlank) Term.blank(scope + ":" + t.lex) else t
+
+  private def scopeBlanks(quads: Seq[Quad], scope: String): Seq[Quad] =
+    if (scope == null || scope.isEmpty) quads
+    else quads.map(q => Quad(scopeTerm(q.graph, scope), scopeTerm(q.subject, scope),
+      q.predicate, scopeTerm(q.obj, scope)))
+
+  /** Row shape for the decoded event stream. */
+  final case class DecodedEvent(
+      topic: String, partition: Int, offset: Long,
+      key: Array[Byte], contentType: String,
+      kind: String, quads: Seq[Quad], ops: Seq[PatchOp], _corrupt: String)
+
+  /** DataFrame-level decode: input must have columns
+    * (topic STRING, partition INT, offset LONG, key BINARY,
+    *  value BINARY, contentType STRING).
+    * Runs as mapPartitions (one pass, no shuffle); blank scope is the
+    * event identity topic:partition:offset, making the decode
+    * deterministic and hence safe under Spark task retry/epoch replay
+    * (SURVEY.md §2.3 row 26 exactly-once note).
+    */
+  def decodeEvents(df: DataFrame): Dataset[DecodedEvent] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("topic"), col("partition"), col("offset"), col("key"),
+        col("value"), col("contentType"))
+      .as[(String, Int, Long, Array[Byte], Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (topic, part, off, key, value, ct) =>
+          val scope = s"$topic:$part:$off"
+          val d = decode(value, ct, scope)
+          DecodedEvent(topic, part, off, key, ct, d.kind, d.quads, d.ops, d._corrupt)
+        }
+      }
+  }
+}

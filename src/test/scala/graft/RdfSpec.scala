@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rdf._
+import graft.store.QuadStore
+
+/** Golden-count fixture corpus per FIXTURES.md §2 / BASELINE.md §B:
+  * data.ttl → 1, + data.nq → 2, patch1.rdfp → 4, malformed → DLQ-class
+  * errors. Fixture payloads are re-authored from their documented
+  * content (reference: jena-fuseki-kafka-module/src/test/files/).
+  */
+object Fixtures {
+  val dataTtl: String =
+    """PREFIX : <http://example/>
+      |:s1 :p :o .
+      |""".stripMargin
+  val data2Ttl: String =
+    """PREFIX : <http://example/>
+      |:s1 :p "a literal" .
+      |""".stripMargin
+  val dataNq: String =
+    "<http://example/sq> <http://example/pq> \"abc\" .\n"
+  val patch1Rdfp: String =
+    """H id <uuid:016f0b2c-bd82-4f51-86d1-63330ee6c9cd> .
+      |TX .
+      |A <http://example/s> <http://example/p> "two" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "one" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "three" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "four" <http://example/patch> .
+      |TC .
+      |""".stripMargin
+  val malformedTtl: String = "no:prefix a \"malformed Turtle file\"\n"
+  val malformedRdfp: String = "TX .\nTX .\n"
+}
+
+class RdfParserSpec extends AnyFunSuite {
+  import Fixtures._
+
+  test("data.ttl parses to 1 triple (golden count 1)") {
+    val qs = TurtleParser.parseTurtle(dataTtl)
+    assert(qs == Seq(Quad(null, Term.iri("http://example/s1"),
+      Term.iri("http://example/p"), Term.iri("http://example/o"))))
+  }
+
+  test("data.nq parses to 1 default-graph quad") {
+    val qs = NQuadsParser.parse(dataNq, allowGraph = true)
+    assert(qs == Seq(Quad(null, Term.iri("http://example/sq"),
+      Term.iri("http://example/pq"), Term.lit("abc"))))
+  }
+
+  test("patch1.rdfp parses to header + markers + 4 adds in the named graph") {
+    val ops = RdfPatchParser.parse(patch1Rdfp)
+    assert(ops.map(_.op) == Seq("H", "TX", "A", "A", "A", "A", "TC"))
+    val data = RdfPatchParser.dataOps(ops)
+    assert(data.size == 4)
+    assert(data.forall(_.graph == Term.iri("http://example/patch")))
+    assert(data.map(_.obj.lex) == Seq("two", "one", "three", "four"))
+  }
+
+  test("malformed.ttl raises a deserialization failure") {
+    intercept[RdfParseException] { TurtleParser.parseTurtle(malformedTtl) }
+  }
+
+  test("malformed.rdfp parses but fails at apply (nested TX)") {
+    val ops = RdfPatchParser.parse(malformedRdfp)
+    assert(ops.map(_.op) == Seq("TX", "TX"))
+    intercept[RdfParseException] { RdfPatchParser.dataOps(ops) }
+  }
+
+  test("turtle: literals, lang tags, datatypes, numbers, booleans, 'a'") {
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:s a ex:T ;
+        |  ex:str "hi" ;
+        |  ex:lang "bonjour"@fr ;
+        |  ex:typed "42"^^xsd:int ;
+        |  ex:int 7 ;
+        |  ex:dec 3.14 ;
+        |  ex:dbl 1.0e3 ;
+        |  ex:bool true .
+        |""".stripMargin
+    val qs = TurtleParser.parseTurtle(doc)
+    val byPred = qs.map(q => q.predicate.lex.stripPrefix("http://ex/") -> q.obj).toMap
+    assert(qs.head.predicate.lex == Term.RDF_TYPE)
+    assert(byPred("str") == Term.lit("hi"))
+    assert(byPred("lang") == Term.langLit("bonjour", "fr"))
+    assert(byPred("typed") == Term.typed("42", "http://www.w3.org/2001/XMLSchema#int"))
+    assert(byPred("int") == Term.typed("7", Term.XSD_INTEGER))
+    assert(byPred("dec") == Term.typed("3.14", Term.XSD_DECIMAL))
+    assert(byPred("dbl") == Term.typed("1.0e3", Term.XSD_DOUBLE))
+    assert(byPred("bool") == Term.typed("true", Term.XSD_BOOLEAN))
+  }
+
+  test("turtle: blank node property lists and collections") {
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:s ex:p [ ex:q "v" ] .
+        |ex:s ex:list ( 1 2 ) .
+        |""".stripMargin
+    val qs = TurtleParser.parseTurtle(doc)
+    assert(qs.count(_.predicate.lex == Term.RDF_FIRST) == 2)
+    assert(qs.count(_.predicate.lex == Term.RDF_REST) == 2)
+    assert(qs.exists(q => q.obj.isBlank))
+  }
+
+  test("turtle: string escapes and long strings") {
+    val doc = "@prefix ex: <http://ex/> .\n" +
+      "ex:s ex:p \"line1\\nline2\\t\\\"q\\\"\" .\n" +
+      "ex:s ex:q \"\"\"multi\nline\"\"\" .\n"
+    val qs = TurtleParser.parseTurtle(doc)
+    assert(qs.head.obj.lex == "line1\nline2\t\"q\"")
+    assert(qs(1).obj.lex == "multi\nline")
+  }
+
+  test("trig: named graph blocks") {
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:g { ex:s ex:p ex:o . }
+        |{ ex:s2 ex:p2 "dflt" . }
+        |""".stripMargin
+    val qs = TurtleParser.parseTrig(doc)
+    assert(qs.size == 2)
+    assert(qs.head.graph == Term.iri("http://ex/g"))
+    assert(qs(1).graph == null)
+  }
+
+  test("nquads: escapes, unicode, named graph, comments") {
+    val doc =
+      "# comment\n" +
+      "<http://ex/s> <http://ex/p> \"a\\u00e9b\" <http://ex/g> .\n" +
+      "<http://ex/s> <http://ex/p> \"x\"^^<http://ex/dt> .\n" +
+      "_:b1 <http://ex/p> \"y\"@en-GB .\n"
+    val qs = NQuadsParser.parse(doc, allowGraph = true)
+    assert(qs.size == 3)
+    assert(qs.head.obj.lex == "aéb")
+    assert(qs.head.graph == Term.iri("http://ex/g"))
+    assert(qs(1).obj.datatype == "http://ex/dt")
+    assert(qs(2).subject == Term.blank("b1"))
+    assert(qs(2).obj.lang == "en-GB")
+  }
+
+  test("ntriples rejects a 4th term") {
+    intercept[RdfParseException] {
+      NQuadsParser.parse("<http://s> <http://p> \"o\" <http://g> .", allowGraph = false)
+    }
+  }
+
+  test("content-type dispatch: default nquads, unknown type errors") {
+    val d1 = RdfParse.decode(Fixtures.dataNq.getBytes(UTF_8), null, "e1")
+    assert(d1.kind == "dataset" && d1.quads.size == 1)
+    val d2 = RdfParse.decode("junk".getBytes(UTF_8), "text/unrecognized", "e2")
+    assert(d2._corrupt != null && d2._corrupt.contains("No RDF parser"))
+    val d3 = RdfParse.decode(Fixtures.patch1Rdfp.getBytes(UTF_8), "application/rdf-patch", "e3")
+    assert(d3.kind == "patch" && d3.ops.size == 7)
+    val d4 = RdfParse.decode(Fixtures.malformedTtl.getBytes(UTF_8), "text/turtle", "e4")
+    assert(d4._corrupt != null)
+  }
+
+  test("blank node scoping prevents cross-event collisions") {
+    val doc = "_:b <http://ex/p> \"v\" .\n"
+    val a = RdfParse.decode(doc.getBytes(UTF_8), RdfParse.CT_NQUADS, "t:0:1")
+    val b = RdfParse.decode(doc.getBytes(UTF_8), RdfParse.CT_NQUADS, "t:0:2")
+    assert(a.quads.head.subject != b.quads.head.subject)
+  }
+
+  test("term NT round-trip") {
+    val terms = Seq(Term.iri("http://ex/x"), Term.blank("b0"), Term.lit("plain \"q\" \\ nl\n"),
+      Term.typed("5", Term.XSD_INTEGER), Term.langLit("hej", "sv"))
+    val nt = terms.map(t => s"<http://s> <http://p> ${t.toNT} .").mkString("\n")
+    val back = NQuadsParser.parse(nt, allowGraph = true).map(_.obj)
+    assert(back == terms)
+  }
+}
+
+class QuadStoreSpec extends AnyFunSuite {
+  import Fixtures._
+  private lazy val spark = TestSpark.spark
+
+  private def freshStore(): QuadStore =
+    new QuadStore(spark, Files.createTempDirectory("quadstore").toString)
+
+  test("golden counts: data.ttl → 1, + data.nq → 2 (DockerTestConfigFK single connector)") {
+    val store = freshStore()
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl))
+    assert(store.count() == 1)
+    store.addQuads(1, NQuadsParser.parse(dataNq, allowGraph = true))
+    assert(store.count() == 2)
+  }
+
+  test("golden count: patch1.rdfp → 4 quads in graph <http://example/patch>") {
+    val store = freshStore()
+    val ops = RdfPatchParser.dataOps(RdfPatchParser.parse(patch1Rdfp))
+    store.applyPatch(0, ops)
+    assert(store.count() == 4)
+    import org.apache.spark.sql.functions.col
+    assert(store.quads().filter(col("graph.lex") === "http://example/patch").count() == 4)
+  }
+
+  test("set semantics: re-ingesting the same payload is idempotent (README.md:148-150)") {
+    val store = freshStore()
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl))
+    store.addQuads(1, TurtleParser.parseTurtle(dataTtl))
+    assert(store.count() == 1)
+  }
+
+  test("patch delete removes exactly the matching quad; later re-add wins") {
+    val store = freshStore()
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl)) // :s1 :p :o
+    val del = PatchOp("D", null, Term.iri("http://example/s1"),
+      Term.iri("http://example/p"), Term.iri("http://example/o"))
+    store.applyPatch(1, Seq(del))
+    assert(store.count() == 0)
+    store.addQuads(2, TurtleParser.parseTurtle(dataTtl))
+    assert(store.count() == 1)
+  }
+
+  test("idempotent epoch replay: re-committing the same batchId changes nothing") {
+    val store = freshStore()
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl))
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl)) // replayed epoch
+    assert(store.committedSegments().size == 1)
+    assert(store.count() == 1)
+  }
+
+  test("compaction preserves state") {
+    val store = freshStore()
+    store.addQuads(0, TurtleParser.parseTurtle(dataTtl))
+    store.addQuads(1, NQuadsParser.parse(dataNq, allowGraph = true))
+    store.applyPatch(2, RdfPatchParser.dataOps(RdfPatchParser.parse(patch1Rdfp)))
+    val before = store.count()
+    store.compact()
+    assert(store.committedSegments().size == 1)
+    assert(store.count() == before)
+  }
+}
