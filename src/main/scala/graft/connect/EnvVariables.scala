@@ -35,3 +35,9 @@ object EnvVariables {
 }
 
 final class ConfigException(msg: String) extends RuntimeException(msg)
+
+/** A state file that failed parse/size/depth constraints — recoverable
+  * by discarding and falling back to `.temp`/`.backup` copies, unlike
+  * [[ConfigException]] which must fail startup.
+  */
+final class CorruptStateException(msg: String) extends RuntimeException(msg)

@@ -88,19 +88,29 @@ final class OffsetStore(val datasetName: String, val stateFile: Path, consumerGr
     }
   }
 
+  /** Load one candidate file. Corruption (unparseable JSON, size/depth
+    * constraint breach) returns false so the caller can discard and try
+    * a recovery copy; a *mis*configuration — dataset-name mismatch or an
+    * unrecognized-but-valid JSON shape — rethrows ConfigException so
+    * startup fails instead of silently destroying valid offset state
+    * (reference fails fast with JenaKafkaException on mismatch and only
+    * discards on StreamConstraintsException, FusekiOffsetStore.readStateFile,
+    * FusekiOffsetStore.java:112-216).
+    */
   private def tryLoad(path: Path): Boolean = {
     try {
       if (Files.size(path) > MAX_STATE_FILE_BYTES)
-        throw new ConfigException(s"state file exceeds $MAX_STATE_FILE_BYTES bytes")
+        throw new CorruptStateException(s"state file exceeds $MAX_STATE_FILE_BYTES bytes")
       val root = mapper.readTree(Files.readAllBytes(path))
-      if (root == null || !root.isObject) throw new ConfigException("state file is not a JSON object")
-      if (depth(root) > MAX_DEPTH) throw new ConfigException("state file nesting too deep")
+      if (root == null || !root.isObject) throw new CorruptStateException("state file is not a JSON object")
+      if (depth(root) > MAX_DEPTH) throw new CorruptStateException("state file nesting too deep")
       if (root.has("offsets") || root.has("dataset")) loadCurrent(root)
       else if (root.has("topic") && root.has("offset")) migrateLegacy(root)
       else if (root.isEmpty) { /* empty object: fresh state */ }
       else throw new ConfigException("unrecognized state file shape")
       true
     } catch {
+      case e: ConfigException => offsets.clear(); throw e
       case _: Exception => offsets.clear(); false
     }
   }
@@ -173,17 +183,17 @@ object OffsetStore {
     if (!n.isContainerNode || n.isEmpty) 1
     else 1 + n.elements().asScala.map(depth).maxOption.getOrElse(0)
 
-  /** Decode "<topic>-<partition>-<group>" (FKS.decodeExternalOffsetKey,
-    * FKS.java:477-480). Topic names may contain '-', so parse from the
-    * right: last segment is the group... but groups may contain '-'
-    * too; the reference splits topic-partition-group with the partition
-    * as the last all-digit segment.
+  /** Decode "<topic>-<partition>-<group>" exactly as the reference does
+    * (FKS.decodeExternalOffsetKey, FKS.java:477-480): split from the
+    * LEFT with limit 3 — topic = parts(0), partition = parts(1). The
+    * group may contain hyphens/digits freely; a topic containing '-'
+    * is not decodable by this scheme (same limitation as the reference).
     */
   def decodeKey(key: String): Option[(String, Int)] = {
-    val parts = key.split("-")
-    // find the last all-digit segment; topic = everything before it
-    val idx = parts.lastIndexWhere(p => p.nonEmpty && p.forall(_.isDigit))
-    if (idx <= 0) None
-    else Some((parts.take(idx).mkString("-"), parts(idx).toInt))
+    val parts = key.split("-", 3)
+    if (parts.length < 3 || parts(0).isEmpty) None
+    else if (parts(1).nonEmpty && parts(1).forall(_.isDigit))
+      Some((parts(0), parts(1).toInt))
+    else None
   }
 }

@@ -166,8 +166,7 @@ object Relational {
         .orderBy(col("p_brand"))
     },
     "q16_time_bucket" -> { (s, dir) =>
-      // Tumbling-window aggregation, batch form (streaming twin lives in
-      // graft.streaming; identical grouping expression).
+      // Tumbling-window aggregation, batch form.
       t(s, dir, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
                  col("event_type"))

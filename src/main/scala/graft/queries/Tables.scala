@@ -21,12 +21,18 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects as a
     * timestamp type. Read it as a nanos long and convert to a microsecond
     * TimestampType column (the data is µs-granular, so this is lossless
-    * and agrees with DuckDB's native nanos read).
+    * and agrees with DuckDB's native nanos read). Exact integer `div`,
+    * not `/`: float division of 1.7e18-scale nanos exceeds double's
+    * 53-bit exact range and can truncate a µs low on boundaries.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
+    * session builder (set by Verify/Bench/test harnesses; asserted here
+    * rather than mutated so a library session is never side-effected).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true to read events")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Exact-decimal view of a 2dp double column. */

@@ -81,8 +81,23 @@ object NQuadsParser {
           advance()
           if (atEnd || peek != ':') fail("expected '_:'")
           advance()
+          // Terms are self-delimiting: a label ends at whitespace OR at
+          // the start of the next term ('<', '"', '#'). A medial '.' is
+          // legal (PN_CHARS grammar) when followed by another label
+          // char — same rule as TurtleParser.parseBlankLabel.
           val start = pos
-          while (!atEnd && !isTermEnd(peek)) advance()
+          var done = false
+          while (!atEnd && !done) {
+            val c = peek
+            if (isTermEnd(c) && c != '.') done = true
+            else if (c == '.') {
+              val nxOk = pos + 1 < to && {
+                val nx = doc.charAt(pos + 1)
+                !isTermEnd(nx) && nx != '.'
+              }
+              if (nxOk) advance() else done = true
+            } else advance()
+          }
           if (pos == start) fail("empty blank node label")
           Term.blank(doc.substring(start, pos))
         case '"' =>
@@ -112,7 +127,8 @@ object NQuadsParser {
     }
 
     private def isTermEnd(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\r' || c == '.'
+      c == ' ' || c == '\t' || c == '\r' || c == '.' ||
+      c == '<' || c == '"' || c == '#'
 
     private def unescape(): String = {
       if (atEnd) fail("dangling escape")

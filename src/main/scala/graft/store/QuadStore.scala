@@ -29,14 +29,23 @@ import graft.rdf.{PatchOp, Quad}
   * than the reference's single-partition requirement (README.md:152-153)
   * because the merge is associative.
   *
-  * 100 TB posture: segments are append-only and bounded by the batch
-  * size; reads do ONE shuffle (hash-aggregate on the quad key) over
-  * base + tail, and [[compact]] folds the tail into a new base so the
-  * tail stays short. The quad-key groupBy parallelizes across the
-  * cluster; no driver-side state. At cluster scale the base would be
-  * bucketed by the quad-key hash to make compaction shuffle-free;
-  * local parquet has no bucketing metadata, so that is documented
-  * rather than enforced here.
+  * 100 TB posture:
+  *  - ALL committed segments are read in ONE `spark.read.parquet(paths*)`
+  *    call; the commit ordinal is embedded in the segment directory name
+  *    (`s<ord>-…`) and recovered via `input_file_name()`, so plan size
+  *    and driver work stay FLAT in the number of committed epochs.
+  *  - [[compact]] folds the log into a single deduplicated `base`
+  *    segment. After compaction, reads are merge-on-read: the (short)
+  *    tail is aggregated (one small shuffle) and anti-joined against the
+  *    base — the base itself is NEVER re-shuffled, and with an empty
+  *    tail `quads()` is a bare scan of the base.
+  *  - Compaction records a high-water batchId in the version file;
+  *    [[commitOps]] drops replayed epochs at or below it, so epoch
+  *    replay stays idempotent even across compactions.
+  *  - At cluster scale the base would additionally be bucketed by the
+  *    quad-key hash to make compaction itself shuffle-free; local
+  *    parquet has no bucketing metadata, so that remains documented
+  *    rather than enforced here.
   */
 final class QuadStore(spark: SparkSession, path: String) {
   import QuadStore._
@@ -48,22 +57,37 @@ final class QuadStore(spark: SparkSession, path: String) {
 
   private def versionFile = dir.resolve("_version")
 
-  /** Committed segment ids in commit order. */
-  def committedSegments(): Seq[String] = {
-    if (!Files.exists(versionFile)) Seq.empty
+  private case class Version(segments: Seq[SegRef], highWater: Long)
+
+  private def readVersion(): Version = {
+    if (!Files.exists(versionFile)) Version(Seq.empty, -1L)
     else {
-      val txt = new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim
-      if (txt.isEmpty) Seq.empty else txt.split("\n").toSeq.filter(_.nonEmpty)
+      val lines = new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val hw = lines.collectFirst { case l if l.startsWith("#hw:") => l.drop(4).toLong }
+        .getOrElse(-1L)
+      val segs = lines.filterNot(_.startsWith("#")).map(SegRef.parse)
+      Version(segs, hw)
     }
   }
+
+  /** Committed segment names in commit order (tests/introspection). */
+  def committedSegments(): Seq[String] = readVersion().segments.map(_.name)
+
+  /** Replayed-epoch cutoff: batchIds at or below this were folded into
+    * the base by [[compact]] and must not be re-applied.
+    */
+  def highWaterBatchId: Long = readVersion().highWater
 
   /** Atomic pointer update: temp + ATOMIC_MOVE, with a `.backup` of the
     * previous pointer (the reference's defensive state-file dance,
     * FusekiOffsetStore.java:330-390).
     */
-  private def writeVersion(segments: Seq[String]): Unit = {
+  private def writeVersion(v: Version): Unit = {
     val tmp = dir.resolve("_version.temp")
-    Files.write(tmp, segments.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val body = (if (v.highWater >= 0) Seq(s"#hw:${v.highWater}") else Seq.empty) ++
+      v.segments.map(_.name)
+    Files.write(tmp, body.mkString("\n").getBytes(StandardCharsets.UTF_8))
     if (Files.exists(versionFile))
       Files.copy(versionFile, dir.resolve("_version.backup"), StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -73,17 +97,23 @@ final class QuadStore(spark: SparkSession, path: String) {
 
   /** Commit one batch of ops (columns: op STRING, seq LONG, graph,
     * subject, predicate, obj term structs). Idempotent per batchId:
-    * re-running an epoch overwrites the same segment and re-commits the
-    * same pointer entry — Spark epoch replay is therefore safe
-    * (replaces the reference's abort/replay machinery,
-    * FusekiProjector.java:362-379).
+    * a replayed epoch overwrites its own segment (same directory) and
+    * leaves the pointer unchanged, and an epoch already folded into the
+    * base by [[compact]] (batchId ≤ high-water) is dropped outright —
+    * Spark epoch replay is therefore safe in both regimes (replaces the
+    * reference's abort/replay machinery, FusekiProjector.java:362-379).
     */
   def commitOps(batchId: Long, ops: DataFrame): Unit = {
-    val seg = f"seg-$batchId%012d"
+    val v = readVersion()
+    if (batchId <= v.highWater) return // already compacted into base
+    val existing = v.segments.find(_.batchId.contains(batchId))
+    val ref = existing.getOrElse {
+      val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
+      SegRef(f"s$nextOrd%08d-b$batchId", nextOrd, Some(batchId))
+    }
     ops.select(OP_COLUMNS.map(col): _*)
-      .write.mode("overwrite").parquet(dir.resolve(seg).toString)
-    val existing = committedSegments()
-    if (!existing.contains(seg)) writeVersion(existing :+ seg)
+      .write.mode("overwrite").parquet(dir.resolve(ref.name).toString)
+    if (existing.isEmpty) writeVersion(v.copy(segments = v.segments :+ ref))
   }
 
   /** Convenience: commit a dataset payload (adds only). */
@@ -108,45 +138,75 @@ final class QuadStore(spark: SparkSession, path: String) {
 
   // --- reads ----------------------------------------------------------------
 
-  /** Raw committed op log, with a segment-ordinal column folded into a
+  /** Read a set of segments as ONE multi-path parquet scan, recovering
+    * each row's commit ordinal from its file path (flat planning cost
+    * regardless of epoch count) and folding (ordinal, seq) into a
     * single global order key so later segments win.
     */
-  private def opLog(): Option[DataFrame] = {
-    val segs = committedSegments()
-    if (segs.isEmpty) None
-    else Some(segs.zipWithIndex.map { case (seg, ord) =>
-      spark.read.parquet(dir.resolve(seg).toString)
-        .withColumn("gseq", lit(ord.toLong) * lit(1L << 40) + col("seq"))
-    }.reduce(_ unionByName _))
+  private def readSegments(segs: Seq[SegRef]): DataFrame = {
+    val paths = segs.map(s => dir.resolve(s.name).toString)
+    // file path = …/s<ord>-<tag>/part-….parquet — the commit ordinal is
+    // in the parent directory name; regexp_extract stays inside
+    // whole-stage codegen (no UDF, no driver-side map).
+    val ord = regexp_extract(input_file_name(), "/s(\\d+)-[^/]+/[^/]+$", 1).cast("long")
+    spark.read.parquet(paths: _*)
+      .withColumn("gseq", shiftleft(ord, 40) + col("seq"))
+  }
+
+  /** Latest-op-per-quad aggregation of an op DataFrame. */
+  private def foldOps(log: DataFrame): DataFrame =
+    log.groupBy(QUAD_COLUMNS.map(col): _*)
+      .agg(max_by(col("op"), col("gseq")).as("last_op"))
+      .filter(col("last_op") === "A")
+      .drop("last_op")
+
+  private def emptyQuads(): DataFrame = {
+    import spark.implicits._
+    Seq.empty[OpRow].toDF().select(QUAD_COLUMNS.map(col): _*)
   }
 
   /** Current state as a quads DataFrame (graph, subject, predicate,
-    * obj) with set semantics. One hash-aggregate shuffle; whole-stage
-    * codegen end-to-end.
+    * obj) with set semantics.
+    *
+    * Physical shape: with no base, one hash-aggregate shuffle over the
+    * whole log; with a base, the base is scanned WITHOUT a shuffle and
+    * only the tail is aggregated + anti-joined (AQE broadcasts the
+    * small tail side).
     */
   def quads(): DataFrame = {
-    opLog() match {
-      case None =>
-        import spark.implicits._
-        Seq.empty[OpRow].toDF().select(QUAD_COLUMNS.map(col): _*)
-      case Some(log) =>
-        log.groupBy(QUAD_COLUMNS.map(col): _*)
+    val v = readVersion()
+    val (bases, tail) = v.segments.partition(_.isBase)
+    if (v.segments.isEmpty) emptyQuads()
+    else if (bases.isEmpty) foldOps(readSegments(tail))
+    else {
+      val base = readSegments(bases).select(QUAD_COLUMNS.map(col): _*)
+      if (tail.isEmpty) base
+      else {
+        // tailState: latest op per quad key touched since compaction
+        val tailState = readSegments(tail)
+          .groupBy(QUAD_COLUMNS.map(col): _*)
           .agg(max_by(col("op"), col("gseq")).as("last_op"))
-          .filter(col("last_op") === "A")
-          .drop("last_op")
+        val touched = tailState.select(QUAD_COLUMNS.map(col): _*)
+        base.join(touched, QUAD_COLUMNS, "left_anti")
+          .unionByName(tailState.filter(col("last_op") === "A").drop("last_op"))
+      }
     }
   }
 
-  /** Fold the committed log into a single base segment. */
+  /** Fold the committed log into a single deduplicated base segment and
+    * advance the high-water mark past every retired batchId.
+    */
   def compact(): Unit = {
-    val segs = committedSegments()
-    if (segs.size <= 1) return
+    val v = readVersion()
+    if (v.segments.size <= 1 && v.segments.forall(_.isBase)) return
     val state = quads().withColumn("op", lit("A"))
       .withColumn("seq", monotonically_increasing_id())
-    val seg = f"base-${System.currentTimeMillis()}%013d"
+    val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
+    val ref = SegRef(f"s$nextOrd%08d-base", nextOrd, None)
     state.select(OP_COLUMNS.map(col): _*)
-      .write.mode("overwrite").parquet(dir.resolve(seg).toString)
-    writeVersion(Seq(seg))
+      .write.mode("overwrite").parquet(dir.resolve(ref.name).toString)
+    val hw = (v.segments.flatMap(_.batchId) :+ v.highWater).max
+    writeVersion(Version(Seq(ref), hw))
   }
 
   def count(): Long = quads().count()
@@ -160,4 +220,19 @@ object QuadStore {
 
   val QUAD_COLUMNS: Seq[String] = Seq("graph", "subject", "predicate", "obj")
   val OP_COLUMNS: Seq[String] = Seq("op", "seq") ++ QUAD_COLUMNS
+
+  /** A committed segment: `s<ord>-b<batchId>` (epoch segment) or
+    * `s<ord>-base` (compacted base).
+    */
+  final case class SegRef(name: String, ord: Long, batchId: Option[Long]) {
+    def isBase: Boolean = batchId.isEmpty
+  }
+  object SegRef {
+    private val Pat = """s(\d+)-(base|b(-?\d+))""".r
+    def parse(name: String): SegRef = name match {
+      case Pat(ord, "base", _) => SegRef(name, ord.toLong, None)
+      case Pat(ord, _, b) if b != null => SegRef(name, ord.toLong, Some(b.toLong))
+      case other => throw new IllegalStateException(s"bad segment name '$other'")
+    }
+  }
 }
