@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.RdfQueries.queries
+    graft.queries.RdfQueries.queries ++
+    graft.pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.RdfQueries.oracle
+    graft.queries.RdfQueries.oracle ++
+    graft.pipeline.PipelineQueries.oracle
 }

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines
+  * (beyond-reference extension, SURVEY.md §7 phase 7): exact,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale contract (the non-negotiable at 100 TB): candidate generation
+  * is ALWAYS bucketed — banded MinHash signatures, SimHash chunks, or
+  * random-hyperplane sketches — never an all-pairs join. The exact
+  * similarity (Jaccard / cosine) is computed only on within-bucket
+  * candidate pairs, so the quadratic blowup is confined to near-dup
+  * clusters (which are the output anyway). All column work uses
+  * codegen'd built-ins (transform/aggregate/xxhash64); shuffles are
+  * one explode+repartition by bucket key plus the candidate join.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup: one row per distinct text with the smallest doc_id as
+    * keeper and the duplicate count. One hash-aggregate shuffle on the
+    * text hash; at scale, group on xxhash64(text) first and resolve the
+    * (vanishingly rare) hash collisions inside each group.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  // --- shingling + exact Jaccard (shared by MinHash / SimHash rerank) -------
+
+  /** Distinct word n-gram shingles of a text column (native codegen'd
+    * expression).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.Sketches.wordNgrams(split(text, " "), n)
+
+  /** Exact Jaccard similarity of two array columns (duplicates
+    * ignored; native codegen'd expression).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.Sketches.jaccardSim(a, b)
+
+  // --- MinHash + banded LSH -------------------------------------------------
+
+  /** Banded LSH candidate pairs from a band-keys array column (one
+    * bucket key per band, e.g. [[graft.functions.Sketches.minhashBandKeys]]):
+    * explode and self-join per (band, key). Returns (id_a, id_b) with
+    * id_a < id_b, distinct.
+    *
+    * For threshold t, P(pair lands in ≥1 bucket) = 1-(1-t^r)^b; with
+    * k=64, b=16, r=4 a 0.9-Jaccard pair is missed with prob ~4e-8.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, bandKeys: Column): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs: banded-LSH candidates (native codegen'd
+    * sketch expression), exact-Jaccard rerank at `threshold`.
+    * Output (id_a, id_b, j).
+    */
+  def nearDupMinhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val cands = lshCandidates(withSh, "id",
+      graft.functions.Sketches.minhashBandKeys(col("sh"), k, bands))
+    rerank(cands, withSh, threshold)
+  }
+
+  /** Exact-Jaccard rerank of candidate pairs against the shingle sets. */
+  private def rerank(cands: DataFrame, withSh: DataFrame, threshold: Double): DataFrame = {
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // --- SimHash --------------------------------------------------------------
+
+  /** 64-bit SimHash as `nChunks` equal bit chunks (chunked so
+    * candidate generation can band on chunk equality — pigeonhole:
+    * hamming ≤ nChunks-1 implies at least one identical chunk).
+    *
+    * bit_j = sign(Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1)).
+    */
+  def simhashChunks(text: Column, nChunks: Int = 8): Column =
+    graft.functions.Sketches.simhashChunks(split(text, " "), nChunks)
+
+  /** Hamming distance between two chunked simhashes. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** SimHash near-dup pairs: candidates = pairs agreeing on at least
+    * one PAIR of the 8 simhash chunks ([[graft.functions.Sketches.simhashPairKeys]]
+    * — complete through hamming ≤ 6, and quadratically less bucket
+    * skew than single 8-bit chunks on homogeneous corpora), prefiltered
+    * to hamming ≤ `maxHamming`; final filter is exact Jaccard at
+    * `threshold` (so the output contract matches [[nearDupMinhash]] —
+    * the sketch only drives candidate generation).
+    */
+  def nearDupSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"),
+      simhashChunks(col(textCol)).as("chunks"))
+    val cands = lshCandidates(
+      docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks")), "id",
+      graft.functions.Sketches.simhashPairKeys(col("toks")))
+    val chA = withSh.select(col("id").as("id_a"), col("chunks").as("ch_a"))
+    val chB = withSh.select(col("id").as("id_b"), col("chunks").as("ch_b"))
+    val within = cands.join(chA, "id_a").join(chB, "id_b")
+      .filter(hamming(col("ch_a"), col("ch_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    rerank(within, withSh.select(col("id"), col("sh")), threshold)
+  }
+
+  // --- embedding-cosine near-dup -------------------------------------------
+
+  /** Embedding near-dup pairs: random-hyperplane sketch buckets (T
+    * tables × bits bits) for candidates, exact cosine ≥ `threshold`
+    * rerank. Output (id_a, id_b, cos).
+    *
+    * For cos θ ≥ 0.9 (θ ≤ 25.8°), per-bit collision prob is
+    * 1 - θ/π ≈ 0.857; with 8-bit keys and 12 tables the miss prob is
+    * (1 - 0.857^8)^12 ≈ 2e-4 — and table count is the knob.
+    */
+  def nearDupEmbedding(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9, dim: Int = 64, tables: Int = 12, bits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val keys = Similarity.sketchKeys(col(vecCol), dim, tables, bits, seed)
+    val withKeys = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(keys).as(Seq("table", "key")))
+    val a = withKeys.alias("a")
+    val b = withKeys.alias("b")
+    val cands = a.join(b, col("a.table") === col("b.table") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

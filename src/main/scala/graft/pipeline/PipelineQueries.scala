@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.t
+
+/** Verify-gate entries for the LLM-data-pipeline operators (dedup,
+  * similarity, text analysis, multimodal) over the driver-provided
+  * documents/embeddings tables.
+  *
+  * Oracle discipline: every aggregate that crosses rows is either an
+  * integer sum or a single division of two exactly-representable
+  * numbers, so results are bit-identical across engines regardless of
+  * execution order. Near-dup entries output EXACT similarity values of
+  * candidate pairs (candidates are sketch-bucketed, the similarity is
+  * reranked exactly), so the DuckDB oracle can be the brute-force
+  * definition — at verify scale the oracle may be all-pairs, the Spark
+  * side never is.
+  */
+object PipelineQueries {
+
+  private val STOPWORDS = "'the','a','of','and','to'"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_text_stats" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars_ns"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("n_chars_ns")).cast("double") / sum(col("n_tokens"))).as("chars_per_token"))
+        .orderBy(col("lang"), col("source"))
+    },
+    "pl_text_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokenStats(col("text")).as("stats"))
+        .select(TextAnalysis.qualityBucketFromStats(col("stats")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    "pl_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenStats(col("text")).as("stats"))
+        .select(col("lang"), TextAnalysis.langIdFromStats(col("stats")).as("predicted"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    "pl_token_regex" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), size(TextAnalysis.regexTokens(col("text"))).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+        .orderBy(col("source"))
+    },
+    "pl_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprints(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("fp_min"))
+        .orderBy(col("doc_id"))
+    },
+    "pl_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper_id"))
+    },
+    "pl_dedup_minhash" -> { (s, dir) =>
+      Dedup.nearDupMinhash(t(s, dir, "documents"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "pl_dedup_simhash" -> { (s, dir) =>
+      Dedup.nearDupSimhash(t(s, dir, "documents"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "pl_dedup_embed" -> { (s, dir) =>
+      Dedup.nearDupEmbedding(t(s, dir, "embeddings"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "pl_ann_topk" -> { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") % 25 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Approximate ANN: no SQL oracle (recall < 1 by construction);
+    // recall vs the exact baseline is asserted in PipelineSpec.
+    "pl_ann_lsh" -> { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.lshTopK(embs, embs.filter(col("vec_id") % 25 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "pl_multimodal" -> { (s, dir) =>
+      Multimodal.pipeline(s, t(s, dir, "documents"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
+          (sum(col("mean_byte")) / count(lit(1))).as("avg_mean_byte"))
+        .orderBy(col("source"))
+    }
+  )
+
+  /** Shared CTE: distinct word-3-gram shingles per doc (DuckDB). */
+  private val SHINGLES_CTE =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1) ]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+
+  /** Brute-force near-dup truth: both sketch methods must produce
+    * exactly the pairs whose true Jaccard clears the threshold.
+    */
+  private val NEARDUP_ORACLE = SHINGLES_CTE +
+    """ SELECT id_a, id_b, j FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([ $a[i] * $b[i] for i in range(1, 65) ])"
+
+  val oracle: Map[String, String] = Map(
+    "pl_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+                SUM(n_tokens) AS sum_tokens,
+                SUM(n_chars_ns)::DOUBLE / SUM(n_tokens) AS chars_per_token
+         FROM (SELECT lang, source, len(string_split(text,' ')) AS n_tokens,
+                      length(replace(text,' ','')) AS n_chars_ns FROM documents)
+         GROUP BY lang, source ORDER BY lang, source""",
+    "pl_text_quality" ->
+      s"""SELECT bucket, COUNT(*) AS n FROM (
+            SELECT CASE
+              WHEN len(w) < 20 THEN 'too_short'
+              WHEN len(list_filter(w, x -> list_contains([$STOPWORDS], x)))::DOUBLE / len(w) > 0.5 THEN 'boilerplate'
+              WHEN len(list_distinct(w))::DOUBLE / len(w) < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS bucket
+            FROM (SELECT string_split(text,' ') AS w FROM documents))
+          GROUP BY bucket ORDER BY bucket""",
+    "pl_lang_id" ->
+      s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+            SELECT lang, CASE
+              WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+              WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+              ELSE 'und' END AS predicted
+            FROM (SELECT lang,
+              len(list_filter(w, x -> list_contains([$STOPWORDS], x))) AS s_en,
+              len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+              len(list_filter(w, x -> list_contains(['el','la','que','y','los'], x))) AS s_es,
+              len(list_filter(w, x -> list_contains(['le','les','et','des','une'], x))) AS s_fr,
+              len(list_filter(w, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+              FROM (SELECT lang, string_split(text,' ') AS w FROM documents)))
+          GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "pl_token_regex" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_toks
+         FROM documents GROUP BY source ORDER BY source""",
+    "pl_fingerprint" ->
+      """SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min FROM (
+           SELECT doc_id, list_distinct([ list_min(g[j:j+3]) for j in range(1, len(g)-2) ]) AS fp
+           FROM (SELECT doc_id,
+                   [ substr(md5(substr(text, i, 8)), 1, 8) for i in range(1, length(text)-6) ] AS g
+                 FROM documents))
+         ORDER BY doc_id""",
+    "pl_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "pl_dedup_minhash" -> NEARDUP_ORACLE,
+    "pl_dedup_simhash" -> NEARDUP_ORACLE,
+    "pl_dedup_embed" ->
+      s"""SELECT id_a, id_b, c AS cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.v", "b.v")}
+                     / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS c
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+              ON a.vec_id < b.vec_id)
+          WHERE c >= 0.9 ORDER BY id_a, id_b""",
+    "pl_ann_topk" ->
+      s"""SELECT query_id, rank, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${dotSql("q.v", "e.v")} / sqrt(${dotSql("e.v", "e.v")}) DESC,
+                     e.vec_id ASC) AS rank
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 25 = 0) q
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+              ON q.vec_id <> e.vec_id)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "pl_multimodal" ->
+      """SELECT source, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+                SUM(mean_byte) / COUNT(*) AS avg_mean_byte
+         FROM (SELECT source, 16 AS n_bytes,
+                 list_sum([ ('0x' || substr(md5(text), 2*i-1, 2))::INT
+                            for i in range(1, 17) ])::DOUBLE / 16 AS mean_byte
+               FROM documents)
+         GROUP BY source ORDER BY source"""
+  )
+}

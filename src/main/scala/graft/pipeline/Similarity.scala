@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]) —
+  * beyond-reference extension (SURVEY.md §7 phase 7).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. The query side is broadcast; the big side is scanned
+  *    once, scored with codegen'd zip_with/aggregate, and ranked with
+  *    one window shuffle partitioned by query id. Exact kNN is
+  *    inherently a full scan; this is the canonical distributed shape.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Candidates
+  *    come from T sketch tables (bucket join, no all-pairs), then the
+  *    exact rerank runs only within buckets. Recall is tunable via
+  *    table count; tested against the brute-force baseline.
+  *
+  * All arithmetic is double-precision and in deterministic
+  * element order (aggregate folds left-to-right), so scores reproduce
+  * bit-for-bit across engines given the same formula.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns, computed in double by a
+    * native codegen'd expression (left-to-right sum — bit-identical to
+    * the oracle's formulation).
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.Sketches.dotDouble(a.cast("array<double>"), b.cast("array<double>"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows
+    * of `embs` (self-match excluded). Output (query_id, rank,
+    * neighbor_id); rank is 1-based, ties broken by neighbor id.
+    *
+    * Ranking uses dot/norm(neighbor) — the query norm is constant per
+    * query, so ordering equals cosine ordering while avoiding one sqrt.
+    */
+  def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val e = embs.select(col(idCol).as("neighbor_id"), col(vecCol).as("ev"))
+    val scored = q.crossJoin(e)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ev")) / norm(col("ev"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Random-hyperplane sketch keys: `tables` keys, each folding `bits`
+    * sign bits into an integer bucket id. Hyperplanes are seeded and
+    * materialized as literal arrays — pure codegen'd expressions.
+    */
+  def sketchKeys(vec: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column =
+    graft.functions.Sketches.hyperplaneSketch(vec.cast("array<double>"), dim, tables, bits, seed)
+
+  /** Approximate cosine top-k: candidates from `tables` sketch tables
+    * (bucket equi-join against the query side), exact rerank within
+    * candidates. Same output shape as [[bruteForceTopK]]; recall < 1
+    * by construction — tune `tables`/`bits` per corpus.
+    */
+  def lshTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, tables: Int = 48, bits: Int = 6, seed: Long = 7L): DataFrame = {
+    def keyed(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(sketchKeys(col(vecCol), dim, tables, bits, seed)).as(Seq("table", "key")))
+    val q = broadcast(keyed(queries, "query_id", "qv"))
+    val e = keyed(embs, "neighbor_id", "ev")
+    val cands = q.join(e, Seq("table", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("ev"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qv"), col("ev")) / norm(col("ev"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+}

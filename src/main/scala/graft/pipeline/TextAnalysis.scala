@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference extension, SURVEY.md §7 phase 7): tokenization,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is a pure Column expression built from Spark
+  * built-ins (split / transform / filter / aggregate / md5) — no UDFs,
+  * so the whole pipeline stays inside whole-stage codegen and scales
+  * linearly with executors; per-document work is independent, so there
+  * is no shuffle until the caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexical tokens: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer split.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters (whitespace removed). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(sw, w))).cast("double") / size(tokens(text))
+  }
+
+  /** Fraction of distinct tokens (vocabulary richness). */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** One-pass token statistics (native expression):
+    * [n_tokens, n_distinct, marker-hits per language of LANG_MARKERS].
+    * Keep this in its OWN projection and derive metrics from the column
+    * in a second one — multi-referenced non-cheap aliases survive
+    * CollapseProject, so the scan runs once per row.
+    */
+  def tokenStats(text: Column): Column =
+    graft.functions.Sketches.tokenSetCounts(tokens(text), LANG_MARKERS.map(_._2))
+
+  /** Composite quality bucket — the usual length/stopword/richness
+    * heuristics, deterministic thresholds.
+    */
+  def qualityBucket(text: Column): Column = qualityBucketFromStats(tokenStats(text))
+
+  /** Quality bucket from a materialized [[tokenStats]] column.
+    * Semantics identical to the per-text HOF formulation: en-marker
+    * hits are the stopword count.
+    */
+  def qualityBucketFromStats(stats: Column): Column = {
+    val n = element_at(stats, 1)
+    val nDistinct = element_at(stats, 2)
+    val sw = element_at(stats, 3) // en markers == stopword list
+    when(n < 20, "too_short")
+      .when(sw.cast("double") / n > lit(0.5), "boilerplate")
+      .when(nDistinct.cast("double") / n < lit(0.3), "repetitive")
+      .otherwise("ok")
+  }
+
+  /** Language markers for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties resolve to the first language listed.
+    */
+  val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "y", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Predicted language: argmax marker-hit count, first-listed wins
+    * ties, "und" (undetermined) when no marker hits at all.
+    */
+  def langId(text: Column): Column = langIdFromStats(tokenStats(text))
+
+  /** Language ID from a materialized [[tokenStats]] column. */
+  def langIdFromStats(stats: Column): Column = {
+    val scores = LANG_MARKERS.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(stats, 3 + i)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(mx === 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === mx, lang)
+    }.otherwise("und")
+  }
+
+  /** Winnowing document fingerprint (rolling-hash): hash every k-char
+    * gram (md5 prefix — engine-portable), keep the minimum hash of each
+    * sliding window of w grams, dedup. Returns the array of selected
+    * fingerprint hashes.
+    *
+    * Standard winnowing guarantees: any shared substring of length
+    * ≥ k + w - 1 yields a shared fingerprint.
+    */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = when(length(text) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substring(md5(substr(text, i, lit(k))), 1, 8)))
+    val winnowed = when(size(grams) < w, array_distinct(grams))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+    winnowed
+  }
+}

@@ -387,7 +387,7 @@ final class TurtleParser(input: String, trig: Boolean) {
 
   // --- lexer utilities ------------------------------------------------------
 
-  private def peek(): Char = if (pos < len) input.charAt(pos) else ' '
+  private def peek(): Char = if (pos < len) input.charAt(pos) else '\u0000'
 
   private def peekKeyword(kw: String): Boolean =
     input.regionMatches(pos, kw, 0, kw.length) &&

@@ -186,8 +186,13 @@ final class QuadStore(spark: SparkSession, path: String) {
         val tailState = readSegments(tail)
           .groupBy(QUAD_COLUMNS.map(col): _*)
           .agg(max_by(col("op"), col("gseq")).as("last_op"))
-        val touched = tailState.select(QUAD_COLUMNS.map(col): _*)
-        base.join(touched, QUAD_COLUMNS, "left_anti")
+        val b = base.alias("b")
+        val touched = tailState.select(QUAD_COLUMNS.map(col): _*).alias("t")
+        // null-safe equality: graph is null for the default graph, and
+        // EqualTo(null, null) is null — a plain using-columns anti-join
+        // would never match default-graph quads
+        val cond = QUAD_COLUMNS.map(c => col(s"b.$c") <=> col(s"t.$c")).reduce(_ && _)
+        b.join(touched, cond, "left_anti")
           .unionByName(tailState.filter(col("last_op") === "A").drop("last_op"))
       }
     }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+/** Behavior the DuckDB oracle can't observe: recall of the sketch-based
+  * candidate generators on planted duplicates, LSH ANN recall vs the
+  * exact baseline, and the multimodal batch plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("embedding near-dup finds planted duplicates via sketch buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val base = Seq.fill(50)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    // plant: vec 100+i = tiny perturbation of vec i (cosine ~0.9996)
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.take(5).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupEmbedding(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, (100 + i).toLong))),
+      s"missing planted pairs in $pairs")
+    assert(pairs.size == 5, s"unexpected extra pairs: $pairs")
+  }
+
+  test("LSH ANN recall >= 0.9 of exact top-10 on real embeddings") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("exact dedup counts real duplicates when planted") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q r s"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("minhash band keys are deterministic, length-bands, and text-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val keys = df
+      .select(col("doc_id"),
+        graft.functions.Sketches.minhashBandKeys(Dedup.shingles(col("text"))).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(1L) == keys(2L) && keys(1L).length == 16)
+    assert(keys(1L) != keys(3L))
+  }
+
+  test("simhash hamming of identical texts is 0; of disjoint texts is large") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val ch = df.select(col("doc_id"), Dedup.simhashChunks(col("text")).as("c"))
+    val m = ch.as[(Long, Seq[Long])].collect().toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) > 5)
+  }
+
+  test("multimodal: frame sampling cuts binary into strided frames") {
+    import spark.implicits._
+    val media = Seq((1L, Array.range(0, 16).map(_.toByte)))
+      .toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .select("frame_idx", "frame").as[(Int, Array[Byte])].collect()
+    assert(frames.map(_._1).toSeq == Seq(0, 2))
+    assert(frames.head._2.toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(frames(1)._2.toSeq == Seq[Byte](8, 9, 10, 11))
+  }
+
+  test("multimodal: decode batch shape preserves rows and schema across small batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.synthesize(docs).as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(media, batchSize = 7)
+    assert(feats.count() == docs.count())
+    val f = feats.head()
+    assert(f.n_bytes == 16 && f.histogram.length == 16)
+    assert(math.abs(f.histogram.sum - 16f) < 1e-6)
+  }
+
+  test("lsh candidates are a strict subset of all pairs and contain all true near-dups") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val withSh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text")).as("sh"))
+    val cands = Dedup.lshCandidates(withSh, "id",
+      graft.functions.Sketches.minhashBandKeys(col("sh"))).count()
+    assert(cands < n * (n - 1) / 4, s"candidate set too dense: $cands of ${n * (n - 1) / 2}")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connect.OffsetStore
+import graft.rdf.{NQuadsParser, Quad, Term}
+import graft.store.QuadStore
+
+/** QuadStore scale/robustness behavior added in round 2, plus the
+  * offset-key and blank-node-label fixes.
+  */
+class StoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def q(s: String, o: String): Quad =
+    Quad(null, Term.iri(s"http://x/$s"), Term.iri("http://x/p"), Term.lit(o))
+
+  private def newStore() =
+    new QuadStore(spark, Files.createTempDirectory("qs").toString)
+
+  test("merge-on-read: delete and re-add across a compaction boundary") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1"), q("c", "1")))
+    store.compact()
+    // tail: delete b, re-add with new value, add d
+    import spark.implicits._
+    val ops = Seq(
+      QuadStore.OpRow("D", 0L, null, Term.iri("http://x/b"), Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("A", 1L, null, Term.iri("http://x/b"), Term.iri("http://x/p"), Term.lit("2")),
+      QuadStore.OpRow("D", 2L, null, Term.iri("http://x/c"), Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("A", 3L, null, Term.iri("http://x/d"), Term.iri("http://x/p"), Term.lit("1")))
+    store.commitOps(1, ops.toDF())
+    val state = store.quads().collect()
+      .map(r => (r.getStruct(1).getString(1), r.getStruct(3).getString(1))).toSet
+    assert(state == Set(("http://x/a", "1"), ("http://x/b", "2"), ("http://x/d", "1")))
+  }
+
+  test("replayed epoch at or below the compaction high-water mark is dropped") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1")))
+    store.addQuads(1, Seq(q("b", "1")))
+    // delete a in batch 2, then compact: state = {b}
+    import spark.implicits._
+    store.commitOps(2, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/a"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    store.compact()
+    assert(store.highWaterBatchId == 2)
+    // replay of old batch 0 (re-adding a) must be a no-op — without the
+    // high-water mark it would re-append and resurrect the deleted quad
+    store.addQuads(0, Seq(q("a", "1")))
+    assert(store.count() == 1)
+    // a genuinely new epoch still applies
+    store.addQuads(3, Seq(q("e", "1")))
+    assert(store.count() == 2)
+  }
+
+  test("replayed live epoch overwrites its own segment (idempotent)") {
+    val store = newStore()
+    store.addQuads(7, Seq(q("a", "1"), q("b", "1")))
+    store.addQuads(7, Seq(q("a", "1"), q("b", "1")))
+    assert(store.committedSegments().size == 1)
+    assert(store.count() == 2)
+  }
+
+  test("empty-tail read after compaction is a bare scan — no shuffle") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1")))
+    store.addQuads(1, Seq(q("b", "1")))
+    store.compact()
+    val plan = store.quads().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan should not shuffle:\n$plan")
+  }
+
+  test("many-epoch read is a single multi-path scan, flat planning") {
+    val store = newStore()
+    (0 until 30).foreach(i => store.addQuads(i.toLong, Seq(q(s"s$i", "1"))))
+    val t0 = System.nanoTime()
+    val df = store.quads()
+    val plan = df.queryExecution.executedPlan.toString
+    val planMs = (System.nanoTime() - t0) / 1e6
+    // one parquet scan node regardless of epoch count (no per-segment union)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected one scan:\n$plan")
+    assert(planMs < 5000, s"planning took ${planMs}ms")
+    assert(df.count() == 30)
+  }
+
+  test("decodeKey splits left with limit 3 (reference FKS semantics)") {
+    assert(OffsetStore.decodeKey("t-0-fuseki-2").contains(("t", 0)))
+    assert(OffsetStore.decodeKey("topic-12-123").contains(("topic", 12)))
+    assert(OffsetStore.decodeKey("t-x-g").isEmpty)
+    assert(OffsetStore.decodeKey("t-0").isEmpty)
+  }
+
+  test("blank node labels: medial dot legal, terms self-delimiting") {
+    val qs = NQuadsParser.parse("_:b.1 <http://x/p> _:c.2.3 .", allowGraph = true)
+    assert(qs.head.subject == Term.blank("b.1"))
+    assert(qs.head.obj == Term.blank("c.2.3"))
+    // bnode immediately followed by '<' — whitespace optional
+    val qs2 = NQuadsParser.parse("_:a<http://x/p> \"v\" .", allowGraph = false)
+    assert(qs2.head.subject == Term.blank("a"))
+    assert(qs2.head.predicate == Term.iri("http://x/p"))
+  }
+}
