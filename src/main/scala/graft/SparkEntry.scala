@@ -16,12 +16,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.RdfQueries.queries ++
-    graft.pipeline.PipelineQueries.queries
+    graft.queries.ProjectorQueries.queries ++
+    graft.pipeline.PipelineQueries.queries ++
+    graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.RdfQueries.oracle ++
-    graft.pipeline.PipelineQueries.oracle
+    graft.queries.ProjectorQueries.oracle ++
+    graft.pipeline.PipelineQueries.oracle ++
+    graft.streaming.StreamingQueries.oracle
 }

@@ -89,26 +89,56 @@ object RdfPatchParser {
     s.advance()
   }
 
-  /** Apply-time transaction-marker validation: the reference's
-    * malformed.rdfp (TX then TX) must fail at apply, after parse.
-    * Returns the ops with markers/headers/prefix-ops stripped, i.e.
-    * just the A/D stream, or throws on invalid marker nesting.
+  /** Apply-time transaction-marker validation + effective A/D stream:
+    * the reference's malformed.rdfp (TX then TX) must fail at apply,
+    * after parse, and ops inside a TX..TA region are DISCARDED (Jena's
+    * RDFChangesApply aborts that transaction, rolling them back).
+    * Returns the surviving A/D stream, or throws on invalid nesting.
     */
   def dataOps(ops: Seq[PatchOp]): Seq[PatchOp] = {
     var inTxn = false
     val out = ArrayBuffer[PatchOp]()
+    val pending = ArrayBuffer[PatchOp]()
     ops.foreach { o =>
       o.op match {
         case "TX" =>
           if (inTxn) throw new RdfParseException("TX inside an open patch transaction")
           inTxn = true
-        case "TC" | "TA" =>
-          if (!inTxn) throw new RdfParseException(s"${o.op} without open patch transaction")
+        case "TC" =>
+          if (!inTxn) throw new RdfParseException("TC without open patch transaction")
           inTxn = false
-        case "A" | "D" => out += o
+          out ++= pending; pending.clear()
+        case "TA" =>
+          if (!inTxn) throw new RdfParseException("TA without open patch transaction")
+          inTxn = false
+          pending.clear() // aborted: ops since TX roll back
+        case "A" | "D" => if (inTxn) pending += o else out += o
         case _ => // H / PA / PD: no dataset effect
       }
     }
+    // an unclosed TX leaves its ops in the (still open) transaction —
+    // in the engine's batch model they commit with the enclosing batch
+    out ++= pending
     out.toSeq
+  }
+
+  /** Whether applying this op stream leaves the dataset OUTSIDE a
+    * transaction (reference: `isPatch() && !dataset.isInTransaction()`
+    * after apply triggers the projector's own commit,
+    * FusekiProjector.java:408-412). Entering state is "in the
+    * projector's external transaction"; a TX op commits that external
+    * transaction and opens the patch's own
+    * (RDFChangesApplyExternalTransaction.java:22-29).
+    */
+  def closesTxn(ops: Seq[PatchOp]): Boolean = {
+    var inTxn = true
+    ops.foreach { o =>
+      o.op match {
+        case "TX" => inTxn = true
+        case "TC" | "TA" => inTxn = false
+        case _ => ()
+      }
+    }
+    !inTxn
   }
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.{d, dec}
+
+/** Structured Streaming verify entries — real streaming queries
+  * (file-stream source → watermark → stateful op → memory sink) whose
+  * final tables match the same DuckDB oracles as their batch twins.
+  * `Trigger.AvailableNow` drains the source and terminates, so the
+  * entries are deterministic and driver-runnable.
+  */
+object StreamingQueries {
+
+  /** events.parquet schema as read by the stream source (ts is the
+    * raw TIMESTAMP(NANOS) long — see Tables.events).
+    */
+  private val EVENTS_SCHEMA = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // the file-stream source requires a DIRECTORY; expose the single
+    // events.parquet file through a temp dir via symlink
+    val streamDir = Files.createTempDirectory("events_stream")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(EVENTS_SCHEMA).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = "st_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q16's streaming twin: tumbling event-time window + watermark over
+    // the streamed events table; same oracle as the batch query.
+    "streaming_window" -> { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("v"))
+      runToTable(agg, "complete")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    // Streaming stateful dedup: every event is duplicated in-stream,
+    // then dropDuplicates over (event_id, ts) with a watermark removes
+    // the copies; the result must equal the plain per-type counts.
+    "streaming_dedup" -> { (s, dir) =>
+      val deduped = eventsStream(s, dir)
+        .withColumn("copy", explode(array(lit(1), lit(2))))
+        .drop("copy")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(Seq("event_id", "ts"))
+      runToTable(deduped, "append")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "streaming_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "streaming_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         GROUP BY event_type ORDER BY event_type"""
+  )
+}
