@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.RdfQueries.queries ++
     graft.queries.ProjectorQueries.queries ++
+    graft.queries.SparqlQueries.queries ++
     graft.pipeline.PipelineQueries.queries ++
     graft.streaming.StreamingQueries.queries
 
@@ -26,6 +27,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.RdfQueries.oracle ++
     graft.queries.ProjectorQueries.oracle ++
+    graft.queries.SparqlQueries.oracle ++
     graft.pipeline.PipelineQueries.oracle ++
     graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.connect._
+import graft.rdf.Term
+import graft.sparql.Sparql
+import graft.store.QuadStore
+
+/** SPARQL-layer verify entries: the reference harness's own count
+  * query answered over a projector-ingested store, and a BGP join
+  * answered against the relational oracle.
+  */
+object SparqlQueries {
+
+  private val NS = "http://graft.example/"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the DockerTestConfigFK golden-count scenario end-to-end: turtle +
+    // nquads + patch events through the projector, counted with the
+    // reference's exact verification query (DockerTestConfigFK.java:394)
+    "sparql_count" -> { (s, _) =>
+      val store = new QuadStore(s, Files.createTempDirectory("sqstore").toString)
+      val events = Seq(
+        ("@prefix ex: <http://example/> .\nex:s ex:p ex:o .\n", "text/turtle"),
+        ("<http://example/s1> <http://example/p1> <http://example/o1> .\n",
+          "application/n-quads"),
+        ("TX .\nA <http://example/s> <http://example/p> \"two\" <http://example/patch> .\n" +
+          "A <http://example/s> <http://example/p> \"one\" <http://example/patch> .\nTC .\n",
+          "application/rdf-patch")
+      ).zipWithIndex.map { case ((body, ct), i) =>
+        Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
+          Map("Content-Type" -> ct))
+      }
+      val p = new Projector(new MemoryEventSource(events), new QuadStoreSink(s, store))
+      p.runToCompletion()
+      Sparql.execute(store.quads(),
+        "SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }")
+    },
+    // BGP self-join answered from SPARQL over a store built from the
+    // nation table; the oracle is the relational truth
+    "sparql_bgp" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)].collect()
+      val quads = rows.toSeq.flatMap { case (k, name, rk) =>
+        Seq(
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqbgp").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"SELECT ?s ?name ?rk { ?s <${NS}name> ?name . ?s <${NS}regionkey> ?rk } ORDER BY ?s")
+      res.select(
+        regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("n_nationkey"),
+        col("name").getField("lex").as("n_name"),
+        col("rk").getField("lex").cast("int").as("n_regionkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sparql_count" -> "SELECT 4::BIGINT AS C",
+    "sparql_bgp" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connect._
+import graft.sparql.Sparql
+import graft.store.QuadStore
+
+/** SPARQL-subset answering the reference's own verification queries —
+  * the golden counts of DockerTestConfigFK (count query
+  * :392-394, expectations :118-241) reproduced end-to-end: events →
+  * Projector → QuadStore → SPARQL count.
+  */
+class SparqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** The reference harness's exact count query (DockerTestConfigFK.java:394). */
+  private val COUNT_ALL =
+    "SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }"
+
+  // reference fixtures (content documented in the repo's test files)
+  private val DATA_TTL =
+    "@prefix ex: <http://example/> .\nex:s ex:p ex:o .\n"
+  private val DATA_NQ =
+    "<http://example/s1> <http://example/p1> <http://example/o1> .\n"
+  private val PATCH1 =
+    """H id <uuid:73323f12-4011-4a3a-add3-5754baf3fda9> .
+      |TX .
+      |A <http://example/s> <http://example/p> "two" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "one" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "three" <http://example/patch> .
+      |A <http://example/s> <http://example/p> "four" <http://example/patch> .
+      |TC .
+      |""".stripMargin
+
+  private def ingest(events: (String, String)*): QuadStore = {
+    val store = new QuadStore(spark, Files.createTempDirectory("sparqlstore").toString)
+    val evs = events.zipWithIndex.map { case ((body, ct), i) =>
+      Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
+        Map("Content-Type" -> ct))
+    }
+    val p = new Projector(new MemoryEventSource(evs), new QuadStoreSink(spark, store))
+    p.runToCompletion()
+    store
+  }
+
+  private def count(store: QuadStore): Long =
+    Sparql.execute(store.quads(), COUNT_ALL).collect().head.getLong(0)
+
+  test("golden counts: data.ttl → 1; + data.nq → 2 (DockerTestConfigFK:118-213)") {
+    val store = ingest(DATA_TTL -> "text/turtle")
+    assert(count(store) == 1L)
+    val store2 = ingest(DATA_TTL -> "text/turtle", DATA_NQ -> "application/n-quads")
+    assert(count(store2) == 2L)
+  }
+
+  test("golden counts: patch1.rdfp → 4 (DockerTestConfigFK:222-238)") {
+    assert(count(ingest(PATCH1 -> "application/rdf-patch")) == 4L)
+  }
+
+  test("golden counts: nothing ingested → 0 (DockerTestConfigFK:241)") {
+    assert(count(ingest()) == 0L)
+  }
+
+  test("BGP join on shared subject") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "alice" .
+         |<http://x/a> <http://x/age> "30" .
+         |<http://x/b> <http://x/name> "bob" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?name ?age { ?s <http://x/name> ?name . ?s <http://x/age> ?age }""")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getStruct(0).getString(1) == "alice")
+    assert(rows.head.getStruct(1).getString(1) == "30")
+  }
+
+  test("GRAPH selection: named graph only; GRAPH var binds graph") {
+    val store = ingest(PATCH1 -> "application/rdf-patch",
+      DATA_NQ -> "application/n-quads")
+    val named = Sparql.execute(store.quads(),
+      "SELECT (COUNT(*) AS ?C) { GRAPH <http://example/patch> { ?s ?p ?o } }")
+      .collect().head.getLong(0)
+    assert(named == 4L)
+    val dft = Sparql.execute(store.quads(),
+      "SELECT (COUNT(*) AS ?C) { ?s ?p ?o }").collect().head.getLong(0)
+    assert(dft == 1L)
+    val graphs = Sparql.execute(store.quads(),
+      "SELECT DISTINCT ?g { GRAPH ?g { ?s ?p ?o } }").collect()
+    assert(graphs.length == 1)
+    assert(graphs.head.getStruct(0).getString(1) == "http://example/patch")
+  }
+
+  test("FILTER equality, ORDER BY, LIMIT") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/c> <http://x/p> "3" .
+         |""".stripMargin) -> "application/n-quads")
+    val filtered = Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ?v . FILTER(?v = "2") }""").collect()
+    assert(filtered.length == 1 && filtered.head.getStruct(0).getString(1) == "http://x/b")
+    val limited = Sparql.execute(store.quads(),
+      "SELECT ?v { ?s ?p ?v } ORDER BY ?v LIMIT 2").collect()
+    assert(limited.map(_.getStruct(0).getString(1)).toSeq == Seq("1", "2"))
+  }
+}
