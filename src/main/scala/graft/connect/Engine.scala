@@ -184,6 +184,27 @@ final class Engine(
       .foreach(_.projector.requestResume())
   }
 
+  /** Restore live offsets for a dataset from an external state file —
+    * the reference's FKS.restoreOffsetForDataset (FKS.java:456-475):
+    * takes the per-(topic,partition) MAX across whatever consumer
+    * groups the external file contains, writes them into each running
+    * connector's own store, and flushes. Connectors must be paused
+    * first ([[pauseDataset]]) so no commit races the restore; they pick
+    * the offsets up on their next (re)start under the Sync policy.
+    */
+  def restoreOffsets(datasetName: String, externalStateFile: java.nio.file.Path): Map[(String, Int), Long] = synchronized {
+    val rcs = running.filter(_.config.datasetName == datasetName)
+    require(rcs.forall(_.projector.isAtPausePoint),
+      s"projectors for $datasetName must be paused before an offset restore")
+    val external = new OffsetStore(datasetName, externalStateFile, "restore")
+    val restored = external.maxOffsetsByPartition
+    rcs.foreach { rc =>
+      restored.foreach { case ((t, p), off) => rc.offsets.saveOffset(t, p, off) }
+      rc.offsets.flush()
+    }
+    restored
+  }
+
   /** Dataset lookup with the deprecated trailing-segment fallback
     * (FKS.findDataset, FKS.java:203-227): exact match first, else
     * retry with the last path segment removed.

@@ -28,11 +28,13 @@ object RdfQueries {
         .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
         .as[(Long, String, Long)]
         .mapPartitions { it =>
-          val doc = it.map { case (k, name, rk) =>
+          // one doc per fixed-size chunk, NOT per partition: a
+          // partition-sized string would hit the JVM 2 GB limit at
+          // 100x scale; chunked docs keep memory flat
+          it.grouped(1000).map(_.map { case (k, name, rk) =>
             s"""<${NS}nation/$k> <${NS}name> "${Term.escapeLiteral(name)}" .
                |<${NS}nation/$k> <${NS}regionkey> "$rk"^^<${Term.XSD_INTEGER}> .""".stripMargin
-          }.mkString("\n")
-          if (doc.isEmpty) Iterator.empty else Iterator.single(doc)
+          }.mkString("\n"))
         }
       val quads = docs.flatMap(d => NQuadsParser.parse(d, allowGraph = true))
       quads.toDF()
@@ -50,11 +52,12 @@ object RdfQueries {
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("long"))
         .as[(Long, String, Long)]
         .mapPartitions { it =>
-          val body = it.map { case (k, name, nk) =>
-            s"""g:supplier_$k g:name "${Term.escapeLiteral(name)}" ; g:nation $nk ."""
-          }.mkString("\n")
-          if (body.isEmpty) Iterator.empty
-          else Iterator.single(s"@prefix g: <$NS> .\n" + body)
+          // chunked docs (see the nquads entry above for rationale)
+          it.grouped(1000).map { chunk =>
+            s"@prefix g: <$NS> .\n" + chunk.map { case (k, name, nk) =>
+              s"""g:supplier_$k g:name "${Term.escapeLiteral(name)}" ; g:nation $nk ."""
+            }.mkString("\n")
+          }
         }
       val quads = docs.flatMap(d => TurtleParser.parseTurtle(d))
       quads.toDF()

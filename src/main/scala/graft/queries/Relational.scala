@@ -90,7 +90,9 @@ object Relational {
       val highQty  = li.filter(col("l_quantity") >= 49).select(col("l_orderkey"))
       val highDisc = li.filter(col("l_discount") >= 0.09).select(col("l_orderkey"))
       val lowTax   = li.filter(col("l_tax") <= 0.01).select(col("l_orderkey"))
-      highQty.union(highDisc).distinct()
+      // no explicit distinct(): EXCEPT is already set-distinct, the
+      // extra aggregate was a wasted shuffle pass
+      highQty.union(highDisc)
         .except(lowTax.except(highDisc))
         .intersect(li.select(col("l_orderkey")))
         .orderBy(col("l_orderkey"))
@@ -154,6 +156,22 @@ object Relational {
             .otherwise("high").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    },
+    "q21_array_map_funcs" -> { (s, dir) =>
+      // Array construction (collect_list+sort_array), array functions
+      // (size/array_join/aggregate HOF) and map build/lookup — the
+      // §2.6 array/map category. Sorted collect keeps it deterministic.
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 3)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber").cast("int"))).as("lines"),
+          d(sum(dec(col("l_quantity")))).as("qty_total"))
+        .select(col("l_orderkey"),
+          size(col("lines")).as("n_items"),
+          array_join(transform(col("lines"), _.cast("string")), ",").as("line_list"),
+          aggregate(col("lines"), lit(0), (a, x) => a + x).as("line_sum"),
+          element_at(map(lit("total"), col("qty_total")), "total").as("qty_via_map"))
+        .orderBy(col("l_orderkey"))
     },
     "q15_above_group_avg" -> { (s, dir) =>
       // Correlated-subquery shape via self-join on the grouped average.
@@ -297,6 +315,15 @@ object Relational {
                      WHEN c_acctbal < 5000 THEN 'low'
                      ELSE 'high' END AS bucket, COUNT(*) AS n
          FROM customer GROUP BY 1 ORDER BY bucket""",
+    "q21_array_map_funcs" ->
+      """SELECT l_orderkey, len(ls) AS n_items,
+                array_to_string(ls, ',') AS line_list,
+                list_sum(ls)::INT AS line_sum,
+                qty_total AS qty_via_map
+         FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS ls,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty_total
+               FROM lineitem WHERE l_orderkey % 20 = 3 GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
     "q15_above_group_avg" ->
       """SELECT p_brand, COUNT(*) AS above_avg FROM part p
          JOIN (SELECT p_brand AS b,

@@ -132,6 +132,27 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.findDataset("/nope").isEmpty)
   }
 
+  test("offset restore: paused projectors, max across groups, flushed (FKS:456-475)") {
+    val sink = new CountingSink
+    val engine = new Engine(new CapturingFactory((0L until 2L).map(ev(_))), _ => sink)
+    val c = cfg(group = "GRes")
+    val rc = engine.start(Seq(c)).head
+    // restore requires a pause first
+    val external = Files.createTempDirectory("restore").resolve("ext.state")
+    Files.writeString(external,
+      """{"dataset": "/ds", "offsets": {"T1-0-otherGroup": 40, "T1-0-G9": 35}}""")
+    intercept[IllegalArgumentException] { engine.restoreOffsets("/ds", external) }
+    assert(engine.pauseDataset("/ds", timeoutMs = 3000))
+    val restored = engine.restoreOffsets("/ds", external)
+    assert(restored == Map(("T1", 0) -> 40L))
+    assert(rc.offsets.loadOffset("T1", 0).contains(40L))
+    // flushed: a reload from disk sees the restored offset
+    val reloaded = new OffsetStore("/ds", java.nio.file.Paths.get(c.stateFile), "GRes")
+    assert(reloaded.loadOffset("T1", 0).contains(40L))
+    engine.resumeDataset("/ds")
+    engine.stop()
+  }
+
   test("startup health gate surfaces an immediately-failing connector (FKS:338-348)") {
     val badSource = new EventSource {
       override def poll(): Option[Event] = throw new IllegalStateException("broker gone")
