@@ -42,8 +42,14 @@ object IngestPipeline {
       val dlqCount = dlqDir match {
         case Some(dir) =>
           val n = bad.count()
-          if (n > 0) bad.select(col("topic"), col("partition"), col("offset"),
-            col("contentType"), col("_corrupt"))
+          // full event carried (key + value + content type) so DLQ'd
+          // events can be replayed, like the reference's re-serialized
+          // RdfPayload (FKS.java:300-311)
+          if (n > 0) bad
+            .select(col("topic"), col("partition"), col("offset"),
+              col("contentType"), col("_corrupt"))
+            .join(events.select(col("topic"), col("partition"), col("offset"),
+              col("key"), col("value")), Seq("topic", "partition", "offset"))
             .write.mode("append").parquet(dir)
           n
         case None => 0L

@@ -195,6 +195,23 @@ class ProjectorSpec extends AnyFunSuite {
     t.join(2000)
   }
 
+  test("FileEventSource: one event per file, content type by extension, in order") {
+    val dir = Files.createTempDirectory("fes")
+    Files.writeString(dir.resolve("a.ttl"), "@prefix ex: <http://example/> .\nex:s ex:p ex:o .\n")
+    Files.writeString(dir.resolve("b.nq"), "<http://x/s> <http://x/p> \"v\" .\n")
+    Files.writeString(dir.resolve("c.rdfp"), "TX .\nA <http://x/a> <http://x/p> \"w\" .\nTC .\n")
+    val files = Seq("a.ttl", "b.nq", "c.rdfp").map(dir.resolve)
+    val src = new FileEventSource("files", files)
+    val sink = new CountingSink
+    val p = new Projector(src, sink, ProjectorConfig(batchSize = 10))
+    p.runToCompletion()
+    // a and b accumulate; c's TC-closing patch commits all three
+    assert(sink.commits == Seq((0L, 3)))
+    assert(src.processedEvents.map(_.offset) == Seq(0L, 1L, 2L))
+    assert(src.processedEvents.map(_.contentType) ==
+      Seq("text/turtle", "application/n-quads", "application/rdf-patch"))
+  }
+
   private implicit class EventOffset(e: Event) {
     def event_offset: Long = e.offset
   }
