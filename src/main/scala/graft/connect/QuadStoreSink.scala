@@ -36,6 +36,17 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       }
     }
     store.commitOps(batchId, ops.toDF())
+    // PA/PD prefix ops update the dataset prefix map in event order
+    // (RDFChangesApply semantics; SURVEY §2.1 row 6)
+    val prefixOps = events.flatMap { m =>
+      if (m.decoded.kind == "patch")
+        m.decoded.ops.collect {
+          case o if o.op == "PA" => ("PA", o.subject.lex, o.obj.lex)
+          case o if o.op == "PD" => ("PD", o.subject.lex, null)
+        }
+      else Seq.empty
+    }
+    store.updatePrefixes(prefixOps)
   }
 }
 

@@ -77,6 +77,13 @@ object Sketches {
   def tokenSetCounts(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenSetCounts(ExpressionUtils.expression(tokens.cast("array<string>")), sets))
 
+  /** Hamming distance between two equal-length long arrays (e.g.
+    * chunked simhashes): sum of bit_count(xor) per element.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(HammingDist(ExpressionUtils.expression(a.cast("array<bigint>")),
+      ExpressionUtils.expression(b.cast("array<bigint>"))))
+
   /** Double-precision dot product of two numeric arrays, summed in
     * element order (bit-reproducible across engines).
     */
@@ -277,6 +284,14 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  def hammingDist(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    acc
+  }
+
   /** Left-to-right double sum — MUST keep this order: the DuckDB oracle
     * computes the same expression with the same associativity.
     */
@@ -421,6 +436,23 @@ final case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
   }
   override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
     copy(child = newChild)
+}
+
+/** See [[Sketches.hammingDist(a:org\.apache\.spark\.sql\.Column*]]. */
+final case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.hammingDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sketches.hammingDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
+    copy(left = l, right = r)
 }
 
 /** See [[Sketches.dotDouble(a:org\.apache\.spark\.sql\.Column*]]. */

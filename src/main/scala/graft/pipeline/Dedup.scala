@@ -96,10 +96,11 @@ object Dedup {
   def simhashChunks(text: Column, nChunks: Int = 8): Column =
     graft.functions.Sketches.simhashChunks(split(text, " "), nChunks)
 
-  /** Hamming distance between two chunked simhashes. */
+  /** Hamming distance between two chunked simhashes (native
+    * codegen'd expression).
+    */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.Sketches.hammingDist(a, b)
 
   /** SimHash near-dup pairs: candidates = pairs agreeing on at least
     * one PAIR of the 8 simhash chunks ([[graft.functions.Sketches.simhashPairKeys]]
@@ -108,20 +109,34 @@ object Dedup {
     * to hamming ≤ `maxHamming`; final filter is exact Jaccard at
     * `threshold` (so the output contract matches [[nearDupMinhash]] —
     * the sketch only drives candidate generation).
+    *
+    * Corpus caveat: on statistically homogeneous corpora simhash chunk
+    * values cluster, so the bucket join emits far more candidates than
+    * minhash banding does (measured ~4x the wall time on the synthetic
+    * documents table). Both are provided because both are standard;
+    * when free to choose, prefer [[nearDupMinhash]] — its collision
+    * probability depends only on the Jaccard similarity, not on the
+    * corpus's global token statistics.
     */
   def nearDupSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"),
-      simhashChunks(col(textCol)).as("chunks"))
-    val cands = lshCandidates(
-      docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks")), "id",
-      graft.functions.Sketches.simhashPairKeys(col("toks")))
-    val chA = withSh.select(col("id").as("id_a"), col("chunks").as("ch_a"))
-    val chB = withSh.select(col("id").as("id_b"), col("chunks").as("ch_b"))
-    val within = cands.join(chA, "id_a").join(chB, "id_b")
-      .filter(hamming(col("ch_a"), col("ch_b")) <= maxHamming)
-      .select(col("id_a"), col("id_b"))
-    rerank(within, withSh.select(col("id"), col("sh")), threshold)
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // chunks ride the exploded keys (8 longs — cheap) so the hamming
+    // prefilter runs INSIDE the join, before the distinct: on
+    // homogeneous corpora the bucket join can emit millions of pairs
+    // and shuffling them through distinct dominated the runtime
+    val keyed = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), graft.functions.Sketches.simhashChunks(col("toks")).as("chunks"),
+        posexplode(graft.functions.Sketches.simhashPairKeys(col("toks"))).as(Seq("band", "key")))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val within = a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id") &&
+        hamming(col("a.chunks"), col("b.chunks")) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    rerank(within, withSh, threshold)
   }
 
   // --- embedding-cosine near-dup -------------------------------------------
@@ -138,7 +153,9 @@ object Dedup {
       threshold: Double = 0.9, dim: Int = 64, tables: Int = 12, bits: Int = 8,
       seed: Long = 7L): DataFrame = {
     val keys = Similarity.sketchKeys(col(vecCol), dim, tables, bits, seed)
-    val withKeys = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // ids only through the bucket self-join — vectors join back for
+    // the exact rerank, so the wide columns never ride the shuffle
+    val withKeys = embs.select(col(idCol).as("id"),
       posexplode(keys).as(Seq("table", "key")))
     val a = withKeys.alias("a")
     val b = withKeys.alias("b")

@@ -72,17 +72,23 @@ object Similarity {
   def lshTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, tables: Int = 48, bits: Int = 6, seed: Long = 7L): DataFrame = {
-    def keyed(df: DataFrame, id: String, v: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
+    def keyed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
         posexplode(sketchKeys(col(vecCol), dim, tables, bits, seed)).as(Seq("table", "key")))
-    val q = broadcast(keyed(queries, "query_id", "qv"))
-    val e = keyed(embs, "neighbor_id", "ev")
+    // dedup candidate PAIRS on ids only — shuffling the 64-float
+    // vectors through a distinct was the dominant cost; vectors join
+    // back afterwards (queries broadcast, one hash join for neighbors)
+    val q = broadcast(keyed(queries, "query_id"))
+    val e = keyed(embs, "neighbor_id")
     val cands = q.join(e, Seq("table", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("ev"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      (dot(col("qv"), col("ev")) / norm(col("ev"))).as("score"))
+    val scored = cands
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .join(embs.select(col(idCol).as("neighbor_id"), col(vecCol).as("ev")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ev")) / norm(col("ev"))).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

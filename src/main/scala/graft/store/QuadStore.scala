@@ -215,6 +215,38 @@ final class QuadStore(spark: SparkSession, path: String) {
   }
 
   def count(): Long = quads().count()
+
+  // --- prefix state ---------------------------------------------------------
+
+  private def prefixFile = dir.resolve("_prefixes")
+
+  /** Dataset prefix map maintained by RDF Patch PA/PD ops (the
+    * reference applies them to the DatasetGraph's prefix map via
+    * RDFChangesApply; row 6 of SURVEY §2.1). Tiny, driver-side state —
+    * single-writer like the version pointer.
+    */
+  def prefixes(): Map[String, String] = {
+    if (!Files.exists(prefixFile)) Map.empty
+    else new String(Files.readAllBytes(prefixFile), StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains("\t"))
+      .map { l => val Array(k, v) = l.split("\t", 2); k -> v }.toMap
+  }
+
+  /** Apply PA (add) / PD (delete) prefix ops in order. */
+  def updatePrefixes(ops: Seq[(String, String, String)]): Unit = {
+    if (ops.isEmpty) return
+    var m = prefixes()
+    ops.foreach {
+      case ("PA", p, iri) => m += (p -> iri)
+      case ("PD", p, _) => m -= p
+      case _ => ()
+    }
+    val tmp = dir.resolve("_prefixes.temp")
+    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, prefixFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 }
 
 object QuadStore {

@@ -86,6 +86,25 @@ class StoreSpec extends AnyFunSuite {
     assert(df.count() == 30)
   }
 
+  test("PA/PD patch ops maintain the dataset prefix map in order") {
+    import graft.connect._
+    val store = newStore()
+    val patch =
+      """TX .
+        |PA "ex" <http://example/> .
+        |PA "old" <http://old/> .
+        |A <http://example/s> <http://example/p> "v" .
+        |PD "old" .
+        |TC .
+        |""".stripMargin
+    val ev = Event("t", 0, 0, Array.empty, patch.getBytes("UTF-8"),
+      Map("Content-Type" -> "application/rdf-patch"))
+    val p = new Projector(new MemoryEventSource(Seq(ev)), new QuadStoreSink(spark, store))
+    p.runToCompletion()
+    assert(store.prefixes() == Map("ex" -> "http://example/"))
+    assert(store.count() == 1)
+  }
+
   test("decodeKey splits left with limit 3 (reference FKS semantics)") {
     assert(OffsetStore.decodeKey("t-0-fuseki-2").contains(("t", 0)))
     assert(OffsetStore.decodeKey("topic-12-123").contains(("topic", 12)))
