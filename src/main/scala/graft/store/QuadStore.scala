@@ -140,8 +140,11 @@ final class QuadStore(spark: SparkSession, path: String) {
 
   /** Read a set of segments as ONE multi-path parquet scan, recovering
     * each row's commit ordinal from its file path (flat planning cost
-    * regardless of epoch count) and folding (ordinal, seq) into a
-    * single global order key so later segments win.
+    * regardless of epoch count). Order is the PAIR (ord, seq) — kept
+    * as a struct, never packed into one long: a packed ord<<40+seq
+    * silently corrupts cross-segment ordering once seq exceeds 2^40
+    * (offsets past ~1M with a 20-bit op index), which 100 TB topics
+    * reach trivially.
     */
   private def readSegments(segs: Seq[SegRef]): DataFrame = {
     val paths = segs.map(s => dir.resolve(s.name).toString)
@@ -150,10 +153,12 @@ final class QuadStore(spark: SparkSession, path: String) {
     // whole-stage codegen (no UDF, no driver-side map).
     val ord = regexp_extract(input_file_name(), "/s(\\d+)-[^/]+/[^/]+$", 1).cast("long")
     spark.read.parquet(paths: _*)
-      .withColumn("gseq", shiftleft(ord, 40) + col("seq"))
+      .withColumn("gseq", struct(ord.as("ord"), col("seq").as("seq")))
   }
 
-  /** Latest-op-per-quad aggregation of an op DataFrame. */
+  /** Latest-op-per-quad aggregation of an op DataFrame (max_by over
+    * the (ord, seq) struct — lexicographic, overflow-free).
+    */
   private def foldOps(log: DataFrame): DataFrame =
     log.groupBy(QUAD_COLUMNS.map(col): _*)
       .agg(max_by(col("op"), col("gseq")).as("last_op"))

@@ -56,8 +56,11 @@ object IngestPipeline {
       }
       val good = decoded.filter(col("_corrupt").isNull)
       // dataset payloads: quads as adds; patch payloads: effective A/D
-      // stream. seq preserves (partition, offset, op index) order so
-      // latest-op-wins respects event order across the batch.
+      // stream. seq = offset<<20 | opIdx preserves event order WITHIN a
+      // partition; cross-partition order is undefined — the same
+      // contract as the reference ("order of events matters … you MUST
+      // have only a single partition", README.md:152-153). Additive
+      // (delete-free) ingestion is order-insensitive by set semantics.
       val ops = good.select(col("partition"), col("offset"),
           when(col("kind") === "dataset",
             transform(col("quads"), q => struct(lit("A").as("op"),

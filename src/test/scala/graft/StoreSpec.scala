@@ -86,6 +86,19 @@ class StoreSpec extends AnyFunSuite {
     assert(df.count() == 30)
   }
 
+  test("cross-segment ordering survives seq values beyond 2^40 (kafka-scale offsets)") {
+    import spark.implicits._
+    val store = newStore()
+    // batch 0 adds with a huge intra-batch seq (offset<<20 at billions
+    // of events); batch 1 deletes with seq 0 — the LATER SEGMENT must
+    // win; a packed ord<<40+seq key would order these wrongly
+    store.commitOps(0, Seq(QuadStore.OpRow("A", 1L << 45, null,
+      Term.iri("http://x/big"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    store.commitOps(1, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/big"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    assert(store.count() == 0)
+  }
+
   test("PA/PD patch ops maintain the dataset prefix map in order") {
     import graft.connect._
     val store = newStore()
