@@ -88,8 +88,10 @@ object Sparql {
         val c = col(f.v)
         val t = termLit(f.value)
         f.op match {
-          case "=" => df.filter(c <=> t)
-          case "!=" => df.filter(!(c <=> t))
+          // SPARQL VALUE equality, not structural: "01"^^xsd:integer
+          // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
+          case "=" => df.filter(graft.functions.TermOps.termValueEquals(c, t))
+          case "!=" => df.filter(!graft.functions.TermOps.termValueEquals(c, t))
           case "<" => df.filter(c.getField("lex") < f.value.lex)
           case ">" => df.filter(c.getField("lex") > f.value.lex)
           case other => throw new RdfParseException(s"unsupported FILTER op '$other'")

@@ -94,6 +94,27 @@ class SparqlSpec extends AnyFunSuite {
     assert(graphs.head.getStruct(0).getString(1) == "http://example/patch")
   }
 
+  test("FILTER uses SPARQL value equality, not structural equality") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "01"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/p> "1.0"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+         |<http://x/c> <http://x/p> "1" .
+         |<http://x/d> <http://x/p> "x"@en .
+         |""".stripMargin) -> "application/n-quads")
+    def subjectsFor(filter: String): Set[String] =
+      Sparql.execute(store.quads(),
+        s"""SELECT ?s { ?s <http://x/p> ?v . FILTER(?v = $filter) }""")
+        .collect().map(_.getStruct(0).getString(1)).toSet
+    // value space: "01"^^xsd:integer and "1.0"^^xsd:decimal both equal 1
+    assert(subjectsFor("\"1\"^^<http://www.w3.org/2001/XMLSchema#integer>") ==
+      Set("http://x/a", "http://x/b"))
+    // plain "1" matches only the plain literal, never the numerics
+    assert(subjectsFor("\"1\"") == Set("http://x/c"))
+    // a plain literal never equals a lang-tagged one
+    assert(subjectsFor("\"x\"") == Set.empty)
+    assert(subjectsFor("\"x\"@en") == Set("http://x/d"))
+  }
+
   test("FILTER equality, ORDER BY, LIMIT") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
