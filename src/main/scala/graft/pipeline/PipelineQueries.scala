@@ -12,7 +12,11 @@ import graft.queries.Tables.t
   * Oracle discipline: every aggregate that crosses rows is either an
   * integer sum or a single division of two exactly-representable
   * numbers, so results are bit-identical across engines regardless of
-  * execution order. Near-dup entries output EXACT similarity values of
+  * execution order. Every integer SUM in a DuckDB oracle MUST be cast
+  * `::BIGINT`: DuckDB types an integer SUM as HUGEINT (int128), Spark
+  * writes BIGINT, and the driver's hasher stringifies the two types
+  * differently even when values agree. Near-dup entries output EXACT
+  * similarity values of
   * candidate pairs (candidates are sketch-bucketed, the similarity is
   * reranked exactly), so the DuckDB oracle can be the brute-force
   * definition — at verify scale the oracle may be all-pairs, the Spark
@@ -121,7 +125,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "pl_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-                SUM(n_tokens) AS sum_tokens,
+                SUM(n_tokens)::BIGINT AS sum_tokens,
                 SUM(n_chars_ns)::DOUBLE / SUM(n_tokens) AS chars_per_token
          FROM (SELECT lang, source, len(string_split(text,' ')) AS n_tokens,
                       length(replace(text,' ','')) AS n_chars_ns FROM documents)
@@ -155,7 +159,7 @@ object PipelineQueries {
           GROUP BY lang, predicted ORDER BY lang, predicted""",
     "pl_token_regex" ->
       """SELECT source, COUNT(*) AS n_docs,
-                SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_toks
+                SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS n_toks
          FROM documents GROUP BY source ORDER BY source""",
     "pl_fingerprint" ->
       """SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min FROM (
@@ -189,7 +193,7 @@ object PipelineQueries {
               ON q.vec_id <> e.vec_id)
           WHERE rank <= 10 ORDER BY query_id, rank""",
     "pl_multimodal" ->
-      """SELECT source, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+      """SELECT source, COUNT(*) AS n_media, SUM(n_bytes)::BIGINT AS total_bytes,
                 SUM(mean_byte) / COUNT(*) AS avg_mean_byte
          FROM (SELECT source, 16 AS n_bytes,
                  list_sum([ ('0x' || substr(md5(text), 2*i-1, 2))::INT

@@ -20,6 +20,17 @@ fails = 0
 for q, sql in sorted(oracle.items()):
     try:
         want = con.execute(sql).fetchdf()
+        # The driver's hasher stringifies values per-type: a DuckDB
+        # HUGEINT (un-cast integer SUM) hash-mismatches Spark's BIGINT
+        # even when values agree. Catch it here where the loose value
+        # compare below would hide it.
+        hug = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+               if "HUGEINT" in r[1]]
+        if hug:
+            print(f"FAIL {q}: oracle cols {hug} are HUGEINT "
+                  f"(cast ::BIGINT — driver hash will mismatch)")
+            fails += 1
+            continue
     except Exception as e:
         print(f"FAIL {q}: oracle error {e}")
         fails += 1
