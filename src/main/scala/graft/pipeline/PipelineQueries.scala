@@ -85,12 +85,13 @@ object PipelineQueries {
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") % 25 === 0))
         .orderBy(col("query_id"), col("rank"))
     },
-    // Approximate ANN: no SQL oracle (recall < 1 by construction);
-    // recall vs the exact baseline is asserted in PipelineSpec.
+    // Approximate ANN surfaced as a checkable scenario fact: recall of
+    // the LSH tier vs the exact baseline, computed in Spark, asserted
+    // by a literal oracle (both tiers are deterministic: fixed
+    // hyperplane seed, exact rerank, id-tiebroken ranks).
     "pl_ann_lsh" -> { (s, dir) =>
       val embs = t(s, dir, "embeddings")
-      Similarity.lshTopK(embs, embs.filter(col("vec_id") % 25 === 0))
-        .orderBy(col("query_id"), col("rank"))
+      Similarity.lshRecall(embs, embs.filter(col("vec_id") % 25 === 0))
     },
     "pl_multimodal" -> { (s, dir) =>
       Multimodal.pipeline(s, t(s, dir, "documents"))
@@ -182,6 +183,13 @@ object PipelineQueries {
             JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
               ON a.vec_id < b.vec_id)
           WHERE c >= 0.9 ORDER BY id_a, id_b""",
+    // Scenario-literal oracle (proj_* pattern): both ANN tiers are
+    // deterministic, so LSH recall vs exact top-10 at sf0.01 is a
+    // stable fact — 20 queries, 191/200 true neighbors surfaced
+    // (recall 0.955 >= 0.9 contract; swept in Similarity.lshTopK doc).
+    "pl_ann_lsh" ->
+      """SELECT 20::BIGINT AS n_queries, 191::BIGINT AS total_hits,
+                true AS mean_recall_ge_09""",
     "pl_ann_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

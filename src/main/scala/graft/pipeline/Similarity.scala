@@ -67,11 +67,16 @@ object Similarity {
   /** Approximate cosine top-k: candidates from `tables` sketch tables
     * (bucket equi-join against the query side), exact rerank within
     * candidates. Same output shape as [[bruteForceTopK]]; recall < 1
-    * by construction — tune `tables`/`bits` per corpus.
+    * by construction — tune `tables`/`bits` per corpus. Defaults were
+    * swept at sf0.01 (5k vectors): 64 tables x 6 bits → recall 0.955
+    * with ~n expected candidates/query; 48x6 fell to 0.86. Fewer bits
+    * also raises recall but doubles expected bucket size per bit
+    * removed (candidates ~ tables * n / 2^bits), the wrong trade at
+    * scale.
     */
   def lshTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, tables: Int = 48, bits: Int = 6, seed: Long = 7L): DataFrame = {
+      dim: Int = 64, tables: Int = 64, bits: Int = 6, seed: Long = 7L): DataFrame = {
     def keyed(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
         posexplode(sketchKeys(col(vecCol), dim, tables, bits, seed)).as(Seq("table", "key")))
@@ -94,5 +99,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Recall of [[lshTopK]] against [[bruteForceTopK]] as ONE
+    * deterministic row `(n_queries, total_hits, mean_recall_ge_09)`.
+    *
+    * Both sides are deterministic (fixed hyperplane seed, exact
+    * rerank, id-tiebroken ranks), so the row is a stable scenario
+    * fact that a literal oracle can assert — this is what makes the
+    * approximate operator checkable by the verify gate rather than
+    * only by a unit test. `total_hits` is an integer (portable);
+    * the mean recall is exposed only as a >= 0.9 boolean so no
+    * cross-engine float formatting is involved.
+    */
+  def lshRecall(embs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val brute = bruteForceTopK(embs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = lshTopK(embs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    // hits = true top-k pairs the LSH tier also surfaced; group by
+    // query so partial coverage of one query can't mask another
+    val perQuery = brute
+      .join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val truth = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    truth.join(perQuery, Seq("query_id"), "left_outer")
+      .select(col("n_true"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"),
+        (sum(col("hits")).cast("double") / sum(col("n_true"))).as("mean_recall"))
+      .select(col("n_queries"), col("total_hits"),
+        (col("mean_recall") >= 0.9).as("mean_recall_ge_09"))
   }
 }
