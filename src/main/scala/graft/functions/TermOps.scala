@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   */
 object TermOps {
 
-  private val NUMERIC_DATATYPES = Set(
+  /** Datatype IRIs whose literals compare by numeric value. */
+  val NUMERIC_DATATYPES: Set[String] = Set(
     graft.rdf.Term.XSD + "integer", graft.rdf.Term.XSD + "decimal",
     graft.rdf.Term.XSD + "double", graft.rdf.Term.XSD + "float",
     graft.rdf.Term.XSD + "int", graft.rdf.Term.XSD + "long",
@@ -50,6 +51,44 @@ object TermOps {
     // plain literal never equals a lang-tagged one
     lexA == lexB && lgA == lgB && dtA == dtB
   }
+
+  /** SPARQL value-space comparison (`<`/`>`/ORDER) between two
+    * term-struct columns: -1/0/1.
+    */
+  def termValueCompare(a: Column, b: Column): Column =
+    ExpressionUtils.column(TermValueCompare(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
+
+  /** Value-space total order over term InternalRows. SPARQL ORDER BY
+    * (spec §15.1) ranks blank < IRI < literal; numeric literals compare
+    * by value (BigDecimal — `"9"^^xsd:integer < "10"^^xsd:integer`,
+    * where the lexical order is inverted), everything else by lexical
+    * form then language then datatype so the order stays total.
+    */
+  def valueCompare(a: InternalRow, b: InternalRow): Int = {
+    def f(r: InternalRow, i: Int): String =
+      if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+    def nc(x: String, y: String): Int =
+      if (x == null && y == null) 0 else if (x == null) -1
+      else if (y == null) 1 else x.compareTo(y)
+    def rank(t: String): Int = t match {
+      case graft.rdf.Term.BLANK => 0
+      case graft.rdf.Term.IRI => 1
+      case _ => 2
+    }
+    val (tA, lexA, dtA, lgA) = (f(a, 0), f(a, 1), f(a, 2), f(a, 3))
+    val (tB, lexB, dtB, lgB) = (f(b, 0), f(b, 1), f(b, 2), f(b, 3))
+    val r = Integer.compare(rank(tA), rank(tB))
+    if (r != 0) return r
+    if (tA != graft.rdf.Term.LIT) return nc(lexA, lexB)
+    if (dtA != null && dtB != null &&
+        NUMERIC_DATATYPES.contains(dtA) && NUMERIC_DATATYPES.contains(dtB)) {
+      try return new java.math.BigDecimal(lexA).compareTo(new java.math.BigDecimal(lexB))
+      catch { case _: NumberFormatException => () } // ill-formed → lexical
+    }
+    val c = nc(lexA, lexB)
+    if (c != 0) c else { val c2 = nc(lgA, lgB); if (c2 != 0) c2 else nc(dtA, dtB) }
+  }
 }
 
 /** See [[TermOps.termValueEquals]]. */
@@ -72,5 +111,28 @@ final case class TermValueEquals(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TermOps.valueEquals($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TermValueEquals =
+    copy(left = l, right = r)
+}
+
+/** See [[TermOps.termValueCompare]]. */
+final case class TermValueCompare(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isTermStruct(dt: DataType): Boolean = dt match {
+    case StructType(fields) =>
+      fields.map(_.name).toSeq == Seq("termType", "lex", "datatype", "lang")
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isTermStruct(left.dataType) && isTermStruct(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two term structs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "term_value_compare"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TermOps.valueCompare(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TermOps.valueCompare($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TermValueCompare =
     copy(left = l, right = r)
 }

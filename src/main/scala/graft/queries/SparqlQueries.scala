@@ -61,12 +61,32 @@ object SparqlQueries {
         regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("n_nationkey"),
         col("name").getField("lex").as("n_name"),
         col("rk").getField("lex").cast("int").as("n_regionkey"))
+    },
+    // FILTER < on numeric typed literals must use VALUE order: keys
+    // 0..24 as "k"^^xsd:integer, < "10"^^xsd:integer keeps 0..9 (ten
+    // rows); lexicographic order would keep only {"0","1"}
+    "sparql_filter_numeric" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect()
+      val quads = rows.toSeq.map { k =>
+        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+          Term.typed(k.toString, Term.XSD_INTEGER))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqfn").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?k { ?s <${NS}key> ?k FILTER (?k < "10"^^<${Term.XSD_INTEGER}>) }""")
+      res.select(col("k").getField("lex").cast("int").as("n_nationkey"))
+        .orderBy(col("n_nationkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
     "sparql_count" -> "SELECT 4::BIGINT AS C",
     "sparql_bgp" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sparql_filter_numeric" ->
+      "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey"
   )
 }

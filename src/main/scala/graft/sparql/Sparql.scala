@@ -92,11 +92,38 @@ object Sparql {
           // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
           case "=" => df.filter(graft.functions.TermOps.termValueEquals(c, t))
           case "!=" => df.filter(!graft.functions.TermOps.termValueEquals(c, t))
-          case "<" => df.filter(c.getField("lex") < f.value.lex)
-          case ">" => df.filter(c.getField("lex") > f.value.lex)
+          // ordering is VALUE-space too: "9"^^xsd:integer < "10"^^xsd:integer
+          // (numeric by BigDecimal; the lexical order is inverted there).
+          // SPARQL `<` is a type error (row dropped) for incomparable
+          // operand kinds; the constant side is known here, so the guard
+          // compiles to a pushable column predicate.
+          case "<" =>
+            df.filter(comparableWith(c, f.value) &&
+              graft.functions.TermOps.termValueCompare(c, t) < 0)
+          case ">" =>
+            df.filter(comparableWith(c, f.value) &&
+              graft.functions.TermOps.termValueCompare(c, t) > 0)
           case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
         }
       }
+  }
+
+  /** SPARQL ordering comparability (spec §17.3, operator mapping):
+    * numeric-vs-numeric and string-vs-string compare; anything else is
+    * a type error, i.e. FILTER false. One side is a constant, so this
+    * resolves to a plain datatype/lang predicate on the column.
+    */
+  private def comparableWith(c: Column, t: Term): Column = {
+    import graft.functions.TermOps.NUMERIC_DATATYPES
+    val isLit = c.getField("termType") === Term.LIT
+    if (t.termType == Term.LIT && t.datatype != null &&
+        NUMERIC_DATATYPES.contains(t.datatype))
+      isLit && c.getField("datatype").isin(NUMERIC_DATATYPES.toSeq: _*)
+    else if (t.termType == Term.LIT && t.lang == null &&
+        (t.datatype == null || t.datatype == Term.XSD_STRING))
+      isLit && c.getField("lang").isNull &&
+        (c.getField("datatype").isNull || c.getField("datatype") === Term.XSD_STRING)
+    else lit(true) // IRI/blank/lang-tagged: total order (extension)
   }
 
   private def termLit(t: Term): Column =

@@ -115,6 +115,29 @@ class SparqlSpec extends AnyFunSuite {
     assert(subjectsFor("\"x\"@en") == Set("http://x/d"))
   }
 
+  test("FILTER < and > use numeric value order, not lexical") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/p> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/p> "2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+         |<http://x/d> <http://x/p> "banana" .
+         |""".stripMargin) -> "application/n-quads")
+    def subjectsFor(filter: String): Set[String] =
+      Sparql.execute(store.quads(),
+        s"""SELECT ?s { ?s <http://x/p> ?v . FILTER(?v $filter) }""")
+        .collect().map(_.getStruct(0).getString(1)).toSet
+    // lexically "9" > "10"; value order must say 9 < 10
+    assert(subjectsFor("< \"10\"^^<http://www.w3.org/2001/XMLSchema#integer>") ==
+      Set("http://x/a", "http://x/c"))
+    assert(subjectsFor("> \"9\"^^<http://www.w3.org/2001/XMLSchema#integer>") ==
+      Set("http://x/b"))
+    // mixed numeric datatypes compare by value: 2.5 < 9
+    assert(subjectsFor("< \"2.6\"^^<http://www.w3.org/2001/XMLSchema#decimal>") ==
+      Set("http://x/c"))
+    // plain strings still order lexically among themselves
+    assert(subjectsFor("< \"c\"") == Set("http://x/d"))
+  }
+
   test("FILTER equality, ORDER BY, LIMIT") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
