@@ -79,6 +79,47 @@ object SparqlQueries {
         s"""SELECT ?k { ?s <${NS}key> ?k FILTER (?k < "10"^^<${Term.XSD_INTEGER}>) }""")
       res.select(col("k").getField("lex").cast("int").as("n_nationkey"))
         .orderBy(col("n_nationkey"))
+    },
+    // the reference's dataset-name probe shape
+    // (KafkaConnectorAssembler.java:380-411): OPTIONAL that may not
+    // match + BIND(COALESCE(?N1, ?N2, '')) with ?N2 never bound —
+    // always exactly one row per probed node
+    "sparql_optional_bind" -> { (s, _) =>
+      val quads = Seq(
+        graft.rdf.Quad(null, Term.iri(s"${NS}conn1"), Term.iri(s"${NS}serviceName"),
+          Term.lit("/ds1")))
+      val store = new QuadStore(s, Files.createTempDirectory("sqob").toString)
+      store.addQuads(0, quads)
+      def probe(node: String) = Sparql.execute(store.quads(),
+        s"""SELECT ?n { OPTIONAL { <$node> <${NS}serviceName> ?N1 } BIND(COALESCE(?N1, ?N2, '') AS ?n) }""")
+      probe(s"${NS}conn1").unionByName(probe(s"${NS}conn2"))
+        .select(col("n").getField("lex").as("name"))
+        .orderBy(col("name"))
+    },
+    // GROUP BY + COUNT(*) + COUNT(?v) over an OPTIONAL: nations per
+    // region, counting comments only for keys < 10 (bound solutions)
+    "sparql_group_by" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val quads = rows.toSeq.flatMap { case (k, rk) =>
+        val base = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}regionkey"), Term.typed(rk.toString, Term.XSD_INTEGER))
+        if (k < 10)
+          Seq(base, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
+        else Seq(base)
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqgb").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?rk (COUNT(*) AS ?n) (COUNT(?c) AS ?nc)
+            { ?s <${NS}regionkey> ?rk OPTIONAL { ?s <${NS}comment> ?c } }
+            GROUP BY ?rk""")
+      res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
+          col("n"), col("nc"))
+        .orderBy(col("n_regionkey"))
     }
   )
 
@@ -87,6 +128,13 @@ object SparqlQueries {
     "sparql_bgp" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sparql_filter_numeric" ->
-      "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey"
+      "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey",
+    "sparql_optional_bind" ->
+      "SELECT * FROM (VALUES (''), ('/ds1')) t(name) ORDER BY name",
+    "sparql_group_by" ->
+      """SELECT n_regionkey,
+                COUNT(*)::BIGINT AS n,
+                COUNT(CASE WHEN n_nationkey < 10 THEN 1 END)::BIGINT AS nc
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
   )
 }

@@ -31,19 +31,41 @@ object Sparql {
 
   final case class TriplePattern(graph: Option[Node], s: Node, p: Node, o: Node)
 
+  /** A group `{ ... }` is an ORDERED element list: SPARQL scopes BIND
+    * over the bindings produced so far, and OPTIONAL left-joins the
+    * group-so-far, so order is semantics, not syntax.
+    */
   sealed trait Pattern
-  final case class Bgp(patterns: Seq[TriplePattern], filters: Seq[Filter]) extends Pattern
+  final case class Group(elems: Seq[GroupElem]) extends Pattern
   final case class Union(branches: Seq[Pattern]) extends Pattern
+
+  sealed trait GroupElem
+  final case class PatElem(tp: TriplePattern) extends GroupElem
+  final case class FilterElem(f: Filter) extends GroupElem
+  final case class OptElem(inner: Pattern) extends GroupElem
+  final case class BindElem(expr: VExpr, as: String) extends GroupElem
 
   final case class Filter(v: String, op: String, value: Term)
 
+  /** Value expressions usable in BIND. */
+  sealed trait VExpr
+  final case class VVar(name: String) extends VExpr
+  final case class VConst(term: Term) extends VExpr
+  final case class VCoalesce(args: Seq[VExpr]) extends VExpr
+
   sealed trait Projection
-  final case class CountStar(as: String) extends Projection
-  final case class SelectVars(vars: Seq[String]) extends Projection
   case object SelectAll extends Projection
+  final case class SelectItems(items: Seq[SelectItem]) extends Projection
+  sealed trait SelectItem
+  final case class ItemVar(name: String) extends SelectItem
+  /** `(COUNT(*) AS ?x)` (arg None) or `(COUNT(?v) AS ?x)` — COUNT(?v)
+    * counts rows where ?v is bound, per SPARQL aggregate semantics.
+    */
+  final case class ItemAgg(arg: Option[String], as: String) extends SelectItem
 
   final case class Query(projection: Projection, pattern: Pattern,
-      orderBy: Seq[String], limit: Option[Int], distinct: Boolean)
+      groupBy: Seq[String], orderBy: Seq[String], limit: Option[Int],
+      distinct: Boolean)
 
   /** Compile + run a query against a quads DataFrame (columns graph,
     * subject, predicate, obj — [[graft.store.QuadStore.quads]]).
@@ -52,9 +74,26 @@ object Sparql {
     val q = parse(queryText)
     val bound = compile(quads, q.pattern)
     val projected = q.projection match {
-      case CountStar(as) => bound.agg(count(lit(1)).as(as))
-      case SelectVars(vs) => bound.select(vs.map(col): _*)
       case SelectAll => bound
+      case SelectItems(items)
+          if q.groupBy.isEmpty && !items.exists(_.isInstanceOf[ItemAgg]) =>
+        bound.select(items.collect { case ItemVar(n) => col(n) }: _*)
+      case SelectItems(items) =>
+        // aggregation query: plain projected vars must be GROUP BY keys
+        // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all
+        items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
+          .foreach(n => throw new RdfParseException(
+            s"projected variable ?$n is not in GROUP BY"))
+        val aggCols = items.collect { case ItemAgg(arg, as) =>
+          arg.fold(count(lit(1)))(v => count(col(v))).as(as)
+        }
+        val grouped =
+          if (q.groupBy.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
+          else bound.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(items.map {
+          case ItemVar(n) => col(n)
+          case ItemAgg(_, as) => col(as)
+        }: _*)
     }
     val distinct = if (q.distinct) projected.dropDuplicates() else projected
     val ordered = if (q.orderBy.nonEmpty)
@@ -65,47 +104,90 @@ object Sparql {
 
   // --- compiler -------------------------------------------------------------
 
+  /** The empty solution: one row, no bindings — the identity of the
+    * SPARQL join, and what `{ OPTIONAL {..} BIND(..) }` starts from
+    * (the reference's dataset-name probe is exactly that shape,
+    * KafkaConnectorAssembler.java:380-411).
+    */
+  private def unitDf(quads: DataFrame): DataFrame =
+    quads.sparkSession.range(1).drop("id")
+
   private def compile(quads: DataFrame, pattern: Pattern): DataFrame = pattern match {
     case Union(branches) =>
       // branches may bind different variable sets (e.g. ?g only under
       // GRAPH); SPARQL leaves the others unbound → null columns
       branches.map(compile(quads, _)).reduce(_.unionByName(_, allowMissingColumns = true))
-    case Bgp(patterns, filters) =>
-      val dfs = patterns.map(compilePattern(quads, _))
-      val joined = dfs.reduceLeft { (acc, next) =>
-        val shared = acc.columns.toSet intersect next.columns.toSet
-        if (shared.isEmpty) acc.crossJoin(next)
-        else {
-          val a = acc.alias("l")
-          val b = next.alias("r")
-          val cond = shared.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
-          val keep = acc.columns.map(c => col(s"l.$c")) ++
-            next.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
-          a.join(b, cond).select(keep: _*)
-        }
+    case Group(elems) =>
+      val termType = quads.schema("subject").dataType
+      // acc == None until the first binding element, so a leading
+      // OPTIONAL/BIND operates on the empty solution, not on zero rows
+      var acc: Option[DataFrame] = None
+      def cur: DataFrame = acc.getOrElse(unitDf(quads))
+      elems.foreach {
+        case PatElem(tp) =>
+          val next = compilePattern(quads, tp)
+          acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
+        case OptElem(inner) =>
+          acc = Some(joinShared(cur, compile(quads, inner), "left_outer"))
+        case BindElem(expr, as) =>
+          val base = cur
+          if (base.columns.contains(as))
+            throw new RdfParseException(s"BIND would rebind ?$as")
+          acc = Some(base.withColumn(as, compileVExpr(base, termType, expr)))
+        case FilterElem(f) =>
+          acc = Some(applyFilter(cur, f))
       }
-      filters.foldLeft(joined) { (df, f) =>
-        val c = col(f.v)
-        val t = termLit(f.value)
-        f.op match {
-          // SPARQL VALUE equality, not structural: "01"^^xsd:integer
-          // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
-          case "=" => df.filter(graft.functions.TermOps.termValueEquals(c, t))
-          case "!=" => df.filter(!graft.functions.TermOps.termValueEquals(c, t))
-          // ordering is VALUE-space too: "9"^^xsd:integer < "10"^^xsd:integer
-          // (numeric by BigDecimal; the lexical order is inverted there).
-          // SPARQL `<` is a type error (row dropped) for incomparable
-          // operand kinds; the constant side is known here, so the guard
-          // compiles to a pushable column predicate.
-          case "<" =>
-            df.filter(comparableWith(c, f.value) &&
-              graft.functions.TermOps.termValueCompare(c, t) < 0)
-          case ">" =>
-            df.filter(comparableWith(c, f.value) &&
-              graft.functions.TermOps.termValueCompare(c, t) > 0)
-          case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
-        }
-      }
+      cur
+  }
+
+  /** SPARQL join of two binding sets: null-safe equi-join on shared
+    * variables (`left_outer` for OPTIONAL). Default-graph bindings are
+    * NULL structs, so `<=>` rather than `=` is load-bearing. With no
+    * shared variables the condition degenerates to `true` — a cross
+    * join, or for OPTIONAL the guaranteed-at-least-one-row extension.
+    */
+  private def joinShared(acc: DataFrame, next: DataFrame, how: String): DataFrame = {
+    val shared = acc.columns.toSet intersect next.columns.toSet
+    val a = acc.alias("l")
+    val b = next.alias("r")
+    val cond =
+      if (shared.isEmpty) lit(true)
+      else shared.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    val keep = acc.columns.map(c => col(s"l.$c")) ++
+      next.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
+    a.join(b, cond, how).select(keep: _*)
+  }
+
+  private def compileVExpr(base: DataFrame,
+      termType: org.apache.spark.sql.types.DataType, e: VExpr): Column = e match {
+    // an unbound variable is a typed-null term, so COALESCE skips it
+    case VVar(n) =>
+      if (base.columns.contains(n)) col(n) else lit(null).cast(termType)
+    case VConst(t) => termLit(t)
+    case VCoalesce(args) => coalesce(args.map(compileVExpr(base, termType, _)): _*)
+  }
+
+  private def applyFilter(df: DataFrame, f: Filter): DataFrame = {
+    val c = col(f.v)
+    val t = termLit(f.value)
+    f.op match {
+      // SPARQL VALUE equality, not structural: "01"^^xsd:integer
+      // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
+      case "=" => df.filter(graft.functions.TermOps.termValueEquals(c, t))
+      case "!=" => df.filter(!graft.functions.TermOps.termValueEquals(c, t))
+      // ordering is VALUE-space too: "9"^^xsd:integer < "10"^^xsd:integer
+      // (numeric by BigDecimal; the lexical order is inverted there).
+      // SPARQL `<` is a type error (row dropped) for incomparable
+      // operand kinds; the constant side is known here, so the guard
+      // compiles to a pushable column predicate.
+      case "<" =>
+        df.filter(comparableWith(c, f.value) &&
+          graft.functions.TermOps.termValueCompare(c, t) < 0)
+      case ">" =>
+        df.filter(comparableWith(c, f.value) &&
+          graft.functions.TermOps.termValueCompare(c, t) > 0)
+      case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
+    }
   }
 
   /** SPARQL ordering comparability (spec §17.3, operator mapping):
@@ -173,25 +255,38 @@ object Sparql {
       val projection = parseProjection()
       tryKeyword("WHERE")
       val pattern = parseGroup()
+      val groupBy =
+        if (tryKeyword("GROUP")) { keyword("BY"); parseVarList() } else Seq.empty
       val orderBy =
         if (tryKeyword("ORDER")) { keyword("BY"); parseVarList() } else Seq.empty
       val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
       skipWs()
       if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
-      Query(projection, pattern, orderBy, limit, distinct)
+      Query(projection, pattern, groupBy, orderBy, limit, distinct)
     }
 
     private def parseProjection(): Projection = {
       skipWs()
-      if (peek == '(') {
-        pos += 1
-        keyword("COUNT"); expect('('); expect('*'); expect(')')
-        keyword("AS")
-        val v = parseVar()
-        expect(')')
-        CountStar(v)
-      } else if (peek == '*') { pos += 1; SelectAll }
-      else SelectVars(parseVarList())
+      if (peek == '*') { pos += 1; return SelectAll }
+      val items = scala.collection.mutable.ArrayBuffer[SelectItem]()
+      var done = false
+      while (!done) {
+        skipWs()
+        if (peek == '?') items += ItemVar(parseVar())
+        else if (peek == '(') {
+          pos += 1
+          keyword("COUNT"); expect('(')
+          skipWs()
+          val arg = if (peek == '*') { pos += 1; None } else Some(parseVar())
+          expect(')')
+          keyword("AS")
+          val as = parseVar()
+          expect(')')
+          items += ItemAgg(arg, as)
+        } else done = true
+      }
+      if (items.isEmpty) fail("expected projection variables or aggregates")
+      SelectItems(items.toSeq)
     }
 
     private def parseVarList(): Seq[String] = {
@@ -213,20 +308,29 @@ object Sparql {
         expect('}')
         if (branches.size == 1) branches.head else Union(branches.toSeq)
       } else {
-        val tps = scala.collection.mutable.ArrayBuffer[TriplePattern]()
-        val filters = scala.collection.mutable.ArrayBuffer[Filter]()
+        val elems = scala.collection.mutable.ArrayBuffer[GroupElem]()
         var done = false
         while (!done) {
           skipWs()
           if (pos >= text.length) fail("unterminated group pattern")
           else if (peek == '}') { pos += 1; done = true }
-          else if (tryKeyword("GRAPH")) {
+          else if (tryKeyword("OPTIONAL")) elems += OptElem(parseGroup())
+          else if (tryKeyword("BIND")) {
+            expect('(')
+            val e = parseVExpr()
+            keyword("AS")
+            val v = parseVar()
+            expect(')')
+            elems += BindElem(e, v)
+          } else if (tryKeyword("GRAPH")) {
             val g = parseNode()
-            val inner = parseGroup()
-            inner match {
-              case Bgp(ps, fs) =>
-                tps ++= ps.map(_.copy(graph = Some(g)))
-                filters ++= fs
+            parseGroup() match {
+              case Group(es) if es.forall(e =>
+                  e.isInstanceOf[PatElem] || e.isInstanceOf[FilterElem]) =>
+                elems ++= es.map {
+                  case PatElem(tp) => PatElem(tp.copy(graph = Some(g)))
+                  case other => other
+                }
               case _ => fail("GRAPH block must contain a basic pattern")
             }
           } else if (tryKeyword("FILTER")) {
@@ -242,15 +346,32 @@ object Sparql {
               case _ => fail("FILTER value must be a constant")
             }
             expect(')')
-            filters += Filter(v, op, value)
+            elems += FilterElem(Filter(v, op, value))
           } else {
             val s = parseNode(); val p = parseNode(); val o = parseNode()
-            tps += TriplePattern(None, s, p, o)
+            elems += PatElem(TriplePattern(None, s, p, o))
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
           }
         }
-        Bgp(tps.toSeq, filters.toSeq)
+        Group(elems.toSeq)
+      }
+    }
+
+    private def parseVExpr(): VExpr = {
+      skipWs()
+      if (tryKeyword("COALESCE")) {
+        expect('(')
+        val args = scala.collection.mutable.ArrayBuffer[VExpr]()
+        args += parseVExpr()
+        skipWs()
+        while (peek == ',') { pos += 1; args += parseVExpr(); skipWs() }
+        expect(')')
+        VCoalesce(args.toSeq)
+      } else if (peek == '?') VVar(parseVar())
+      else parseNode() match {
+        case Const(t) => VConst(t)
+        case _ => fail("expected a value expression")
       }
     }
 
@@ -264,10 +385,10 @@ object Sparql {
           if (end < 0) fail("unterminated IRI")
           val iri = text.substring(pos, end); pos = end + 1
           Const(Term.iri(iri))
-        case '"' =>
+        case q @ ('"' | '\'') =>
           pos += 1
           val sb = new StringBuilder
-          while (pos < text.length && text.charAt(pos) != '"') {
+          while (pos < text.length && text.charAt(pos) != q) {
             if (text.charAt(pos) == '\\') pos += 1
             sb.append(text.charAt(pos)); pos += 1
           }

@@ -251,4 +251,23 @@ class ConfigSpec extends AnyFunSuite {
     val c = assemble(MINIMAL.replace("\"test.state\"", "\"file:///tmp/x.state\""))
     assert(c.stateFile == "/tmp/x.state")
   }
+
+  test("dataset-name probe via the SPARQL layer matches the assembler") {
+    // the reference resolves the dataset name with a SPARQL query
+    // (KafkaConnectorAssembler.java:380-411); dogfood our own layer on
+    // the same config graph and probe shape and cross-check
+    val spark = TestSpark.spark
+    val g = graft.rdf.TurtleParser.parseTurtle(PREFIXES + MINIMAL)
+    val store = new graft.store.QuadStore(spark,
+      java.nio.file.Files.createTempDirectory("cfgprobe").toString)
+    store.addQuads(0, g.map(q => q.copy(graph = null)))
+    val node = ConnectorAssembler.connectorNodes(g).head
+    val probe = graft.sparql.Sparql.execute(store.quads(),
+      s"""SELECT ?n { OPTIONAL { <${node.lex}> <${ConnectorAssembler.NS}fusekiServiceName> ?N1 }
+          BIND(COALESCE(?N1, ?N2, '') AS ?n) }""")
+      .collect()
+    assert(probe.length == 1)
+    val name = probe.head.getStruct(0).getString(1)
+    assert(ConnectorAssembler.canonical(name) == assemble(MINIMAL).datasetName)
+  }
 }

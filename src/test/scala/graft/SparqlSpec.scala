@@ -138,6 +138,59 @@ class SparqlSpec extends AnyFunSuite {
     assert(subjectsFor("< \"c\"") == Set("http://x/d"))
   }
 
+  test("OPTIONAL left-joins: matched rows bind, unmatched stay with null") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "alice" .
+         |<http://x/b> <http://x/name> "bob" .
+         |<http://x/a> <http://x/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?name ?age { ?s <http://x/name> ?name OPTIONAL { ?s <http://x/age> ?age } } ORDER BY ?name")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getStruct(0).getString(1) == "alice" &&
+      rows(0).getStruct(1).getString(1) == "30")
+    assert(rows(1).getStruct(0).getString(1) == "bob" && rows(1).isNullAt(1))
+  }
+
+  test("BIND(COALESCE) over OPTIONAL: the reference's dataset-name probe shape") {
+    // KafkaConnectorAssembler.java:380-411 — OPTIONAL may not match and
+    // ?N2 is never bound; COALESCE must still yield exactly one row
+    val store = ingest(
+      ("""<http://x/c1> <http://x/serviceName> "/ds" .
+         |""".stripMargin) -> "application/n-quads")
+    def probe(node: String): Seq[String] =
+      Sparql.execute(store.quads(),
+        s"""SELECT ?n { OPTIONAL { <$node> <http://x/serviceName> ?N1 } BIND(COALESCE(?N1, ?N2, '') AS ?n) }""")
+        .collect().toSeq.map(_.getStruct(0).getString(1))
+    assert(probe("http://x/c1") == Seq("/ds"))
+    assert(probe("http://x/missing") == Seq("")) // one row, empty string
+  }
+
+  test("GROUP BY with COUNT(?v) counts only bound solutions") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/team> "red" .
+         |<http://x/b> <http://x/team> "red" .
+         |<http://x/c> <http://x/team> "blue" .
+         |<http://x/a> <http://x/badge> "star" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?team (COUNT(*) AS ?n) (COUNT(?badge) AS ?nb)
+        |{ ?s <http://x/team> ?team OPTIONAL { ?s <http://x/badge> ?badge } }
+        |GROUP BY ?team ORDER BY ?team""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getStruct(0).getString(1), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("blue", 1L, 0L), ("red", 2L, 1L)))
+  }
+
+  test("projecting a non-grouped variable in an aggregate query fails") {
+    val store = ingest(DATA_NQ -> "application/n-quads")
+    intercept[graft.rdf.RdfParseException] {
+      Sparql.execute(store.quads(),
+        "SELECT ?s (COUNT(*) AS ?n) { ?s ?p ?o }").collect()
+    }
+  }
+
   test("FILTER equality, ORDER BY, LIMIT") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
