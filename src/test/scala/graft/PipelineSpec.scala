@@ -50,6 +50,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("exact dedup shuffles hashes, not document text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.exact(docs).queryExecution.executedPlan.toString
+    val exchangeKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty, s"no exchange found in:\n$plan")
+    assert(exchangeKeys.forall(!_.contains("text")),
+      s"document text rides the exchange: $exchangeKeys")
+  }
+
   test("minhash band keys are deterministic, length-bands, and text-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
