@@ -76,8 +76,21 @@ object PipelineQueries {
       Dedup.nearDupSimhash(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // the natural corpus has no cosine-0.9 pairs (max ~0.52), which
+    // would make this entry pass vacuously; plant deterministic
+    // near-copies (per-element scale ramp, cosine ~0.9987) so the
+    // oracle checks RECALL of the sketch buckets, not just the absence
+    // of false positives. The perturbation is written identically here
+    // and in the oracle (double math, same association) so the planted
+    // vectors are bit-equal across engines.
     "pl_dedup_embed" -> { (s, dir) =>
-      Dedup.nearDupEmbedding(t(s, dir, "embeddings"))
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + ((i * lit(0.1)) / lit(64.0)))).as("embedding"))
+      Dedup.nearDupEmbedding(base.unionByName(planted))
         .orderBy(col("id_a"), col("id_b"))
     },
     "pl_ann_topk" -> { (s, dir) =>
@@ -175,13 +188,17 @@ object PipelineQueries {
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_embed" ->
-      s"""SELECT id_a, id_b, c AS cos FROM (
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               planted AS (
+                 SELECT vec_id + 1000 AS vec_id,
+                        [ v[i+1] * (1.0 + ((i * 0.1) / 64.0)) for i in range(0, 64) ] AS v
+                 FROM base WHERE vec_id % 50 = 0),
+               allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+          SELECT id_a, id_b, c AS cos FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${dotSql("a.v", "b.v")}
                      / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS c
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
-            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
-              ON a.vec_id < b.vec_id)
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
           WHERE c >= 0.9 ORDER BY id_a, id_b""",
     // Scenario-literal oracle (proj_* pattern): both ANN tiers are
     // deterministic, so LSH recall vs exact top-10 at sf0.01 is a
