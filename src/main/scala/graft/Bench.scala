@@ -3,14 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run (driver → BENCH_r{N}.json).
   * Queries run in sorted-name order (round-over-round comparability)
-  * after an untimed warmup query that absorbs JIT/codegen cost. A
-  * failing query is recorded as -1 with its error in "errors" rather
-  * than being silently swallowed.
+  * after an untimed warmup query that absorbs JIT/codegen cost. Each
+  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * per-query MEDIAN: identical code measured ±40% across rounds on
+  * single shots (sandbox load/page-cache variance), which made
+  * round-over-round comparison unreadable. A failing query is recorded
+  * as -1 with its error in "errors" rather than being silently
+  * swallowed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,13 +30,19 @@ object Bench {
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> median
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
