@@ -69,10 +69,16 @@ trait BatchSink {
   *    threshold — the same memory-protection role it plays in the
   *    reference) and each commit materializes as ONE atomic store
   *    batch, which the QuadStore writes as a parquet segment via a
-  *    Spark job. Sub-batch patch-transaction boundaries (a patch's TX
-  *    committing the outer transaction mid-batch) collapse into the
-  *    batch boundary; under the store's idempotent epoch-replay model
-  *    the observable end state is identical (SURVEY.md §4.2).
+  *    Spark job. Patch transactions may SPAN events
+  *    (RDFChangesApplyExternalTransaction.java:10-42): a patch ending
+  *    with an open TX suppresses the patch-closed commit trigger until
+  *    a later event's TC commits it (TA aborts it, discarding the
+  *    carried ops, even across events); the other triggers still fire
+  *    and commit a dangling transaction with the batch, exactly as the
+  *    reference's commit() closes whatever transaction is open
+  *    (TestFusekiProjector.java:216-232). Effective op streams are
+  *    resolved batch-wide at apply time
+  *    ([[graft.rdf.RdfPatchParser.dataOpsBatch]]).
   *
   * Error contract (FusekiProjector.java:258-277, README.md:256-269):
   *  - decode failure → commit good prefix, route event to DLQ with the
@@ -176,11 +182,21 @@ final class Projector(
     MaterialisedEvent(event, d)
   }
 
+  /** The batch's per-event patch op streams (empty for non-patch
+    * events, keeping indices aligned), optionally extended by one more.
+    */
+  private def batchPatchOps(extra: Seq[graft.rdf.PatchOp]*): Seq[Seq[graft.rdf.PatchOp]] =
+    batch.toSeq.map(b =>
+      if (b.decoded.kind == "patch") b.decoded.ops else Seq.empty) ++ extra
+
   /** Apply-time validation a DatasetGraph would do while streaming ops
     * (invalid marker nesting → the reference's mid-apply failure).
+    * Validated against the WHOLE buffered batch so a transaction
+    * carried open from an earlier event makes a leading TC/TA valid.
     */
   private def validateApply(m: MaterialisedEvent): Unit =
-    if (m.decoded.kind == "patch") RdfPatchParser.dataOps(m.decoded.ops)
+    if (m.decoded.kind == "patch")
+      RdfPatchParser.dataOpsBatch(batchPatchOps(m.decoded.ops))
 
   /** The commit decision tree (FusekiProjector.java:400-479) — same
     * branches, same order.
@@ -188,8 +204,12 @@ final class Projector(
   private def commitTransactionIfNeeded(m: MaterialisedEvent): Unit = {
     val elapsed = clock() - lastCommitTime
     currentBatchSizeBytes += m.event.sizeInBytes
-    if (m.decoded.kind == "patch" && RdfPatchParser.closesTxn(m.decoded.ops)) {
+    if (m.decoded.kind == "patch" &&
+        RdfPatchParser.closesTxn(batchPatchOps().flatten)) {
       // the patch just committed the open transaction itself (:408-412)
+      // — judged over the whole batch's marker stream, so a TX left
+      // open by an EARLIER event suppresses this trigger until a later
+      // patch closes it (TestFusekiProjector.java:216-232)
       commit()
     } else if (config.batchSize == 1) {
       commit() // batching disabled (:413-416)

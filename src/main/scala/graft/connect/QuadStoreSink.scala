@@ -20,6 +20,11 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
 
   override def apply(batchId: Long, events: Seq[MaterialisedEvent]): Unit = {
     import spark.implicits._
+    // patch op streams resolve batch-wide: a transaction opened by one
+    // event may be committed (or aborted) by a later one
+    // (RDFChangesApplyExternalTransaction.java:10-42)
+    val (effPatchOps, _) = RdfPatchParser.dataOpsBatch(
+      events.map(m => if (m.decoded.kind == "patch") m.decoded.ops else Seq.empty))
     val ops = events.zipWithIndex.flatMap { case (m, ei) =>
       val base = ei.toLong << 24
       m.decoded.kind match {
@@ -28,7 +33,7 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
             OpRow("A", base | qi.toLong, q.graph, q.subject, q.predicate, q.obj)
           }
         case "patch" =>
-          RdfPatchParser.dataOps(m.decoded.ops).zipWithIndex.map { case (o, oi) =>
+          effPatchOps(ei).zipWithIndex.map { case (o, oi) =>
             OpRow(o.op, base | oi.toLong, o.graph, o.subject, o.predicate, o.obj)
           }
         case other =>

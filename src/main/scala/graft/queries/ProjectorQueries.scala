@@ -201,6 +201,27 @@ object ProjectorQueries {
       p.runToCompletion()
       result(s, p, sink, dlq)
     },
+    // a patch transaction SPANNING events
+    // (RDFChangesApplyExternalTransaction.java:10-42,
+    // TestFusekiProjector.java:216-232): event 1 leaves a TX open, so
+    // its op is pending; event 2's TC commits the carried transaction
+    // (commit #1 with both ops). Event 3 opens another TX whose op is
+    // then ABORTED by event 4's TA (commit #2 applies zero ops). The
+    // stall commit flushes the final dataset event (commit #3).
+    "proj_patch_txn_open" -> { (s, _) =>
+      val src = new MemoryEventSource(Seq(
+        ev(0),
+        patchEv(1, "TX .\nA <http://g/p1> <http://g/p> \"x\" ."),
+        patchEv(2, "A <http://g/p2> <http://g/p> \"y\" .\nTC ."),
+        patchEv(3, "TX .\nA <http://g/p3> <http://g/p> \"z\" ."),
+        patchEv(4, "TA ."),
+        ev(5)))
+      val sink = mkStoreSink(s)
+      val dlq = new MemoryDlqSink
+      val p = new Projector(src, sink, ProjectorConfig(batchSize = 10), dlq = Some(dlq))
+      p.runToCompletion()
+      result(s, p, sink, dlq)
+    },
     // scale parity: the reference's integration corpus — 10,000 events
     // of U(1,1000) quads (~5M quads) through the distributed ingest
     // path in 4 epoch segments; final store count must equal the
@@ -249,6 +270,8 @@ object ProjectorQueries {
     "proj_low_volume" -> row(5, 7, 0, 0, lowVol = false, highLag = false),
     "proj_dlq_routing" -> row(2, 4, 1, 0, lowVol = false, highLag = false),
     "proj_patch_txn" -> row(2, 4, 0, 0, lowVol = false, highLag = false),
+    // store: ev(0) + x + y + ev(5); z aborted by the cross-event TA
+    "proj_patch_txn_open" -> row(3, 4, 0, 0, lowVol = false, highLag = false),
     "proj_apply_failure" -> row(2, 2, 1, 0, lowVol = false, highLag = false),
     "scale_ingest_10k" ->
       """SELECT 10000::BIGINT AS n_events,

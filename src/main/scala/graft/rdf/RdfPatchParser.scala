@@ -122,6 +122,66 @@ object RdfPatchParser {
     out.toSeq
   }
 
+  /** Effective A/D streams for a whole BATCH of patch events in one
+    * stateful pass — a patch transaction may span events
+    * (RDFChangesApplyExternalTransaction.java:10-42;
+    * TestFusekiProjector.java:200-232):
+    *
+    *  - a patch ending with an unclosed `TX` leaves the transaction
+    *    open; its ops stay pending into the NEXT event,
+    *  - a later `TC` commits the carried transaction (pending ops from
+    *    earlier events flush to their events' outputs), a later `TA`
+    *    aborts it (pending ops from earlier events are DISCARDED),
+    *  - a `TX` while a carried transaction is open commits it first
+    *    (the reference's external-transaction commit), then begins its
+    *    own; a second `TX` within the SAME event is the malformed
+    *    nested case and throws,
+    *  - a `TC` with no open patch transaction commits the projector's
+    *    enclosing transaction — valid (the reference's
+    *    PatchThatCommitsTheTransaction case); `TA` there would abort
+    *    work already out of reach of the patch stream and throws,
+    *  - a transaction still open at batch end commits with the batch
+    *    (the reference's PatchThatLeavesTransactionOpen case: the
+    *    projector's commit closes the dangling transaction).
+    *
+    * `eventOps` holds one (possibly empty) op seq per event, in batch
+    * order; returns the surviving A/D ops per event plus whether a
+    * patch transaction was still open at the end.
+    */
+  def dataOpsBatch(eventOps: Seq[Seq[PatchOp]]): (Seq[Seq[PatchOp]], Boolean) = {
+    val out = eventOps.map(_ => ArrayBuffer[PatchOp]())
+    val pending = ArrayBuffer[(Int, PatchOp)]()
+    var txnOpenedAt = -1 // event index that opened the live txn; -1 = none
+    def flush(): Unit = {
+      pending.foreach { case (i, p) => out(i) += p }
+      pending.clear()
+    }
+    eventOps.zipWithIndex.foreach { case (ops, ei) =>
+      ops.foreach { o =>
+        o.op match {
+          case "TX" =>
+            if (txnOpenedAt == ei)
+              throw new RdfParseException("TX inside an open patch transaction")
+            if (txnOpenedAt >= 0) flush() // commit the carried (external) txn
+            txnOpenedAt = ei
+          case "TC" =>
+            flush() // commits the patch txn, or the projector's outer txn
+            txnOpenedAt = -1
+          case "TA" =>
+            if (txnOpenedAt < 0)
+              throw new RdfParseException("TA without open patch transaction")
+            pending.clear() // aborted: pending ops (any event's) roll back
+            txnOpenedAt = -1
+          case "A" | "D" =>
+            if (txnOpenedAt >= 0) pending += ((ei, o)) else out(ei) += o
+          case _ => // H / PA / PD: no dataset effect
+        }
+      }
+    }
+    flush() // dangling open txn commits with the enclosing batch
+    (out.map(_.toSeq), txnOpenedAt >= 0)
+  }
+
   /** Whether applying this op stream leaves the dataset OUTSIDE a
     * transaction (reference: `isPatch() && !dataset.isInTransaction()`
     * after apply triggers the projector's own commit,

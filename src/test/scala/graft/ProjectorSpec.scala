@@ -62,6 +62,31 @@ class ProjectorSpec extends AnyFunSuite {
     assert(sink.commits.size == 1 && p.pendingEvents == 1)
   }
 
+  test("patch txn spanning events: a later TC commits the carried ops (ref :216-232)") {
+    val src = new MemoryEventSource(Seq.empty, Some(() => None))
+    val sink = new CountingSink
+    val p = new Projector(src, sink, ProjectorConfig(batchSize = 10))
+    p.project(patchEv(0, "TX .\nA <http://g/a> <http://g/p> \"x\" ."))
+    assert(sink.commits.isEmpty && p.pendingEvents == 1) // txn carried open
+    p.project(patchEv(1, "A <http://g/b> <http://g/p> \"y\" .\nTC ."))
+    assert(sink.commits == Seq((0L, 2))) // TC closed it → both events commit
+  }
+
+  test("cross-event TA aborts ops carried from the opening event") {
+    val store = new graft.store.QuadStore(TestSpark.spark,
+      java.nio.file.Files.createTempDirectory("txnabort").toString)
+    val sink = new QuadStoreSink(TestSpark.spark, store)
+    val src = new MemoryEventSource(Seq(
+      patchEv(0, "TX .\nA <http://g/a> <http://g/p> \"gone\" ."),
+      patchEv(1, "TA ."),
+      patchEv(2, "A <http://g/b> <http://g/p> \"kept\" .")))
+    val p = new Projector(src, sink, ProjectorConfig(batchSize = 10))
+    p.runToCompletion()
+    import org.apache.spark.sql.functions.col
+    val lexes = store.quads().select(col("obj.lex")).collect().map(_.getString(0)).toSet
+    assert(lexes == Set("kept"), s"aborted op leaked: $lexes")
+  }
+
   test("malformed patch without DLQ aborts with exception (ref :234-251)") {
     val src = new MemoryEventSource(Seq.empty, Some(() => None))
     val sink = new CountingSink

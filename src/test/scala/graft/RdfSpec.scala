@@ -71,6 +71,37 @@ class RdfParserSpec extends AnyFunSuite {
     intercept[RdfParseException] { RdfPatchParser.dataOps(ops) }
   }
 
+  test("dataOpsBatch: patch transactions spanning events") {
+    def op(o: String, lex: String = null): PatchOp =
+      if (lex == null) PatchOp(o, null, null, null, null)
+      else PatchOp(o, null, Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit(lex))
+    def lexes(ops: Seq[PatchOp]): Seq[String] = ops.map(_.obj.lex)
+    // later TC commits the carried txn: ops flush to their own events
+    val (c1, open1) = RdfPatchParser.dataOpsBatch(Seq(
+      Seq(op("TX"), op("A", "x")), Seq(op("A", "y"), op("TC"))))
+    assert(c1.map(lexes) == Seq(Seq("x"), Seq("y")) && !open1)
+    // later TA aborts it: carried ops from the earlier event discarded
+    val (c2, open2) = RdfPatchParser.dataOpsBatch(Seq(
+      Seq(op("TX"), op("A", "x")), Seq(op("TA"))))
+    assert(c2.map(lexes) == Seq(Seq(), Seq()) && !open2)
+    // a TX over a carried txn commits it first (external-txn semantics)
+    val (c3, open3) = RdfPatchParser.dataOpsBatch(Seq(
+      Seq(op("TX"), op("A", "x")), Seq(op("TX"), op("A", "y"))))
+    assert(c3.map(lexes) == Seq(Seq("x"), Seq("y")) && open3)
+    // dangling open txn commits with the batch
+    val (c4, open4) = RdfPatchParser.dataOpsBatch(Seq(Seq(op("TX"), op("A", "x"))))
+    assert(c4.map(lexes) == Seq(Seq("x")) && open4)
+    // nested TX within one event still fails at apply
+    intercept[RdfParseException] {
+      RdfPatchParser.dataOpsBatch(Seq(Seq(op("TX")), Seq(op("TX"), op("TX"))))
+    }
+    // TC with no open patch txn commits the projector's txn (valid);
+    // TA there has nothing to abort and fails
+    val (c5, open5) = RdfPatchParser.dataOpsBatch(Seq(Seq(op("TC"), op("A", "x"))))
+    assert(c5.map(lexes) == Seq(Seq("x")) && !open5)
+    intercept[RdfParseException] { RdfPatchParser.dataOpsBatch(Seq(Seq(op("TA")))) }
+  }
+
   test("turtle: literals, lang tags, datatypes, numbers, booleans, 'a'") {
     val doc =
       """@prefix ex: <http://ex/> .
