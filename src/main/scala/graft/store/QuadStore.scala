@@ -3,6 +3,8 @@ package graft.store
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,20 +36,28 @@ import graft.rdf.{PatchOp, Quad}
   *    call; the commit ordinal is embedded in the segment directory name
   *    (`s<ord>-…`) and recovered via `input_file_name()`, so plan size
   *    and driver work stay FLAT in the number of committed epochs.
-  *  - [[compact]] folds the log into a single deduplicated `base`
-  *    segment. After compaction, reads are merge-on-read: the (short)
-  *    tail is aggregated (one small shuffle) and anti-joined against the
-  *    base — the base itself is NEVER re-shuffled, and with an empty
-  *    tail `quads()` is a bare scan of the base.
+  *  - [[compact]] folds the log into a deduplicated `base` laid out as
+  *    `numBuckets` HASH-BUCKET partitions (`bucket=k` directories,
+  *    k = pmod(hash(graph,subject,predicate,obj), numBuckets)). After
+  *    compaction, reads are merge-on-read: the (short) tail is
+  *    aggregated (one small shuffle) and anti-joined against the base —
+  *    the base itself is NEVER re-shuffled, and with an empty tail
+  *    `quads()` is a bare scan of the base.
+  *  - A RE-compaction rewrites ONLY the buckets the tail touched: the
+  *    new base segment's name records which buckets it owns
+  *    (`s<ord>-base-k3_7`), later segments supersede earlier ones per
+  *    bucket, and untouched buckets keep serving from their old files.
+  *    At 100 TB this is the difference between an O(base) and an
+  *    O(delta) compaction. Ownership lives in the segment NAME (not
+  *    directory listings) so a bucket whose quads were all deleted
+  *    still transfers — an empty bucket cannot resurrect from an older
+  *    base. Superseded bucket files linger as garbage until a GC pass
+  *    (not implemented; they are never read).
   *  - Compaction records a high-water batchId in the version file;
   *    [[commitOps]] drops replayed epochs at or below it, so epoch
   *    replay stays idempotent even across compactions.
-  *  - At cluster scale the base would additionally be bucketed by the
-  *    quad-key hash to make compaction itself shuffle-free; local
-  *    parquet has no bucketing metadata, so that remains documented
-  *    rather than enforced here.
   */
-final class QuadStore(spark: SparkSession, path: String) {
+final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
   import QuadStore._
 
   private val dir = Paths.get(path)
@@ -178,13 +188,60 @@ final class QuadStore(spark: SparkSession, path: String) {
     * only the tail is aggregated + anti-joined (AQE broadcasts the
     * small tail side).
     */
+  /** Bucket partition key of a quad row. */
+  private def bucketCol =
+    pmod(hash(QUAD_COLUMNS.map(col): _*), lit(numBuckets))
+
+  /** bucket → owning base segment ord; a later compaction's segment
+    * supersedes earlier ones for the buckets it recorded in its name.
+    */
+  private def bucketOwner(bases: Seq[SegRef]): Map[Int, Long] = {
+    val m = scala.collection.mutable.Map[Int, Long]()
+    bases.sortBy(_.ord).foreach { s =>
+      s.baseBuckets.getOrElse(0 until numBuckets).foreach(b => m(b) = s.ord)
+    }
+    m.toMap
+  }
+
+  /** Read the base state, resolving bucket ownership across base
+    * segments; `only` restricts to a bucket subset (partition-pruned —
+    * the `bucket` filter never touches superseded or unselected files).
+    */
+  private def baseQuads(bases: Seq[SegRef], only: Option[Seq[Int]] = None): DataFrame = {
+    val owner = bucketOwner(bases)
+    val dfs = bases.flatMap { s =>
+      var mine = owner.collect { case (b, o) if o == s.ord => b }.toSeq
+      only.foreach(sel => mine = mine.intersect(sel))
+      // an owned bucket with no surviving rows has no bucket=k dir —
+      // reading an all-empty segment dir would fail schema inference
+      val present = {
+        val p = dir.resolve(s.name)
+        if (!Files.exists(p)) Seq.empty
+        else {
+          val st = Files.list(p)
+          try st.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case n if n.startsWith("bucket=") => n.drop(7).toInt }
+            .toSeq
+          finally st.close()
+        }
+      }
+      mine = mine.intersect(present)
+      if (mine.isEmpty) None
+      else Some(spark.read.parquet(dir.resolve(s.name).toString)
+        .filter(col("bucket").isin(mine: _*))
+        .select(QUAD_COLUMNS.map(col): _*))
+    }
+    dfs.reduceOption(_.unionByName(_)).getOrElse(emptyQuads())
+  }
+
   def quads(): DataFrame = {
     val v = readVersion()
     val (bases, tail) = v.segments.partition(_.isBase)
     if (v.segments.isEmpty) emptyQuads()
     else if (bases.isEmpty) foldOps(readSegments(tail))
     else {
-      val base = readSegments(bases).select(QUAD_COLUMNS.map(col): _*)
+      val base = baseQuads(bases)
       if (tail.isEmpty) base
       else {
         // tailState: latest op per quad key touched since compaction
@@ -203,20 +260,51 @@ final class QuadStore(spark: SparkSession, path: String) {
     }
   }
 
-  /** Fold the committed log into a single deduplicated base segment and
-    * advance the high-water mark past every retired batchId.
+  /** Fold the committed tail into the bucketed base and advance the
+    * high-water mark past every retired batchId. First compaction
+    * writes all buckets; later ones rewrite ONLY buckets the tail
+    * touched (the new segment's name records them), so compaction cost
+    * tracks the delta, not the base.
     */
   def compact(): Unit = {
     val v = readVersion()
-    if (v.segments.size <= 1 && v.segments.forall(_.isBase)) return
-    val state = quads().withColumn("op", lit("A"))
-      .withColumn("seq", monotonically_increasing_id())
+    val (bases, tail) = v.segments.partition(_.isBase)
+    if (tail.isEmpty) return
+    val hw = (tail.flatMap(_.batchId) :+ v.highWater).max
     val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
-    val ref = SegRef(f"s$nextOrd%08d-base", nextOrd, None)
-    state.select(OP_COLUMNS.map(col): _*)
-      .write.mode("overwrite").parquet(dir.resolve(ref.name).toString)
-    val hw = (v.segments.flatMap(_.batchId) :+ v.highWater).max
-    writeVersion(Version(Seq(ref), hw))
+    if (bases.isEmpty) {
+      val ref = SegRef(f"s$nextOrd%08d-base", nextOrd, None)
+      foldOps(readSegments(tail)).withColumn("bucket", bucketCol)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(dir.resolve(ref.name).toString)
+      writeVersion(Version(Seq(ref), hw))
+    } else {
+      val tailState = readSegments(tail)
+        .groupBy(QUAD_COLUMNS.map(col): _*)
+        .agg(max_by(col("op"), col("gseq")).as("last_op"))
+        .withColumn("bucket", bucketCol)
+        .cache()
+      try {
+        val touched = tailState.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.isEmpty) { // tail segments carried no effective ops
+          writeVersion(Version(bases, hw))
+          return
+        }
+        val ref = SegRef(f"s$nextOrd%08d-base-k${touched.mkString("_")}",
+          nextOrd, None, Some(touched))
+        val b = baseQuads(bases, Some(touched)).alias("b")
+        val t = tailState.select(QUAD_COLUMNS.map(col): _*).alias("t")
+        val cond = QUAD_COLUMNS.map(c => col(s"b.$c") <=> col(s"t.$c")).reduce(_ && _)
+        val merged = b.join(t, cond, "left_anti")
+          .unionByName(tailState.filter(col("last_op") === "A")
+            .select(QUAD_COLUMNS.map(col): _*))
+          .withColumn("bucket", bucketCol)
+        merged.write.partitionBy("bucket").mode("overwrite")
+          .parquet(dir.resolve(ref.name).toString)
+        writeVersion(Version(bases :+ ref, hw))
+      } finally tailState.unpersist()
+    }
   }
 
   def count(): Long = quads().count()
@@ -263,17 +351,22 @@ object QuadStore {
   val QUAD_COLUMNS: Seq[String] = Seq("graph", "subject", "predicate", "obj")
   val OP_COLUMNS: Seq[String] = Seq("op", "seq") ++ QUAD_COLUMNS
 
-  /** A committed segment: `s<ord>-b<batchId>` (epoch segment) or
-    * `s<ord>-base` (compacted base).
+  /** A committed segment: `s<ord>-b<batchId>` (epoch segment),
+    * `s<ord>-base` (compacted base owning ALL buckets), or
+    * `s<ord>-base-k3_7` (partial base owning only the listed buckets —
+    * written by a re-compaction that touched just those).
     */
-  final case class SegRef(name: String, ord: Long, batchId: Option[Long]) {
+  final case class SegRef(name: String, ord: Long, batchId: Option[Long],
+      baseBuckets: Option[Seq[Int]] = None) {
     def isBase: Boolean = batchId.isEmpty
   }
   object SegRef {
-    private val Pat = """s(\d+)-(base|b(-?\d+))""".r
+    private val BatchPat = """s(\d+)-b(-?\d+)""".r
+    private val BasePat = """s(\d+)-base(?:-k([\d_]+))?""".r
     def parse(name: String): SegRef = name match {
-      case Pat(ord, "base", _) => SegRef(name, ord.toLong, None)
-      case Pat(ord, _, b) if b != null => SegRef(name, ord.toLong, Some(b.toLong))
+      case BatchPat(ord, b) => SegRef(name, ord.toLong, Some(b.toLong))
+      case BasePat(ord, ks) => SegRef(name, ord.toLong, None,
+        Option(ks).map(_.split("_").toSeq.map(_.toInt)))
       case other => throw new IllegalStateException(s"bad segment name '$other'")
     }
   }

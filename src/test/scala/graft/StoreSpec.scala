@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.connect.OffsetStore
@@ -62,6 +64,52 @@ class StoreSpec extends AnyFunSuite {
     store.addQuads(7, Seq(q("a", "1"), q("b", "1")))
     assert(store.committedSegments().size == 1)
     assert(store.count() == 2)
+  }
+
+  test("compaction writes hash-bucket partitions; recompaction rewrites only touched buckets") {
+    val dir = Files.createTempDirectory("qsbuckets")
+    val store = new QuadStore(spark, dir.toString, numBuckets = 4)
+    store.addQuads(0, (0 until 40).map(i => q(s"s$i", "1")))
+    store.compact()
+    // base laid out as bucket=k partition directories
+    val baseDir = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("base")).toSeq
+    assert(baseDir.size == 1 && baseDir.head.matches("s\\d+-base"), s"base: $baseDir")
+    val firstBase = baseDir.head
+    val buckets = Files.list(dir.resolve(firstBase)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq.sorted
+    assert(buckets.nonEmpty && buckets.forall(_.matches("bucket=[0-3]")))
+    assert(store.count() == 40)
+    // tail touching ONE quad → recompaction owns only that quad's bucket
+    import spark.implicits._
+    store.commitOps(1, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/s0"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    store.compact()
+    val segs = store.committedSegments()
+    assert(segs.size == 2 && segs.head == firstBase, s"segments: $segs")
+    assert(segs(1).matches("s\\d+-base-k\\d(_\\d)*"), s"partial base: ${segs(1)}")
+    assert(store.count() == 39)
+    // the untouched first-base bucket files were not rewritten
+    assert(segs(1).split("-k")(1).split("_").length < 4)
+  }
+
+  test("a bucket emptied by deletes does not resurrect from the older base") {
+    val store = new QuadStore(spark, Files.createTempDirectory("qsempty").toString,
+      numBuckets = 2)
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1"), q("c", "1")))
+    store.compact()
+    // delete EVERYTHING, then recompact: some bucket is now fully empty
+    import spark.implicits._
+    val dels = Seq("a", "b", "c").zipWithIndex.map { case (s, i) =>
+      QuadStore.OpRow("D", i.toLong, null, Term.iri(s"http://x/$s"),
+        Term.iri("http://x/p"), Term.lit("1"))
+    }
+    store.commitOps(1, dels.toDF())
+    store.compact()
+    assert(store.count() == 0, "deleted quads resurrected from a superseded bucket")
+    // and the store still accepts and serves new epochs
+    store.addQuads(2, Seq(q("z", "9")))
+    assert(store.count() == 1)
   }
 
   test("empty-tail read after compaction is a bare scan — no shuffle") {
