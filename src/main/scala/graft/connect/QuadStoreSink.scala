@@ -1,22 +1,45 @@
 package graft.connect
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
 
-import graft.rdf.RdfPatchParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.rdf.{Quad, RdfPatchParser, Term}
+import graft.sparql.SparqlUpdate
 import graft.store.QuadStore
 
 /** BatchSink applying committed batches to a [[QuadStore]] — the
   * engine's FusekiSink (FusekiSink.java:38-77): dataset payloads
   * stream their quads as adds, patch payloads their effective A/D op
-  * stream, all as ONE atomic parquet segment per commit.
+  * stream, SPARQL Update payloads their resolved quad ops, all as ONE
+  * atomic parquet segment per commit.
   *
   * `seq` encodes (event index in batch, op index in event) so
   * latest-op-wins inside the store respects event order — the ordered
   * delete contract (README.md:152-153) without the reference's
   * single-partition restriction.
+  *
+  * SPARQL Update WHERE-clauses see the SEQUENTIAL state: the store as
+  * of the last commit plus every batch op before them. That state is a
+  * lazily-built DataFrame (store base, then per-chunk anti-join +
+  * union of the small in-batch deltas — AQE broadcasts those), so a
+  * `DELETE WHERE` never collects matched quads to the driver.
   */
 final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends BatchSink {
   import QuadStore.OpRow
+
+  private val QUAD_COLS = Seq("graph", "subject", "predicate", "obj")
+
+  /** `state` minus `touched` plus `adds` (both small/derived sides;
+    * null-safe per-column equality — default graph is NULL).
+    */
+  private def applyDelta(state: DataFrame, touched: DataFrame, adds: DataFrame): DataFrame = {
+    val b = state.alias("b")
+    val t = touched.alias("t")
+    val cond = QUAD_COLS.map(c => col(s"b.$c") <=> col(s"t.$c")).reduce(_ && _)
+    b.join(t, cond, "left_anti").select(QUAD_COLS.map(col): _*).unionByName(adds)
+  }
 
   override def apply(batchId: Long, events: Seq[MaterialisedEvent]): Unit = {
     import spark.implicits._
@@ -25,22 +48,79 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
     // (RDFChangesApplyExternalTransaction.java:10-42)
     val (effPatchOps, _) = RdfPatchParser.dataOpsBatch(
       events.map(m => if (m.decoded.kind == "patch") m.decoded.ops else Seq.empty))
-    val ops = events.zipWithIndex.flatMap { case (m, ei) =>
+
+    val local = scala.collection.mutable.ArrayBuffer[OpRow]()
+    val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // sequential state for SPARQL Update WHERE resolution, built only
+    // when a batch actually carries an update
+    var state: DataFrame = null
+    var folded = 0 // local ops already folded into `state`
+    def quadsDf(qs: Seq[Quad]): DataFrame =
+      qs.toDF().select(QUAD_COLS.map(col): _*)
+    def currentState(): DataFrame = {
+      if (state == null) state = store.quads()
+      if (folded < local.size) {
+        // fold the pending local rows: effective last op per quad
+        val eff = local.drop(folded)
+          .groupBy(o => (o.graph, o.subject, o.predicate, o.obj))
+          .map { case (_, ops) => ops.maxBy(_.seq) }.toSeq
+        val touched = eff.map(o => Quad(o.graph, o.subject, o.predicate, o.obj))
+        val adds = eff.filter(_.op == "A")
+          .map(o => Quad(o.graph, o.subject, o.predicate, o.obj))
+        state = applyDelta(state, quadsDf(touched), quadsDf(adds))
+        folded = local.size
+      }
+      state
+    }
+    def foldResolved(df: DataFrame): Unit = {
+      resolved += df
+      val touched = df.select(QUAD_COLS.map(col): _*)
+      val adds = df.filter(col("op") === "A").select(QUAD_COLS.map(col): _*)
+      state = applyDelta(currentState(), touched, adds)
+    }
+
+    events.zipWithIndex.foreach { case (m, ei) =>
       val base = ei.toLong << 24
       m.decoded.kind match {
         case "dataset" =>
-          m.decoded.quads.zipWithIndex.map { case (q, qi) =>
-            OpRow("A", base | qi.toLong, q.graph, q.subject, q.predicate, q.obj)
+          m.decoded.quads.zipWithIndex.foreach { case (q, qi) =>
+            local += OpRow("A", base | qi.toLong, q.graph, q.subject, q.predicate, q.obj)
           }
         case "patch" =>
-          effPatchOps(ei).zipWithIndex.map { case (o, oi) =>
-            OpRow(o.op, base | oi.toLong, o.graph, o.subject, o.predicate, o.obj)
+          effPatchOps(ei).zipWithIndex.foreach { case (o, oi) =>
+            local += OpRow(o.op, base | oi.toLong, o.graph, o.subject, o.predicate, o.obj)
+          }
+        case "update" =>
+          // deterministic re-parse (decode already validated); blank
+          // nodes in INSERT DATA scope to the event identity, as in
+          // RdfParse.decodeEvents
+          val script = SparqlUpdate.parse(
+            new String(m.event.value, StandardCharsets.UTF_8))
+          val scope = s"${m.event.topic}:${m.event.partition}:${m.event.offset}"
+          var oi = 0L
+          script.foreach {
+            case SparqlUpdate.QuadDataOp(op, quads) =>
+              quads.foreach { q0 =>
+                def sc(t: Term): Term =
+                  if (t != null && t.isBlank) Term.blank(scope + ":" + t.lex) else t
+                local += OpRow(op, base | oi,
+                  sc(q0.graph), sc(q0.subject), q0.predicate, sc(q0.obj))
+                oi += 1
+              }
+            case mo: SparqlUpdate.ModifyOp =>
+              SparqlUpdate.resolveModify(currentState(), mo, base | oi)
+                .foreach(foldResolved)
+              oi += 2
+            case cl: SparqlUpdate.ClearOp =>
+              foldResolved(SparqlUpdate.resolveClear(currentState(), cl, base | oi))
+              oi += 1
           }
         case other =>
           throw new ProjectorException(s"unapplied payload kind '$other'")
       }
     }
-    store.commitOps(batchId, ops.toDF())
+    val ops = resolved.foldLeft(local.toSeq.toDF())(_.unionByName(_))
+    store.commitOps(batchId, ops)
     // PA/PD prefix ops update the dataset prefix map in event order
     // (RDFChangesApply semantics; SURVEY §2.1 row 6)
     val prefixOps = events.flatMap { m =>

@@ -120,6 +120,34 @@ object SparqlQueries {
       res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
           col("n"), col("nc"))
         .orderBy(col("n_regionkey"))
+    },
+    // SPARQL Update payloads (`application/sparql-update`, the `.ru`
+    // content type, FKLib.java:55-69) through the projector: INSERT
+    // DATA, a DELETE/INSERT WHERE rewrite resolved against the
+    // sequential in-batch state, DELETE DATA, and CLEAR GRAPH — the
+    // final store state is the checked result
+    "sparql_update" -> { (s, _) =>
+      val store = new QuadStore(s, Files.createTempDirectory("squpd").toString)
+      val events = Seq(
+        ("<http://x/a> <http://x/p> \"keep\" .\n" +
+         "<http://x/a> <http://x/old> \"1\" .\n" +
+         "<http://x/b> <http://x/old> \"2\" .\n", "application/n-quads"),
+        ("""PREFIX x: <http://x/>
+           |INSERT DATA { x:c x:old "3" . GRAPH x:g { x:d x:p "g1" } } ;
+           |DELETE { ?s x:old ?o } INSERT { ?s x:new ?o } WHERE { ?s x:old ?o } ;
+           |DELETE DATA { x:b x:new "2" } ;
+           |CLEAR GRAPH x:g""".stripMargin, "application/sparql-update")
+      ).zipWithIndex.map { case ((body, ct), i) =>
+        Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
+          Map("Content-Type" -> ct))
+      }
+      val p = new Projector(new MemoryEventSource(events), new QuadStoreSink(s, store))
+      p.runToCompletion()
+      store.quads().select(
+          col("subject").getField("lex").as("s"),
+          col("predicate").getField("lex").as("p"),
+          col("obj").getField("lex").as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
     }
   )
 
@@ -135,6 +163,12 @@ object SparqlQueries {
       """SELECT n_regionkey,
                 COUNT(*)::BIGINT AS n,
                 COUNT(CASE WHEN n_nationkey < 10 THEN 1 END)::BIGINT AS nc
-         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "sparql_update" ->
+      """SELECT * FROM (VALUES
+           ('http://x/a', 'http://x/new', '1'),
+           ('http://x/a', 'http://x/p', 'keep'),
+           ('http://x/c', 'http://x/new', '3')) t(s, p, o)
+         ORDER BY s, p, o"""
   )
 }

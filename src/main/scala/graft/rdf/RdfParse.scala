@@ -23,6 +23,7 @@ object RdfParse {
   val CT_TURTLE = "text/turtle"
   val CT_TRIG = "application/trig"
   val CT_PATCH = "application/rdf-patch"
+  val CT_SPARQL_UPDATE = "application/sparql-update"
 
   final case class Decoded(
       kind: String,               // "dataset" | "patch" | null on error
@@ -58,6 +59,12 @@ object RdfParse {
           Decoded("dataset", scopeBlanks(TurtleParser.parseTrig(doc), scope), null, null)
         case CT_PATCH | "text/rdf-patch" =>
           Decoded("patch", null, RdfPatchParser.parse(doc), null)
+        case CT_SPARQL_UPDATE =>
+          // validate now (parse errors must DLQ before any store
+          // mutation); WHERE-driven ops need the live store state, so
+          // the sink re-parses and resolves at apply time
+          graft.sparql.SparqlUpdate.parse(doc)
+          Decoded("update", null, null, null)
         case other =>
           Decoded(null, null, null, s"No RDF parser for content type '$other'")
       }

@@ -208,7 +208,13 @@ object Sparql {
     else lit(true) // IRI/blank/lang-tagged: total order (extension)
   }
 
-  private def termLit(t: Term): Column =
+  /** Solve a graph pattern to a bindings DataFrame (one column per
+    * variable) — the WHERE-clause engine shared with [[SparqlUpdate]].
+    */
+  private[sparql] def solve(quads: DataFrame, pattern: Pattern): DataFrame =
+    compile(quads, pattern)
+
+  private[sparql] def termLit(t: Term): Column =
     struct(lit(t.termType).as("termType"), lit(t.lex).as("lex"),
       lit(t.datatype).cast("string").as("datatype"), lit(t.lang).cast("string").as("lang"))
 
@@ -246,10 +252,15 @@ object Sparql {
 
   def parse(text: String): Query = new Parser(text).parseQuery()
 
-  private final class Parser(text: String) {
-    private var pos = 0
+  /** Recursive-descent SPARQL tokenizer/parser. Package-visible so
+    * [[SparqlUpdate]] reuses the term/group grammar for update
+    * requests (same prologue, node, and group productions).
+    */
+  private[sparql] final class Parser(text: String) {
+    private[sparql] var pos = 0
 
     def parseQuery(): Query = {
+      parsePrologue()
       keyword("SELECT")
       val distinct = tryKeyword("DISTINCT")
       val projection = parseProjection()
@@ -297,7 +308,7 @@ object Sparql {
       vs.toSeq
     }
 
-    private def parseGroup(): Pattern = {
+    private[sparql] def parseGroup(): Pattern = {
       expect('{')
       skipWs()
       // UNION of sub-groups?
@@ -375,7 +386,26 @@ object Sparql {
       }
     }
 
-    private def parseNode(): Node = {
+    /** `PREFIX pfx: <iri>` declarations (SPARQL grammar `Prologue`);
+      * populates the pname expansion table used by [[parseNode]].
+      */
+    private[sparql] def parsePrologue(): Unit =
+      while (tryKeyword("PREFIX")) {
+        skipWs()
+        val start = pos
+        while (pos < text.length && text.charAt(pos) != ':' &&
+               !text.charAt(pos).isWhitespace) pos += 1
+        val pfx = text.substring(start, pos)
+        expect(':')
+        parseNode() match {
+          case Const(t) if t.isIri => prefixes(pfx) = t.lex
+          case _ => fail("PREFIX expects an IRI")
+        }
+      }
+
+    private val prefixes = scala.collection.mutable.Map[String, String]()
+
+    private[sparql] def parseNode(): Node = {
       skipWs()
       peek match {
         case '?' => Var(parseVar())
@@ -409,11 +439,38 @@ object Sparql {
         case 'a' if pos + 1 < text.length && text.charAt(pos + 1).isWhitespace =>
           pos += 1
           Const(Term.iri(Term.RDF_TYPE))
+        case '_' if pos + 1 < text.length && text.charAt(pos + 1) == ':' =>
+          pos += 2
+          val start = pos
+          while (pos < text.length && (text.charAt(pos).isLetterOrDigit ||
+                 text.charAt(pos) == '_' || text.charAt(pos) == '-')) pos += 1
+          if (pos == start) fail("empty blank node label")
+          Const(Term.blank(text.substring(start, pos)))
+        case c if c.isLetter || c == ':' =>
+          // prefixed name pfx:local (expanded against the prologue)
+          val start = pos
+          while (pos < text.length && text.charAt(pos) != ':' &&
+                 (text.charAt(pos).isLetterOrDigit || text.charAt(pos) == '_' ||
+                  text.charAt(pos) == '-' || text.charAt(pos) == '.')) pos += 1
+          if (pos >= text.length || text.charAt(pos) != ':')
+            fail(s"unexpected token '${text.substring(start, pos).take(20)}'")
+          val pfx = text.substring(start, pos)
+          pos += 1
+          val ls = pos
+          // local part: no trailing dot (a dot ends the triple)
+          while (pos < text.length && (text.charAt(pos).isLetterOrDigit ||
+                 text.charAt(pos) == '_' || text.charAt(pos) == '-' ||
+                 (text.charAt(pos) == '.' && pos + 1 < text.length &&
+                  (text.charAt(pos + 1).isLetterOrDigit || text.charAt(pos + 1) == '_')))) pos += 1
+          prefixes.get(pfx) match {
+            case Some(ns) => Const(Term.iri(ns + text.substring(ls, pos)))
+            case None => fail(s"undeclared prefix '$pfx:'")
+          }
         case c => fail(s"unexpected character '$c'")
       }
     }
 
-    private def parseVar(): String = {
+    private[sparql] def parseVar(): String = {
       skipWs()
       if (peek != '?') fail("expected ?variable")
       pos += 1
@@ -431,17 +488,17 @@ object Sparql {
       text.substring(start, pos).toInt
     }
 
-    private def peek: Char = if (pos < text.length) text.charAt(pos) else ' '
-    private def skipWs(): Unit =
+    private[sparql] def peek: Char = if (pos < text.length) text.charAt(pos) else ' '
+    private[sparql] def skipWs(): Unit =
       while (pos < text.length && text.charAt(pos).isWhitespace) pos += 1
-    private def expect(c: Char): Unit = {
+    private[sparql] def expect(c: Char): Unit = {
       skipWs()
       if (pos >= text.length || text.charAt(pos) != c) fail(s"expected '$c'")
       pos += 1
     }
-    private def keyword(kw: String): Unit =
+    private[sparql] def keyword(kw: String): Unit =
       if (!tryKeyword(kw)) fail(s"expected $kw")
-    private def tryKeyword(kw: String): Boolean = {
+    private[sparql] def tryKeyword(kw: String): Boolean = {
       skipWs()
       if (text.regionMatches(true, pos, kw, 0, kw.length) &&
           (pos + kw.length >= text.length ||
@@ -449,11 +506,11 @@ object Sparql {
         pos += kw.length; true
       } else false
     }
-    private def tryToken(tok: String): Boolean = {
+    private[sparql] def tryToken(tok: String): Boolean = {
       skipWs()
       if (text.startsWith(tok, pos)) { pos += tok.length; true } else false
     }
-    private def fail(msg: String): Nothing =
+    private[sparql] def fail(msg: String): Nothing =
       throw new RdfParseException(s"SPARQL parse error at $pos: $msg")
   }
 }

@@ -1,0 +1,191 @@
+package graft.sparql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.rdf.{Quad, RdfParseException, Term}
+
+/** SPARQL Update subset → quad-op resolver (SURVEY.md §2.2; the
+  * reference ecosystem produces `application/sparql-update` events for
+  * `.ru` files, FKLib.java:55-69, and routes them to the dataset's
+  * update endpoint — here they apply directly to the engine's store).
+  *
+  * Supported requests, `;`-separated, with a shared PREFIX prologue:
+  *  - `INSERT DATA { quads }` / `DELETE DATA { quads }` (GRAPH blocks
+  *    allowed; DELETE DATA rejects blank nodes per spec §3.1.2)
+  *  - `DELETE WHERE { pattern }`
+  *  - `DELETE { tpl } INSERT { tpl } WHERE { pattern }` (either
+  *    template optional)
+  *  - `CLEAR [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)`; `DROP` is
+  *    an alias (the store has no empty-graph existence, spec note)
+  *
+  * Execution model is Spark-first and fully distributed: data ops are
+  * driver-local rows (they came off one event), while WHERE-driven
+  * ops resolve by solving the pattern with [[Sparql.solve]] against
+  * the CURRENT state DataFrame and instantiating templates as column
+  * selections — constants in the pattern push into the parquet scan,
+  * matched-quad sets never surface on the driver. A CLEAR compiles to
+  * a partition-prunable graph filter producing delete rows; at 100 TB
+  * a metadata tombstone would beat the O(graph) delete write, but the
+  * log-structured store's fold would then need tombstone-aware reads
+  * on every path — documented tradeoff, not taken.
+  */
+object SparqlUpdate {
+  import Sparql._
+
+  sealed trait UpdateOp
+  /** INSERT DATA (`op` "A") or DELETE DATA (`op` "D"). */
+  final case class QuadDataOp(op: String, quads: Seq[Quad]) extends UpdateOp
+  /** DELETE/INSERT ... WHERE (DELETE WHERE sets both templates from
+    * the pattern). Delete instantiations apply before inserts from the
+    * same solutions (spec §3.1.3).
+    */
+  final case class ModifyOp(deleteTpl: Seq[TriplePattern],
+      insertTpl: Seq[TriplePattern], where: Pattern) extends UpdateOp
+  /** CLEAR/DROP. `target` ∈ GRAPH | DEFAULT | NAMED | ALL. */
+  final case class ClearOp(target: String, graph: Option[Term]) extends UpdateOp
+
+  /** Parse an update request (one or more `;`-separated operations). */
+  def parse(text: String): Seq[UpdateOp] = {
+    val p = new Parser(text)
+    val ops = scala.collection.mutable.ArrayBuffer[UpdateOp]()
+    var more = true
+    while (more) {
+      p.parsePrologue()
+      p.skipWs()
+      if (p.pos >= text.length) more = false
+      else {
+        ops += parseOne(p)
+        p.skipWs()
+        if (p.tryToken(";")) () else {
+          p.skipWs()
+          if (p.pos < text.length)
+            throw new RdfParseException(
+              s"SPARQL update: trailing content at ${p.pos}")
+          more = false
+        }
+      }
+    }
+    if (ops.isEmpty)
+      throw new RdfParseException("SPARQL update: empty request")
+    ops.toSeq
+  }
+
+  private def parseOne(p: Parser): UpdateOp = {
+    if (p.tryKeyword("INSERT")) {
+      if (p.tryKeyword("DATA")) QuadDataOp("A", parseQuadData(p, allowBlank = true))
+      else {
+        val tpl = parseTemplate(p)
+        p.keyword("WHERE")
+        ModifyOp(Seq.empty, tpl, p.parseGroup())
+      }
+    } else if (p.tryKeyword("DELETE")) {
+      if (p.tryKeyword("DATA")) QuadDataOp("D", parseQuadData(p, allowBlank = false))
+      else if (p.tryKeyword("WHERE")) {
+        val pat = p.parseGroup()
+        ModifyOp(patternsOf(pat), Seq.empty, pat)
+      } else {
+        val del = parseTemplate(p)
+        val ins = if (p.tryKeyword("INSERT")) parseTemplate(p) else Seq.empty
+        p.keyword("WHERE")
+        ModifyOp(del, ins, p.parseGroup())
+      }
+    } else if (p.tryKeyword("CLEAR") || p.tryKeyword("DROP")) {
+      p.tryKeyword("SILENT")
+      if (p.tryKeyword("DEFAULT")) ClearOp("DEFAULT", None)
+      else if (p.tryKeyword("NAMED")) ClearOp("NAMED", None)
+      else if (p.tryKeyword("ALL")) ClearOp("ALL", None)
+      else {
+        p.keyword("GRAPH")
+        p.parseNode() match {
+          case Const(t) if t.isIri => ClearOp("GRAPH", Some(t))
+          case _ => throw new RdfParseException("CLEAR GRAPH expects an IRI")
+        }
+      }
+    } else throw new RdfParseException(
+      "SPARQL update: expected INSERT, DELETE, CLEAR or DROP")
+  }
+
+  /** A `{ ... }` of ground quads (GRAPH blocks inline the graph). */
+  private def parseQuadData(p: Parser, allowBlank: Boolean): Seq[Quad] =
+    patternsOf(p.parseGroup()).map { tp =>
+      def ground(n: Node, slot: String): Term = n match {
+        case Const(t) if t.isBlank && !allowBlank =>
+          throw new RdfParseException(s"DELETE DATA forbids blank nodes ($slot)")
+        case Const(t) => t
+        case Var(v) =>
+          throw new RdfParseException(s"quad data must be ground, found ?$v")
+      }
+      Quad(tp.graph.map(ground(_, "graph")).orNull,
+        ground(tp.s, "subject"), ground(tp.p, "predicate"), ground(tp.o, "obj"))
+    }
+
+  /** A `{ ... }` template: triple patterns only, vars allowed. */
+  private def parseTemplate(p: Parser): Seq[TriplePattern] =
+    patternsOf(p.parseGroup())
+
+  private def patternsOf(pat: Pattern): Seq[TriplePattern] = pat match {
+    case Group(elems) => elems.map {
+      case PatElem(tp) => tp
+      case other => throw new RdfParseException(
+        s"only triple patterns allowed here, found ${other.getClass.getSimpleName}")
+    }
+    case _ => throw new RdfParseException("UNION not allowed in quad data/template")
+  }
+
+  // --- resolution -----------------------------------------------------------
+
+  /** Resolve a modify op against `state` into delete rows (at `seq`)
+    * and insert rows (at `seq + 1`): solve WHERE once, instantiate
+    * both templates from the same solutions. Instantiations using an
+    * unbound variable are skipped (spec §3.1.3.2); duplicate
+    * instantiations are left to the store's set semantics rather than
+    * paying a dedup shuffle here.
+    */
+  def resolveModify(state: DataFrame, m: ModifyOp, seq: Long): Option[DataFrame] = {
+    val sols = Sparql.solve(state, m.where)
+    val parts =
+      instantiate(sols, m.deleteTpl, "D", seq) ++
+      instantiate(sols, m.insertTpl, "A", seq + 1)
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  private def instantiate(sols: DataFrame, tpl: Seq[TriplePattern],
+      op: String, seq: Long): Seq[DataFrame] = {
+    val termType = StructType(Seq("termType", "lex", "datatype", "lang")
+      .map(StructField(_, StringType)))
+    tpl.flatMap { tp =>
+      val slots = Seq(
+        tp.graph.getOrElse(Const(null)) -> "graph",
+        tp.s -> "subject", tp.p -> "predicate", tp.o -> "obj")
+      val vars = slots.collect { case (Var(n), _) => n }
+      // a template var absent from the solutions is unbound in every
+      // row → the whole pattern instantiates to nothing
+      if (vars.exists(v => !sols.columns.contains(v))) None
+      else {
+        val cols = slots.map {
+          case (Var(n), as) => col(n).as(as)
+          case (Const(null), as) => lit(null).cast(termType).as(as)
+          case (Const(t), as) => Sparql.termLit(t).as(as)
+        }
+        val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
+        Some(bound.select(Seq(lit(op).as("op"), lit(seq).as("seq")) ++ cols: _*))
+      }
+    }
+  }
+
+  /** Resolve CLEAR/DROP to delete rows: a graph filter over `state`
+    * (prunable — for `GRAPH <g>` the predicate reaches the scan).
+    */
+  def resolveClear(state: DataFrame, c: ClearOp, seq: Long): DataFrame = {
+    val filtered = c.target match {
+      case "DEFAULT" => state.filter(col("graph").isNull)
+      case "NAMED" => state.filter(col("graph").isNotNull)
+      case "ALL" => state
+      case "GRAPH" => state.filter(col("graph") <=> Sparql.termLit(c.graph.get))
+    }
+    filtered.select(Seq(lit("D").as("op"), lit(seq).as("seq")) ++
+      Seq("graph", "subject", "predicate", "obj").map(col): _*)
+  }
+}

@@ -36,7 +36,15 @@ object IngestPipeline {
     // far more than re-running the (cheap, deterministic) decode per
     // action — measured 18.7 s cached vs ~9 s re-decoded for the 5M
     // quad scale corpus
-    val decoded = RdfParse.decodeEvents(events)
+    val decoded0 = RdfParse.decodeEvents(events)
+    // SPARQL Update events are sequential by nature (WHERE clauses see
+    // the state left by earlier events); the bulk path is unordered
+    // across partitions, so they route to the DLQ rather than silently
+    // dropping — the Projector path applies them (QuadStoreSink)
+    val decoded = decoded0.withColumn("_corrupt",
+      when(col("_corrupt").isNull && col("kind") === "update",
+        lit("sparql-update requires the ordered projector path"))
+      .otherwise(col("_corrupt")))
     locally {
       val bad = decoded.filter(col("_corrupt").isNotNull)
       val dlqCount = dlqDir match {

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connect._
+import graft.rdf.{RdfParse, RdfParseException}
+import graft.sparql.{Sparql, SparqlUpdate}
+import graft.store.QuadStore
+
+/** SPARQL Update payloads (`application/sparql-update`, the content
+  * type the reference ecosystem assigns to `.ru` files,
+  * FKLib.java:55-69) applied through the projector path: data ops,
+  * WHERE-driven modify ops with sequential in-batch semantics, CLEAR,
+  * and DLQ routing for parse failures.
+  */
+class UpdateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val CT_RU = "application/sparql-update"
+  private val CT_NQ = "application/n-quads"
+
+  private def ingest(events: (String, String)*): QuadStore = {
+    val store = new QuadStore(spark, Files.createTempDirectory("updstore").toString)
+    val evs = events.zipWithIndex.map { case ((body, ct), i) =>
+      Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
+        Map("Content-Type" -> ct))
+    }
+    val p = new Projector(new MemoryEventSource(evs), new QuadStoreSink(spark, store))
+    p.runToCompletion()
+    store
+  }
+
+  private def stateNT(store: QuadStore): Set[(String, String, String, String)] =
+    store.quads().collect().map { r =>
+      def f(i: Int) = Option(r.getStruct(i)).map(_.getString(1)).orNull
+      (f(0), f(1), f(2), f(3))
+    }.toSet
+
+  test("INSERT DATA with prefixes and a GRAPH block") {
+    val store = ingest(
+      """PREFIX ex: <http://example/>
+        |INSERT DATA {
+        |  ex:s ex:p "v" .
+        |  GRAPH ex:g { ex:s2 ex:p "w" }
+        |}""".stripMargin -> CT_RU)
+    assert(stateNT(store) == Set(
+      (null, "http://example/s", "http://example/p", "v"),
+      ("http://example/g", "http://example/s2", "http://example/p", "w")))
+  }
+
+  test("DELETE DATA removes exactly the listed quads; blank nodes rejected") {
+    val store = ingest(
+      """INSERT DATA { <http://x/a> <http://x/p> "1" . <http://x/b> <http://x/p> "2" } ;
+        |DELETE DATA { <http://x/a> <http://x/p> "1" }""".stripMargin -> CT_RU)
+    assert(stateNT(store).map(_._2) == Set("http://x/b"))
+    intercept[RdfParseException] {
+      SparqlUpdate.parse("""DELETE DATA { _:b <http://x/p> "1" }""")
+    }
+  }
+
+  test("DELETE WHERE sees prior events AND earlier ops of the same script") {
+    val store = ingest(
+      "<http://x/old> <http://x/p> \"pre\" .\n" -> CT_NQ,
+      """INSERT DATA { <http://x/new> <http://x/p> "in-batch" } ;
+        |DELETE WHERE { ?s <http://x/p> ?o }""".stripMargin -> CT_RU)
+    assert(store.count() == 0)
+  }
+
+  test("an INSERT DATA after a DELETE WHERE in the same script survives") {
+    val store = ingest(
+      """INSERT DATA { <http://x/a> <http://x/p> "1" } ;
+        |DELETE WHERE { ?s <http://x/p> ?o } ;
+        |INSERT DATA { <http://x/a> <http://x/p> "2" }""".stripMargin -> CT_RU)
+    assert(stateNT(store) == Set((null, "http://x/a", "http://x/p", "2")))
+  }
+
+  test("DELETE/INSERT WHERE rewrites matching triples from one solve") {
+    val store = ingest(
+      """PREFIX x: <http://x/>
+        |INSERT DATA { x:a x:old "1" . x:b x:old "2" . x:c x:other "3" } ;
+        |DELETE { ?s x:old ?o } INSERT { ?s x:new ?o } WHERE { ?s x:old ?o }""".stripMargin -> CT_RU)
+    assert(stateNT(store) == Set(
+      (null, "http://x/a", "http://x/new", "1"),
+      (null, "http://x/b", "http://x/new", "2"),
+      (null, "http://x/c", "http://x/other", "3")))
+  }
+
+  test("CLEAR GRAPH deletes only that graph; CLEAR DEFAULT only the default") {
+    val script =
+      """PREFIX x: <http://x/>
+        |INSERT DATA { x:d x:p "def" . GRAPH x:g1 { x:a x:p "1" } GRAPH x:g2 { x:b x:p "2" } } ;
+        |CLEAR GRAPH x:g1""".stripMargin
+    val store = ingest(script -> CT_RU)
+    assert(stateNT(store).map(_._1) == Set(null, "http://x/g2"))
+    val store2 = ingest((script + " ;\nCLEAR DEFAULT") -> CT_RU)
+    assert(stateNT(store2).map(_._1) == Set("http://x/g2"))
+  }
+
+  test("blank nodes in INSERT DATA scope per event (no cross-event capture)") {
+    val ru = """INSERT DATA { _:b <http://x/p> "v" }"""
+    val store = ingest(ru -> CT_RU, ru -> CT_RU)
+    assert(store.count() == 2)
+  }
+
+  test("malformed update is a decode failure (DLQ route, no store mutation)") {
+    val d = RdfParse.decode("INSERT JUNK { }".getBytes("UTF-8"), CT_RU, "s")
+    assert(d.kind == null && d._corrupt != null)
+    // and the projector keeps going: bad update → DLQ, good event applies
+    val store = new QuadStore(spark, Files.createTempDirectory("upddlq").toString)
+    val dlq = new MemoryDlqSink
+    val evs = Seq(
+      Event("t", 0, 0, Array.empty, "INSERT JUNK { }".getBytes("UTF-8"),
+        Map("Content-Type" -> CT_RU)),
+      Event("t", 0, 1, Array.empty,
+        "<http://x/a> <http://x/p> \"1\" .\n".getBytes("UTF-8"),
+        Map("Content-Type" -> CT_NQ)))
+    val p = new Projector(new MemoryEventSource(evs),
+      new QuadStoreSink(spark, store), dlq = Some(dlq))
+    p.runToCompletion()
+    assert(store.count() == 1)
+    assert(dlq.events.size == 1)
+  }
+
+  test("SELECT queries also accept PREFIX prologues and pnames") {
+    val store = ingest(
+      """PREFIX x: <http://x/>
+        |INSERT DATA { x:a x:name "alice" }""".stripMargin -> CT_RU)
+    val rows = Sparql.execute(store.quads(),
+      """PREFIX x: <http://x/>
+        |SELECT ?n { ?s x:name ?n }""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.getStruct(0).getString(1) == "alice")
+  }
+}
