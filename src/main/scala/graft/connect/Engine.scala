@@ -107,7 +107,9 @@ final class Engine(
     dlqFactory: ConnectorConfig => Option[DlqSink] = _ => None,
     topicExists: String => Boolean = _ => true,
     pollIdleMs: Long = 50L,
-    startupHealthWaitMs: Long = 200L) {
+    startupHealthWaitMs: Long = 200L,
+    topicCheckTimeoutMs: Long = 5000L,
+    topicCheckRetryMs: Long = 100L) {
 
   val registry = new ConnectorRegistry
   private val running = mutable.ArrayBuffer[RunningConnector]()
@@ -126,7 +128,16 @@ final class Engine(
     configs.foreach(registry.register)
     val started = configs.map { c =>
       if (c.checkTopicAtStartup) {
-        val missing = c.topics.filterNot(topicExists)
+        // retry-poll until the topics appear or the window closes —
+        // topics created concurrently with server startup pass
+        // (FKS.checkTopicsExistAtStartup: 5 s window, 100 ms sleeps,
+        // FKS.java:66-67,160-173)
+        val deadline = System.nanoTime() + topicCheckTimeoutMs * 1000000L
+        var missing = c.topics.filterNot(topicExists)
+        while (missing.nonEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(topicCheckRetryMs)
+          missing = c.topics.filterNot(topicExists)
+        }
         if (missing.nonEmpty)
           throw new ConfigException(
             s"Kafka topic(s) ${missing.mkString(", ")} do not exist on the configured cluster")

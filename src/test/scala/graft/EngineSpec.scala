@@ -58,12 +58,23 @@ class EngineSpec extends AnyFunSuite {
 
   test("startup topic check fails on missing topic (FKS:140-194)") {
     val engine = new Engine(new CapturingFactory(Seq.empty), _ => new CountingSink,
-      topicExists = _ == "EXISTS")
+      topicExists = _ == "EXISTS", topicCheckTimeoutMs = 50L, topicCheckRetryMs = 10L)
     intercept[ConfigException] { engine.start(Seq(cfg(topic = "MISSING", check = true))) }
     val ok = new Engine(new CapturingFactory(Seq.empty), _ => new CountingSink,
       topicExists = _ == "T1")
     ok.start(Seq(cfg(check = true)))
     ok.stop()
+  }
+
+  test("startup topic check retry-polls: a topic appearing late passes (FKS:160-173)") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    // topic only "exists" from the third probe on — within the window
+    val engine = new Engine(new CapturingFactory(Seq.empty), _ => new CountingSink,
+      topicExists = _ => calls.incrementAndGet() >= 3,
+      topicCheckTimeoutMs = 2000L, topicCheckRetryMs = 10L)
+    engine.start(Seq(cfg(check = true)))
+    engine.stop()
+    assert(calls.get() >= 3)
   }
 
   test("read policy: replay ignores stored offsets; sync resumes; latest skips") {
