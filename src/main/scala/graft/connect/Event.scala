@@ -29,9 +29,42 @@ final case class Event(
 /** Pull-based event source — the engine's `KafkaEventSource` facade
   * (reference builds one at FKS.java:117-127). Implementations:
   * [[MemoryEventSource]] (tests / synthetic lag), [[FileEventSource]]
-  * (the reference ecosystem's event-source-file, pom.xml:141). A Kafka
-  * implementation would wrap a consumer behind this same trait; the
-  * container has no kafka client jar, so it is intentionally absent.
+  * (the reference ecosystem's event-source-file, pom.xml:141).
+  *
+  * == Kafka adapter contract ==
+  *
+  * The container ships no kafka-clients jar, so the Kafka adapter is
+  * intentionally absent; this is the exact consumer mapping it must
+  * implement behind this trait (reference wiring FKS.java:117-127):
+  *
+  *  - '''construction''': one `KafkaConsumer[Bytes, Bytes]` with
+  *    `group.id` = the connector's consumerGroupId and the connector's
+  *    `max.poll.records`/extra props; subscribe to the topics, then
+  *    apply the read policy on assignment — Replay → `seekToBeginning`,
+  *    Sync → `seek` to each partition's stored next-to-read offset
+  *    from the [[OffsetStore]], Latest → `seekToEnd` (FKS.java:105-112;
+  *    [[ReadPolicy]]). Record value bytes and headers pass through
+  *    undecoded — materialization stays lazy ([[graft.rdf.RdfParse]]).
+  *  - '''poll()''': serve one buffered record from the last
+  *    `Consumer.poll(timeout)` batch as an [[Event]]; when the buffer
+  *    drains, issue the next `Consumer.poll`. Returns None when that
+  *    also comes back empty — the engine's poll thread handles idle
+  *    backoff, the adapter must not spin internally.
+  *  - '''remaining()''': `Σ endOffsets(p) − position(p)` over the
+  *    currently assigned partitions; None before assignment or when
+  *    the cluster query fails (the reference's `remaining()` may be
+  *    null — TestFusekiProjector.java:187-198). May hit the network;
+  *    only the lag-mode rules consult it, never the hot loop.
+  *  - '''availableImmediately()''': records left in the CURRENT
+  *    buffered batch — a pure memory check, no consumer call ever
+  *    (it gates batch maximization inside the commit decision tree,
+  *    FusekiProjector.java:422-434, so it must not block).
+  *  - '''processed(events)''': fold the events to per-partition
+  *    `max(offset) + 1` (KafkaEventSource.determineCommitOffsetsFromEvents,
+  *    FusekiProjector.java:528-529) and `commitSync` that map; the
+  *    engine separately persists the same next-to-read offsets in the
+  *    [[OffsetStore]] state file (commit-on-processed + external
+  *    offset store, FKS.java:121-122).
   */
 trait EventSource {
   /** Next event, or None if nothing is buffered right now. */
