@@ -51,8 +51,8 @@ import graft.rdf.{PatchOp, Quad}
   *    O(delta) compaction. Ownership lives in the segment NAME (not
   *    directory listings) so a bucket whose quads were all deleted
   *    still transfers — an empty bucket cannot resurrect from an older
-  *    base. Superseded bucket files linger as garbage until a GC pass
-  *    (not implemented; they are never read).
+  *    base. Superseded bucket files linger (never read) until [[gc]]
+  *    removes them.
   *  - Compaction records a high-water batchId in the version file;
   *    [[commitOps]] drops replayed epochs at or below it, so epoch
   *    replay stays idempotent even across compactions.
@@ -308,6 +308,52 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
   }
 
   def count(): Long = quads().count()
+
+  /** Remove files no read can reach: segment directories absent from
+    * the version pointer (epochs retired by compaction, aborted
+    * writes) and `bucket=k` directories inside base segments that a
+    * later partial base superseded. Single-writer discipline like
+    * every mutation here — run it when no in-flight DataFrame still
+    * references the old files (Spark reads parquet lazily, so a plan
+    * built before gc() and executed after would hit deleted paths).
+    * Returns the number of top-level paths removed.
+    */
+  def gc(): Int = {
+    val v = readVersion()
+    val live = v.segments.map(_.name).toSet
+    val owner = bucketOwner(v.segments.filter(_.isBase))
+    var removed = 0
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally st.close()
+    }
+    val top = Files.list(dir)
+    try top.iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("s") && Files.isDirectory(p)) {
+        if (!live.contains(name)) { deleteRecursively(p); removed += 1 }
+        else {
+          val seg = SegRef.parse(name)
+          if (seg.isBase) {
+            // disowned buckets: written by this base, now owned by a
+            // later partial base
+            val st = Files.list(p)
+            val buckets =
+              try st.iterator().asScala.toSeq.filter(
+                _.getFileName.toString.startsWith("bucket="))
+              finally st.close()
+            buckets.foreach { b =>
+              val k = b.getFileName.toString.drop(7).toInt
+              if (!owner.get(k).contains(seg.ord)) { deleteRecursively(b); removed += 1 }
+            }
+          }
+        }
+      }
+    } finally top.close()
+    removed
+  }
 
   // --- prefix state ---------------------------------------------------------
 

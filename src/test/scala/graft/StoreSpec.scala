@@ -93,6 +93,37 @@ class StoreSpec extends AnyFunSuite {
     assert(segs(1).split("-k")(1).split("_").length < 4)
   }
 
+  test("gc removes retired epoch segments and superseded bucket files; state unchanged") {
+    val dir = Files.createTempDirectory("qsgc")
+    val store = new QuadStore(spark, dir.toString, numBuckets = 4)
+    store.addQuads(0, (0 until 40).map(i => q(s"s$i", "1")))
+    store.addQuads(1, Seq(q("extra", "1")))
+    store.compact()
+    import spark.implicits._
+    store.commitOps(2, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/s0"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    store.compact() // partial base supersedes some buckets of the first
+    val before = store.count()
+    def segDirs() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("s")).toSet
+    val live = store.committedSegments().toSet
+    assert(segDirs() != live, "expected retired epoch dirs before gc")
+    val removed = store.gc()
+    assert(removed > 0)
+    assert(segDirs() == live, s"gc left non-live dirs: ${segDirs() -- live}")
+    // the first base keeps only the buckets it still owns
+    val firstBase = live.filter(_.matches("s\\d+-base")).head
+    val partial = live.filter(_.matches("s\\d+-base-k.*")).head
+    val superseded = partial.split("-k")(1).split("_").map(_.toInt).toSet
+    val kept = Files.list(dir.resolve(firstBase)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket="))
+      .map(_.drop(7).toInt).toSet
+    assert(kept.intersect(superseded).isEmpty, s"disowned buckets survive: $kept ∩ $superseded")
+    assert(store.count() == before)
+    // idempotent: a second pass removes nothing
+    assert(store.gc() == 0)
+  }
+
   test("a bucket emptied by deletes does not resurrect from the older base") {
     val store = new QuadStore(spark, Files.createTempDirectory("qsempty").toString,
       numBuckets = 2)
