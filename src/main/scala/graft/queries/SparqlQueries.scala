@@ -148,6 +148,36 @@ object SparqlQueries {
           col("predicate").getField("lex").as("p"),
           col("obj").getField("lex").as("o"))
         .orderBy(col("s"), col("p"), col("o"))
+    },
+    // ASK existence checks: a matching and a non-matching pattern
+    "sparql_ask" -> { (s, _) =>
+      val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
+      store.addQuads(0, Seq(graft.rdf.Quad(null, Term.iri(s"${NS}x"),
+        Term.iri(s"${NS}p"), Term.lit("v"))))
+      Sparql.execute(store.quads(), s"ASK { <${NS}x> ?p ?o }")
+        .unionByName(Sparql.execute(store.quads(), s"ASK { <${NS}missing> ?p ?o }"))
+        .orderBy(col("ask"))
+    },
+    // CONSTRUCT from a nation-derived store, checked against the
+    // relational truth
+    "sparql_construct" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val quads = rows.toSeq.map { case (k, rk) =>
+        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+          Term.typed(rk.toString, Term.XSD_INTEGER))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqcons").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"CONSTRUCT { ?s <${NS}region> ?rk } WHERE { ?s <${NS}regionkey> ?rk }")
+      res.select(
+          regexp_extract(col("subject").getField("lex"), "nation/(\\d+)$", 1)
+            .cast("int").as("n_nationkey"),
+          col("obj").getField("lex").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }
   )
 
@@ -169,6 +199,10 @@ object SparqlQueries {
            ('http://x/a', 'http://x/new', '1'),
            ('http://x/a', 'http://x/p', 'keep'),
            ('http://x/c', 'http://x/new', '3')) t(s, p, o)
-         ORDER BY s, p, o"""
+         ORDER BY s, p, o""",
+    "sparql_ask" ->
+      "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
+    "sparql_construct" ->
+      "SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -10,8 +10,11 @@ import graft.rdf.{RdfParseException, Term}
   * issues — the verification count
   * `SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }`
   * (DockerTestConfigFK.java:392-394) and the assembler's config probes
-  * (OPTIONAL-free BGPs) — plus BGP joins, GRAPH blocks, FILTER
-  * equality, ORDER BY and LIMIT.
+  * — plus BGP joins, GRAPH blocks, UNION, OPTIONAL, BIND(COALESCE),
+  * GROUP BY with COUNT, PREFIX prologues and prefixed names, FILTER
+  * (value-space `=`/`!=`/`<`/`>`/`<=`/`>=`, `&&`/`||`, var-vs-var),
+  * ORDER BY, LIMIT, DISTINCT, and the ASK and CONSTRUCT query forms.
+  * SPARQL Update lives in [[SparqlUpdate]].
   *
   * Compilation is fully declarative: each triple pattern becomes a
   * filtered projection of the quads DataFrame (constant terms are
@@ -41,11 +44,17 @@ object Sparql {
 
   sealed trait GroupElem
   final case class PatElem(tp: TriplePattern) extends GroupElem
-  final case class FilterElem(f: Filter) extends GroupElem
+  final case class FilterElem(f: FExpr) extends GroupElem
   final case class OptElem(inner: Pattern) extends GroupElem
   final case class BindElem(expr: VExpr, as: String) extends GroupElem
 
-  final case class Filter(v: String, op: String, value: Term)
+  /** FILTER expressions: comparisons over variables/constants composed
+    * with `&&` / `||` (SPARQL `ConditionalAndExpression`).
+    */
+  sealed trait FExpr
+  final case class FCmp(l: Node, op: String, r: Node) extends FExpr
+  final case class FAnd(l: FExpr, r: FExpr) extends FExpr
+  final case class FOr(l: FExpr, r: FExpr) extends FExpr
 
   /** Value expressions usable in BIND. */
   sealed trait VExpr
@@ -67,11 +76,38 @@ object Sparql {
       groupBy: Seq[String], orderBy: Seq[String], limit: Option[Int],
       distinct: Boolean)
 
+  /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
+    * CONSTRUCT instantiated quads.
+    */
+  sealed trait Request
+  final case class SelectReq(q: Query) extends Request
+  final case class AskReq(pattern: Pattern) extends Request
+  final case class ConstructReq(tpl: Seq[TriplePattern], pattern: Pattern,
+      limit: Option[Int]) extends Request
+
   /** Compile + run a query against a quads DataFrame (columns graph,
     * subject, predicate, obj — [[graft.store.QuadStore.quads]]).
+    * SELECT yields one column per projected variable; ASK a single
+    * `ask BOOLEAN` row; CONSTRUCT distinct quads columns.
     */
-  def execute(quads: DataFrame, queryText: String): DataFrame = {
-    val q = parse(queryText)
+  def execute(quads: DataFrame, queryText: String): DataFrame =
+    new Parser(queryText).parseRequest() match {
+      case SelectReq(q) => executeSelect(quads, q)
+      case AskReq(pattern) =>
+        // declarative existence check: LIMIT 1 stops the scan at the
+        // first solution, the aggregate turns presence into a boolean
+        compile(quads, pattern).select(lit(1).as("x")).limit(1)
+          .agg((count(lit(1)) > 0).as("ask"))
+      case ConstructReq(tpl, pattern, limit) =>
+        val sols0 = compile(quads, pattern)
+        val sols = limit.fold(sols0)(sols0.limit)
+        instantiate(sols, tpl).reduceOption(_.unionByName(_))
+          .map(_.dropDuplicates()) // a constructed graph is a SET of quads
+          .getOrElse(quads.limit(0).select(
+            Seq("graph", "subject", "predicate", "obj").map(col): _*))
+    }
+
+  private def executeSelect(quads: DataFrame, q: Query): DataFrame = {
     val bound = compile(quads, q.pattern)
     val projected = q.projection match {
       case SelectAll => bound
@@ -167,34 +203,63 @@ object Sparql {
     case VCoalesce(args) => coalesce(args.map(compileVExpr(base, termType, _)): _*)
   }
 
-  private def applyFilter(df: DataFrame, f: Filter): DataFrame = {
-    val c = col(f.v)
-    val t = termLit(f.value)
-    f.op match {
-      // SPARQL VALUE equality, not structural: "01"^^xsd:integer
-      // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
-      case "=" => df.filter(graft.functions.TermOps.termValueEquals(c, t))
-      case "!=" => df.filter(!graft.functions.TermOps.termValueEquals(c, t))
-      // ordering is VALUE-space too: "9"^^xsd:integer < "10"^^xsd:integer
-      // (numeric by BigDecimal; the lexical order is inverted there).
-      // SPARQL `<` is a type error (row dropped) for incomparable
-      // operand kinds; the constant side is known here, so the guard
-      // compiles to a pushable column predicate.
-      case "<" =>
-        df.filter(comparableWith(c, f.value) &&
-          graft.functions.TermOps.termValueCompare(c, t) < 0)
-      case ">" =>
-        df.filter(comparableWith(c, f.value) &&
-          graft.functions.TermOps.termValueCompare(c, t) > 0)
-      case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
-    }
+  private def applyFilter(df: DataFrame, f: FExpr): DataFrame =
+    df.filter(compileFilter(f))
+
+  private def operandCol(n: Node): Column = n match {
+    case Var(v) => col(v)
+    case Const(t) => termLit(t)
+  }
+
+  private def compileFilter(f: FExpr): Column = f match {
+    case FAnd(a, b) => compileFilter(a) && compileFilter(b)
+    case FOr(a, b) => compileFilter(a) || compileFilter(b)
+    case FCmp(l, op, r) =>
+      val lc = operandCol(l)
+      val rc = operandCol(r)
+      import graft.functions.TermOps
+      op match {
+        // SPARQL VALUE equality, not structural: "01"^^xsd:integer
+        // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
+        case "=" => TermOps.termValueEquals(lc, rc)
+        case "!=" => !TermOps.termValueEquals(lc, rc)
+        // ordering is VALUE-space too: "9"^^xsd:integer <
+        // "10"^^xsd:integer (numeric by BigDecimal; the lexical order
+        // is inverted there). SPARQL ordering ops are a type error
+        // (row dropped) for incomparable operand kinds.
+        case "<" => comparable(l, r) && TermOps.termValueCompare(lc, rc) < 0
+        case ">" => comparable(l, r) && TermOps.termValueCompare(lc, rc) > 0
+        case "<=" => comparable(l, r) && TermOps.termValueCompare(lc, rc) <= 0
+        case ">=" => comparable(l, r) && TermOps.termValueCompare(lc, rc) >= 0
+        case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
+      }
   }
 
   /** SPARQL ordering comparability (spec §17.3, operator mapping):
     * numeric-vs-numeric and string-vs-string compare; anything else is
-    * a type error, i.e. FILTER false. One side is a constant, so this
-    * resolves to a plain datatype/lang predicate on the column.
+    * a type error, i.e. FILTER false. With a constant side this
+    * resolves statically to a plain datatype/lang predicate on the
+    * other operand (pushable); var-vs-var takes the column form.
     */
+  private def comparable(l: Node, r: Node): Column = (l, r) match {
+    case (Const(t), v: Var) => comparableWith(operandCol(v), t)
+    case (v: Var, Const(t)) => comparableWith(operandCol(v), t)
+    case _ =>
+      val a = operandCol(l)
+      val b = operandCol(r)
+      when(isNumericLit(a) || isNumericLit(b), isNumericLit(a) && isNumericLit(b))
+        .when(isPlainString(a) || isPlainString(b), isPlainString(a) && isPlainString(b))
+        .otherwise(lit(true)) // IRI/blank/lang-tagged: total order (extension)
+  }
+
+  private def isNumericLit(c: Column): Column =
+    c.getField("termType") === Term.LIT &&
+      c.getField("datatype").isin(graft.functions.TermOps.NUMERIC_DATATYPES.toSeq: _*)
+
+  private def isPlainString(c: Column): Column =
+    c.getField("termType") === Term.LIT && c.getField("lang").isNull &&
+      (c.getField("datatype").isNull || c.getField("datatype") === Term.XSD_STRING)
+
   private def comparableWith(c: Column, t: Term): Column = {
     import graft.functions.TermOps.NUMERIC_DATATYPES
     val isLit = c.getField("termType") === Term.LIT
@@ -203,8 +268,7 @@ object Sparql {
       isLit && c.getField("datatype").isin(NUMERIC_DATATYPES.toSeq: _*)
     else if (t.termType == Term.LIT && t.lang == null &&
         (t.datatype == null || t.datatype == Term.XSD_STRING))
-      isLit && c.getField("lang").isNull &&
-        (c.getField("datatype").isNull || c.getField("datatype") === Term.XSD_STRING)
+      isPlainString(c)
     else lit(true) // IRI/blank/lang-tagged: total order (extension)
   }
 
@@ -213,6 +277,39 @@ object Sparql {
     */
   private[sparql] def solve(quads: DataFrame, pattern: Pattern): DataFrame =
     compile(quads, pattern)
+
+  /** Instantiate triple-pattern templates from a solutions DataFrame
+    * (CONSTRUCT and the update DELETE/INSERT templates): each pattern
+    * becomes a column selection over the bindings — vars project their
+    * column, constants become literal term structs. Instantiations
+    * using an unbound variable are skipped (spec §16.2 / §3.1.3.2).
+    * One DataFrame per pattern, quad columns only.
+    */
+  private[sparql] def instantiate(sols: DataFrame,
+      tpl: Seq[TriplePattern]): Seq[DataFrame] = {
+    val termType = org.apache.spark.sql.types.StructType(
+      Seq("termType", "lex", "datatype", "lang")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    tpl.flatMap { tp =>
+      val slots = Seq(
+        tp.graph.getOrElse(Const(null)) -> "graph",
+        tp.s -> "subject", tp.p -> "predicate", tp.o -> "obj")
+      val vars = slots.collect { case (Var(n), _) => n }
+      // a template var absent from the solutions is unbound in every
+      // row → the whole pattern instantiates to nothing
+      if (vars.exists(v => !sols.columns.contains(v))) None
+      else {
+        val cols = slots.map {
+          case (Var(n), as) => col(n).as(as)
+          case (Const(null), as) => lit(null).cast(termType).as(as)
+          case (Const(t), as) => termLit(t).as(as)
+        }
+        val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
+        Some(bound.select(cols: _*))
+      }
+    }
+  }
 
   private[sparql] def termLit(t: Term): Column =
     struct(lit(t.termType).as("termType"), lit(t.lex).as("lex"),
@@ -258,6 +355,35 @@ object Sparql {
     */
   private[sparql] final class Parser(text: String) {
     private[sparql] var pos = 0
+
+    /** Full request: prologue + SELECT | ASK | CONSTRUCT. */
+    def parseRequest(): Request = {
+      parsePrologue()
+      if (tryKeyword("ASK")) {
+        val pattern = parseGroup()
+        expectEnd()
+        AskReq(pattern)
+      } else if (tryKeyword("CONSTRUCT")) {
+        val tpl = parseGroup() match {
+          case Group(elems) => elems.map {
+            case PatElem(tp) => tp
+            case other => fail(
+              s"CONSTRUCT template allows only triple patterns, found ${other.getClass.getSimpleName}")
+          }
+          case _ => fail("CONSTRUCT template cannot contain UNION")
+        }
+        keyword("WHERE")
+        val pattern = parseGroup()
+        val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+        expectEnd()
+        ConstructReq(tpl, pattern, limit)
+      } else SelectReq(parseQuery())
+    }
+
+    private def expectEnd(): Unit = {
+      skipWs()
+      if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
+    }
 
     def parseQuery(): Query = {
       parsePrologue()
@@ -346,18 +472,9 @@ object Sparql {
             }
           } else if (tryKeyword("FILTER")) {
             expect('(')
-            val v = parseVar()
-            skipWs()
-            val op =
-              if (tryToken("!=")) "!=" else if (tryToken("=")) "="
-              else if (tryToken("<")) "<" else if (tryToken(">")) ">"
-              else fail("expected comparison operator")
-            val value = parseNode() match {
-              case Const(t) => t
-              case _ => fail("FILTER value must be a constant")
-            }
+            val f = parseFilterOr()
             expect(')')
-            elems += FilterElem(Filter(v, op, value))
+            elems += FilterElem(f)
           } else {
             val s = parseNode(); val p = parseNode(); val o = parseNode()
             elems += PatElem(TriplePattern(None, s, p, o))
@@ -366,6 +483,36 @@ object Sparql {
           }
         }
         Group(elems.toSeq)
+      }
+    }
+
+    // FILTER grammar: or := and ('||' and)* ; and := cmp ('&&' cmp)* ;
+    // cmp := '(' or ')' | operand OP operand — standard precedence,
+    // parenthesized sub-expressions allowed
+    private def parseFilterOr(): FExpr = {
+      var e = parseFilterAnd()
+      while (tryToken("||")) e = FOr(e, parseFilterAnd())
+      e
+    }
+
+    private def parseFilterAnd(): FExpr = {
+      var e = parseFilterCmp()
+      while (tryToken("&&")) e = FAnd(e, parseFilterCmp())
+      e
+    }
+
+    private def parseFilterCmp(): FExpr = {
+      skipWs()
+      if (peek == '(') { expect('('); val e = parseFilterOr(); expect(')'); e }
+      else {
+        val l = parseNode()
+        skipWs()
+        val op =
+          if (tryToken("!=")) "!=" else if (tryToken("<=")) "<="
+          else if (tryToken(">=")) ">=" else if (tryToken("=")) "="
+          else if (tryToken("<")) "<" else if (tryToken(">")) ">"
+          else fail("expected comparison operator")
+        FCmp(l, op, parseNode())
       }
     }
 
@@ -488,7 +635,7 @@ object Sparql {
       text.substring(start, pos).toInt
     }
 
-    private[sparql] def peek: Char = if (pos < text.length) text.charAt(pos) else ' '
+    private[sparql] def peek: Char = if (pos < text.length) text.charAt(pos) else '\u0000'
     private[sparql] def skipWs(): Unit =
       while (pos < text.length && text.charAt(pos).isWhitespace) pos += 1
     private[sparql] def expect(c: Char): Unit = {

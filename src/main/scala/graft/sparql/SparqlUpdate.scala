@@ -2,7 +2,6 @@ package graft.sparql
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.rdf.{Quad, RdfParseException, Term}
 
@@ -145,34 +144,13 @@ object SparqlUpdate {
     */
   def resolveModify(state: DataFrame, m: ModifyOp, seq: Long): Option[DataFrame] = {
     val sols = Sparql.solve(state, m.where)
+    def tag(df: DataFrame, op: String, s: Long): DataFrame =
+      df.select(Seq(lit(op).as("op"), lit(s).as("seq")) ++
+        Seq("graph", "subject", "predicate", "obj").map(col): _*)
     val parts =
-      instantiate(sols, m.deleteTpl, "D", seq) ++
-      instantiate(sols, m.insertTpl, "A", seq + 1)
+      Sparql.instantiate(sols, m.deleteTpl).map(tag(_, "D", seq)) ++
+      Sparql.instantiate(sols, m.insertTpl).map(tag(_, "A", seq + 1))
     parts.reduceOption(_.unionByName(_))
-  }
-
-  private def instantiate(sols: DataFrame, tpl: Seq[TriplePattern],
-      op: String, seq: Long): Seq[DataFrame] = {
-    val termType = StructType(Seq("termType", "lex", "datatype", "lang")
-      .map(StructField(_, StringType)))
-    tpl.flatMap { tp =>
-      val slots = Seq(
-        tp.graph.getOrElse(Const(null)) -> "graph",
-        tp.s -> "subject", tp.p -> "predicate", tp.o -> "obj")
-      val vars = slots.collect { case (Var(n), _) => n }
-      // a template var absent from the solutions is unbound in every
-      // row → the whole pattern instantiates to nothing
-      if (vars.exists(v => !sols.columns.contains(v))) None
-      else {
-        val cols = slots.map {
-          case (Var(n), as) => col(n).as(as)
-          case (Const(null), as) => lit(null).cast(termType).as(as)
-          case (Const(t), as) => Sparql.termLit(t).as(as)
-        }
-        val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
-        Some(bound.select(Seq(lit(op).as("op"), lit(seq).as("seq")) ++ cols: _*))
-      }
-    }
   }
 
   /** Resolve CLEAR/DROP to delete rows: a graph filter over `state`

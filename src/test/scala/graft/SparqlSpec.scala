@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.connect._
+import graft.rdf.Term
 import graft.sparql.Sparql
 import graft.store.QuadStore
 
@@ -203,5 +204,54 @@ class SparqlSpec extends AnyFunSuite {
     val limited = Sparql.execute(store.quads(),
       "SELECT ?v { ?s ?p ?v } ORDER BY ?v LIMIT 2").collect()
     assert(limited.map(_.getStruct(0).getString(1)).toSeq == Seq("1", "2"))
+  }
+
+  test("ASK: true when the pattern matches, false otherwise") {
+    val store = ingest(DATA_NQ -> "application/n-quads")
+    def ask(q: String) = Sparql.execute(store.quads(), q).collect().head.getBoolean(0)
+    assert(ask("ASK { <http://example/s1> ?p ?o }"))
+    assert(!ask("ASK { <http://example/nope> ?p ?o }"))
+  }
+
+  test("CONSTRUCT instantiates the template per solution, as a set") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "alice" .
+         |<http://x/b> <http://x/name> "bob" .
+         |<http://x/a> <http://x/nick> "al" .
+         |""".stripMargin) -> "application/n-quads")
+    val quads = Sparql.execute(store.quads(),
+      """PREFIX x: <http://x/>
+        |CONSTRUCT { ?s x:label ?n . ?s a x:Person }
+        |WHERE { { ?s x:name ?n } UNION { ?s x:nick ?n } }""".stripMargin)
+      .collect()
+    val labels = quads.filter(_.getStruct(2).getString(1) == "http://x/label")
+      .map(r => (r.getStruct(1).getString(1), r.getStruct(3).getString(1))).toSet
+    assert(labels == Set(("http://x/a", "alice"), ("http://x/a", "al"),
+      ("http://x/b", "bob")))
+    // rdf:type quads are DEDUPED across the three solutions for x/a,x/b
+    val types = quads.filter(_.getStruct(2).getString(1) == Term.RDF_TYPE)
+    assert(types.length == 2)
+  }
+
+  test("FILTER compound && / || and var-vs-var comparison") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/lo> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/a> <http://x/hi> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/lo> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/hi> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    // var-vs-var: numeric value order, not lexical ("5" < "10" holds)
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/lo> ?lo . ?s <http://x/hi> ?hi . FILTER(?lo < ?hi) }""")
+      .collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
+    val both = Sparql.execute(store.quads(),
+      s"""SELECT ?s { ?s <http://x/lo> ?lo . FILTER(?lo = "5"^^<${Term.XSD_INTEGER}> || ?lo >= "7"^^<${Term.XSD_INTEGER}>) }""")
+      .collect()
+    assert(both.length == 2)
+    val and = Sparql.execute(store.quads(),
+      s"""SELECT ?s { ?s <http://x/lo> ?lo . FILTER(?lo > "1"^^<${Term.XSD_INTEGER}> && ?lo < "6"^^<${Term.XSD_INTEGER}>) }""")
+      .collect()
+    assert(and.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
   }
 }
