@@ -320,17 +320,27 @@ object Sparql {
     * struct fields (pushable); the default graph is `graph IS NULL`,
     * `GRAPH ?g` binds only named graphs (SPARQL dataset semantics).
     */
+  /** Constant-term match as LEAF-FIELD comparisons rather than one
+    * struct <=>: parquet cannot evaluate a struct equality against
+    * row-group statistics, but `subject.lex = '…'` maps to a column
+    * predicate on the leaf and skips row groups/pages at 100 TB.
+    */
+  private def termEqFields(c: String, t: Term): Column =
+    col(s"$c.termType") === t.termType && col(s"$c.lex") === t.lex &&
+      col(s"$c.datatype") <=> lit(t.datatype).cast("string") &&
+      col(s"$c.lang") <=> lit(t.lang).cast("string")
+
   private def compilePattern(quads: DataFrame, tp: TriplePattern): DataFrame = {
     var df = tp.graph match {
       case None => quads.filter(col("graph").isNull)
-      case Some(Const(t)) => quads.filter(col("graph") <=> termLit(t))
+      case Some(Const(t)) => quads.filter(termEqFields("graph", t))
       case Some(Var(_)) => quads.filter(col("graph").isNotNull)
     }
     val slots: Seq[(String, Node)] = Seq(
       "subject" -> tp.s, "predicate" -> tp.p, "obj" -> tp.o) ++
       tp.graph.collect { case v: Var => "graph" -> (v: Node) }
     slots.foreach {
-      case (c, Const(t)) => df = df.filter(col(c) <=> termLit(t))
+      case (c, Const(t)) => df = df.filter(termEqFields(c, t))
       case _ => ()
     }
     // bind variables; repeated vars within the pattern force equality

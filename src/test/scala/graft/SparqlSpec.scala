@@ -206,6 +206,18 @@ class SparqlSpec extends AnyFunSuite {
     assert(limited.map(_.getStruct(0).getString(1)).toSeq == Seq("1", "2"))
   }
 
+  test("constant-term filters reach the parquet scan as leaf-field pushdowns") {
+    val store = ingest(DATA_NQ -> "application/n-quads")
+    store.compact() // empty tail → the BGP compiles onto a bare base scan
+    val df = Sparql.execute(store.quads(),
+      "SELECT ?o { <http://example/s1> <http://example/p1> ?o }")
+    val scan = df.queryExecution.executedPlan.toString
+    // struct <=> would push nothing parquet can evaluate; the
+    // field-wise compile yields leaf predicates with usable stats
+    assert(scan.contains("PushedFilters: [") &&
+      scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
+  }
+
   test("ASK: true when the pattern matches, false otherwise") {
     val store = ingest(DATA_NQ -> "application/n-quads")
     def ask(q: String) = Sparql.execute(store.quads(), q).collect().head.getBoolean(0)
