@@ -325,7 +325,7 @@ object Sparql {
     * row-group statistics, but `subject.lex = '…'` maps to a column
     * predicate on the leaf and skips row groups/pages at 100 TB.
     */
-  private def termEqFields(c: String, t: Term): Column =
+  private[sparql] def termEqFields(c: String, t: Term): Column =
     col(s"$c.termType") === t.termType && col(s"$c.lex") === t.lex &&
       col(s"$c.datatype") <=> lit(t.datatype).cast("string") &&
       col(s"$c.lang") <=> lit(t.lang).cast("string")

@@ -161,7 +161,9 @@ object SparqlUpdate {
       case "DEFAULT" => state.filter(col("graph").isNull)
       case "NAMED" => state.filter(col("graph").isNotNull)
       case "ALL" => state
-      case "GRAPH" => state.filter(col("graph") <=> Sparql.termLit(c.graph.get))
+      // leaf-field form so graph.lex pushes to the scan (cf.
+      // Sparql.termEqFields)
+      case "GRAPH" => state.filter(Sparql.termEqFields("graph", c.graph.get))
     }
     filtered.select(Seq(lit("D").as("op"), lit(seq).as("seq")) ++
       Seq("graph", "subject", "predicate", "obj").map(col): _*)
