@@ -65,6 +65,20 @@ object PipelineQueries {
           array_min(col("fp")).as("fp_min"))
         .orderBy(col("doc_id"))
     },
+    // the corpus carries no natural PII, so redaction would pass
+    // vacuously; plant a deterministic URL/email/IP/id suffix per doc
+    // and exact-compare the scrubbed text against the oracle's replay
+    "pl_pii_scrub" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or see https://ex.example/p/"), col("doc_id").cast("string"),
+          lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".7 ref 9876543"), col("doc_id").cast("string")).as("text"))
+      planted
+        .select(col("doc_id"), TextAnalysis.scrubText(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
     "pl_dedup_exact" -> { (s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper_id"))
     },
@@ -175,6 +189,21 @@ object PipelineQueries {
       """SELECT source, COUNT(*) AS n_docs,
                 SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS n_toks
          FROM documents GROUP BY source ORDER BY source""",
+    "pl_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || doc_id::VARCHAR ||
+                   '@mail.example or see https://ex.example/p/' || doc_id::VARCHAR ||
+                   ' from 10.0.' || (doc_id % 200)::VARCHAR ||
+                   '.7 ref 9876543' || doc_id::VARCHAR,
+                   'https?://[^ ]+', '<URL>', 'g'),
+                 '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
     "pl_fingerprint" ->
       """SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min FROM (
            SELECT doc_id, list_distinct([ list_min(g[j:j+3]) for j in range(1, len(g)-2) ]) AS fp

@@ -94,6 +94,24 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  /** PII / boilerplate scrub: redact URLs, email addresses, IPv4
+    * addresses, and long digit runs (phone numbers, account ids) with
+    * typed placeholders — the standard pre-training privacy pass.
+    *
+    * Pure chained `regexp_replace` (codegen'd, one pass per pattern,
+    * no UDF, no shuffle). Order is semantic: URLs first so an email
+    * or digit run INSIDE a URL redacts as part of the URL, IPs before
+    * bare digit runs so octets don't half-match. Patterns stay within
+    * the syntax Java regex and RE2 share, so the DuckDB oracle can
+    * replay the transform exactly.
+    */
+  def scrubText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>")
+    val noIp = regexp_replace(noEmail, "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>")
+    regexp_replace(noIp, "[0-9]{6,}", "<NUM>")
+  }
+
   /** Winnowing document fingerprint (rolling-hash): hash every k-char
     * gram (md5 prefix — engine-portable), keep the minimum hash of each
     * sliding window of w grams, dedup. Returns the array of selected

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Behavior the DuckDB oracle can't observe: recall of the sketch-based
   * candidate generators on planted duplicates, LSH ANN recall vs the
@@ -114,5 +114,23 @@ class PipelineSpec extends AnyFunSuite {
     val cands = Dedup.lshCandidates(withSh, "id",
       graft.functions.Sketches.minhashBandKeys(col("sh"))).count()
     assert(cands < n * (n - 1) / 4, s"candidate set too dense: $cands of ${n * (n - 1) / 2}")
+  }
+
+  test("PII scrub redacts urls, emails, IPs, digit runs; order prevents partials") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to alice.b@corp.example today",
+      "see https://a.example/path?id=1234567&u=bob@x.example please",
+      "host 192.168.100.200 port 80",
+      "ref 12345678 but keep 12345",
+      "clean text stays clean")
+      .toDF("text").select(TextAnalysis.scrubText($"text").as("s"))
+      .as[String].collect()
+    assert(rows(0) == "write to <EMAIL> today")
+    // the email and digit run inside the URL vanish WITH the URL
+    assert(rows(1) == "see <URL> please")
+    assert(rows(2) == "host <IP> port 80")
+    assert(rows(3) == "ref <NUM> but keep 12345")
+    assert(rows(4) == "clean text stays clean")
   }
 }
