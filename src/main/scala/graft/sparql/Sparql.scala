@@ -84,6 +84,9 @@ object Sparql {
   final case class AskReq(pattern: Pattern) extends Request
   final case class ConstructReq(tpl: Seq[TriplePattern], pattern: Pattern,
       limit: Option[Int]) extends Request
+  /** DESCRIBE: resources by IRI and/or variables bound by WHERE. */
+  final case class DescribeReq(nodes: Seq[Node], pattern: Option[Pattern])
+    extends Request
 
   /** Compile + run a query against a quads DataFrame (columns graph,
     * subject, predicate, obj — [[graft.store.QuadStore.quads]]).
@@ -105,6 +108,27 @@ object Sparql {
           .map(_.dropDuplicates()) // a constructed graph is a SET of quads
           .getOrElse(quads.limit(0).select(
             Seq("graph", "subject", "predicate", "obj").map(col): _*))
+      case DescribeReq(nodes, pattern) =>
+        // minimal (non-CBD) description: every quad whose subject is a
+        // described resource. Constant IRIs become pushable subject
+        // filters; WHERE-bound variables a distinct semi-join.
+        val consts = nodes.collect { case Const(t) => t }
+        val constPart = consts
+          .map(t => quads.filter(termEqFields("subject", t)))
+          .reduceOption(_.unionByName(_))
+        val varNames = nodes.collect { case Var(n) => n }
+        val varPart = pattern.filter(_ => varNames.nonEmpty).flatMap { p =>
+          val sols = compile(quads, p)
+          varNames.filter(sols.columns.contains)
+            .map(n => sols.select(col(n).as("s")).filter(col("s").isNotNull))
+            .reduceOption(_.unionByName(_)).map(_.distinct())
+            .map { subjects =>
+              quads.join(subjects, quads("subject") <=> subjects("s"), "left_semi")
+            }
+        }
+        (constPart.toSeq ++ varPart.toSeq).reduceOption(_.unionByName(_))
+          .map(_.dropDuplicates())
+          .getOrElse(quads.limit(0))
     }
 
   private def executeSelect(quads: DataFrame, q: Query): DataFrame = {
@@ -387,6 +411,17 @@ object Sparql {
         val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
         expectEnd()
         ConstructReq(tpl, pattern, limit)
+      } else if (tryKeyword("DESCRIBE")) {
+        val nodes = scala.collection.mutable.ArrayBuffer[Node]()
+        skipWs()
+        while (pos < text.length && (peek == '?' || peek == '<')) {
+          nodes += parseNode(); skipWs()
+        }
+        if (nodes.isEmpty) fail("DESCRIBE needs at least one IRI or variable")
+        val pattern =
+          if (tryKeyword("WHERE")) Some(parseGroup()) else None
+        expectEnd()
+        DescribeReq(nodes.toSeq, pattern)
       } else SelectReq(parseQuery())
     }
 
@@ -480,6 +515,9 @@ object Sparql {
                 }
               case _ => fail("GRAPH block must contain a basic pattern")
             }
+            // Quads grammar allows '.' between GRAPH blocks and triples
+            skipWs()
+            if (pos < text.length && peek == '.') pos += 1
           } else if (tryKeyword("FILTER")) {
             expect('(')
             val f = parseFilterOr()

@@ -14,8 +14,9 @@ import graft.rdf.{Quad, RdfParseException, Term}
   *  - `INSERT DATA { quads }` / `DELETE DATA { quads }` (GRAPH blocks
   *    allowed; DELETE DATA rejects blank nodes per spec §3.1.2)
   *  - `DELETE WHERE { pattern }`
-  *  - `DELETE { tpl } INSERT { tpl } WHERE { pattern }` (either
-  *    template optional)
+  *  - `[WITH <g>] DELETE { tpl } INSERT { tpl } WHERE { pattern }`
+  *    (either template optional; WITH sets the default graph for
+  *    templates and un-GRAPHed WHERE patterns, spec §3.1.3)
   *  - `CLEAR [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)`; `DROP` is
   *    an alias (the store has no empty-graph existence, spec note)
   *
@@ -72,23 +73,55 @@ object SparqlUpdate {
   }
 
   private def parseOne(p: Parser): UpdateOp = {
-    if (p.tryKeyword("INSERT")) {
-      if (p.tryKeyword("DATA")) QuadDataOp("A", parseQuadData(p, allowBlank = true))
-      else {
+    // WITH <g>: default graph for the modify form's templates and any
+    // WHERE pattern without an explicit GRAPH (spec §3.1.3)
+    val withGraph: Option[Node] =
+      if (p.tryKeyword("WITH")) p.parseNode() match {
+        case c @ Const(t) if t.isIri => Some(c)
+        case _ => throw new RdfParseException("WITH expects an IRI")
+      } else None
+    def g(tps: Seq[TriplePattern]): Seq[TriplePattern] = withGraph match {
+      case None => tps
+      case Some(n) => tps.map(tp => if (tp.graph.isEmpty) tp.copy(graph = Some(n)) else tp)
+    }
+    def gp(pat: Pattern): Pattern = withGraph match {
+      case None => pat
+      case Some(_) => pat match {
+        case Group(elems) => Group(elems.map {
+          case PatElem(tp) if tp.graph.isEmpty => PatElem(g(Seq(tp)).head)
+          case OptElem(inner) => OptElem(gp(inner))
+          case other => other
+        })
+        case Union(bs) => Union(bs.map(gp))
+      }
+    }
+    val isInsert = p.tryKeyword("INSERT")
+    val isDelete = !isInsert && p.tryKeyword("DELETE")
+    if (withGraph.isDefined && !isInsert && !isDelete)
+      throw new RdfParseException("WITH applies only to DELETE/INSERT forms")
+    if (isInsert) {
+      if (p.tryKeyword("DATA")) {
+        if (withGraph.isDefined)
+          throw new RdfParseException("WITH applies only to DELETE/INSERT ... WHERE")
+        QuadDataOp("A", parseQuadData(p, allowBlank = true))
+      } else {
         val tpl = parseTemplate(p)
         p.keyword("WHERE")
-        ModifyOp(Seq.empty, tpl, p.parseGroup())
+        ModifyOp(Seq.empty, g(tpl), gp(p.parseGroup()))
       }
-    } else if (p.tryKeyword("DELETE")) {
-      if (p.tryKeyword("DATA")) QuadDataOp("D", parseQuadData(p, allowBlank = false))
-      else if (p.tryKeyword("WHERE")) {
-        val pat = p.parseGroup()
+    } else if (isDelete) {
+      if (p.tryKeyword("DATA")) {
+        if (withGraph.isDefined)
+          throw new RdfParseException("WITH applies only to DELETE/INSERT ... WHERE")
+        QuadDataOp("D", parseQuadData(p, allowBlank = false))
+      } else if (p.tryKeyword("WHERE")) {
+        val pat = gp(p.parseGroup())
         ModifyOp(patternsOf(pat), Seq.empty, pat)
       } else {
         val del = parseTemplate(p)
         val ins = if (p.tryKeyword("INSERT")) parseTemplate(p) else Seq.empty
         p.keyword("WHERE")
-        ModifyOp(del, ins, p.parseGroup())
+        ModifyOp(g(del), g(ins), gp(p.parseGroup()))
       }
     } else if (p.tryKeyword("CLEAR") || p.tryKeyword("DROP")) {
       p.tryKeyword("SILENT")

@@ -123,6 +123,34 @@ class UpdateSpec extends AnyFunSuite {
     assert(dlq.events.size == 1)
   }
 
+  test("WITH <g> scopes templates and WHERE to the graph; INSERT-only WHERE works") {
+    val store = ingest(
+      """PREFIX x: <http://x/>
+        |INSERT DATA { GRAPH x:g { x:a x:old "1" } . x:a x:old "default" } ;
+        |WITH x:g DELETE { ?s x:old ?o } INSERT { ?s x:new ?o } WHERE { ?s x:old ?o } ;
+        |INSERT { ?s x:flag "y" } WHERE { ?s x:old ?o }""".stripMargin -> CT_RU)
+    val st = stateNT(store)
+    // the WITH-modify touched ONLY graph g; the default-graph quad kept
+    // its predicate and then got flagged by the graph-less INSERT WHERE
+    assert(st == Set(
+      ("http://x/g", "http://x/a", "http://x/new", "1"),
+      (null, "http://x/a", "http://x/old", "default"),
+      (null, "http://x/a", "http://x/flag", "y")))
+  }
+
+  test("DESCRIBE returns all quads about a resource (constant and WHERE-bound)") {
+    val store = ingest(
+      """PREFIX x: <http://x/>
+        |INSERT DATA { x:a x:p "1" . x:a x:q "2" . x:b x:p "3" . x:c x:kind x:b }""".stripMargin -> CT_RU)
+    val direct = Sparql.execute(store.quads(), "DESCRIBE <http://x/a>").collect()
+    assert(direct.map(_.getStruct(2).getString(1)).toSet ==
+      Set("http://x/p", "http://x/q"))
+    val bound = Sparql.execute(store.quads(),
+      """PREFIX x: <http://x/>
+        |DESCRIBE ?s WHERE { ?c x:kind ?s }""".stripMargin).collect()
+    assert(bound.length == 1 && bound.head.getStruct(1).getString(1) == "http://x/b")
+  }
+
   test("SELECT queries also accept PREFIX prologues and pnames") {
     val store = ingest(
       """PREFIX x: <http://x/>
