@@ -157,9 +157,27 @@ object Sparql {
     }
     val distinct = if (q.distinct) projected.dropDuplicates() else projected
     val ordered = if (q.orderBy.nonEmpty)
-      distinct.orderBy(q.orderBy.map(v => col(v).getField("lex")): _*)
+      distinct.orderBy(q.orderBy.flatMap(sortKeys): _*)
     else distinct
     q.limit.fold(ordered)(ordered.limit)
+  }
+
+  /** ORDER BY keys in VALUE space (spec §15.1): unbound < blank < IRI
+    * < literal, numeric literals by numeric value (lexical order would
+    * put "10" before "9"), other literals by lexical form — the same
+    * type-grouped total order the FILTER comparators use. Plain
+    * columns, so the sort stays a regular Exchange+Sort (TopK with
+    * LIMIT), no custom ordering physical op.
+    */
+  private def sortKeys(v: String): Seq[Column] = {
+    val c = col(v)
+    val rank = when(c.isNull, 0)
+      .when(c.getField("termType") === Term.BLANK, 1)
+      .when(c.getField("termType") === Term.IRI, 2)
+      .otherwise(3)
+    val numv = when(isNumericLit(c), c.getField("lex").cast("double"))
+      .otherwise(lit(null).cast("double"))
+    Seq(rank, numv, c.getField("lex"))
   }
 
   // --- compiler -------------------------------------------------------------

@@ -218,6 +218,16 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("ORDER BY sorts numeric literals by value, not lexically") {
+    val store = ingest(
+      (Seq(9, 10, 2, 100).map(i =>
+        s"""<http://x/s$i> <http://x/p> "$i"^^<${Term.XSD_INTEGER}> .""")
+        .mkString("", "\n", "\n")) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?v { ?s <http://x/p> ?v } ORDER BY ?v").collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("2", "9", "10", "100"))
+  }
+
   test("ASK: true when the pattern matches, false otherwise") {
     val store = ingest(DATA_NQ -> "application/n-quads")
     def ask(q: String) = Sparql.execute(store.quads(), q).collect().head.getBoolean(0)
