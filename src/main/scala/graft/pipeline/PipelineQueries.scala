@@ -65,6 +65,10 @@ object PipelineQueries {
           array_min(col("fp")).as("fp_min"))
         .orderBy(col("doc_id"))
     },
+    "pl_tfidf_topterms" -> { (s, dir) =>
+      CorpusStats.topTerms(t(s, dir, "documents"))
+        .orderBy(col("id"), col("token"))
+    },
     // the corpus carries no natural PII, so redaction would pass
     // vacuously; plant a deterministic URL/email/IP/id suffix per doc
     // and exact-compare the scrubbed text against the oracle's replay
@@ -189,6 +193,18 @@ object PipelineQueries {
       """SELECT source, COUNT(*) AS n_docs,
                 SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS n_toks
          FROM documents GROUP BY source ORDER BY source""",
+    "pl_tfidf_topterms" ->
+      """WITH tok AS (
+           SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+         SELECT id, token, tf, df FROM (
+           SELECT tf.id, tf.token, tf.tf, df.df,
+                  row_number() OVER (PARTITION BY tf.id
+                    ORDER BY tf.tf::DOUBLE / df.df DESC, tf.token) AS rn
+           FROM tf JOIN df USING (token))
+         WHERE rn <= 3 ORDER BY id, token""",
     "pl_pii_scrub" ->
       """SELECT doc_id,
            regexp_replace(
