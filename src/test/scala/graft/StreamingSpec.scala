@@ -49,6 +49,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(dlq.count() == 1)
     assert(dlq.select("_corrupt").as[String].head().nonEmpty)
     assert(store.committedSegments().size == 2) // one segment per micro-batch
+
+    // a WELL-FORMED sparql-update event is sequential-by-nature: the
+    // unordered bulk path must DLQ it (reason, not parse error), not
+    // silently drop or apply it
+    stream.addData(rawEvent(4, "INSERT DATA { <http://g/d> <http://g/p> \"4\" }",
+      "application/sparql-update"))
+    val q3 = IngestPipeline.startStream(events, store, Some(dlqDir), None, ckpt,
+      Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(store.count() == 3, "update applied through the unordered path")
+    val dlq2 = spark.read.parquet(dlqDir)
+    assert(dlq2.count() == 2)
+    assert(dlq2.select("_corrupt").as[String].collect()
+      .exists(_.contains("ordered projector path")))
   }
 
   test("mapGroupsWithState: running per-key counts survive across micro-batches") {
