@@ -122,23 +122,39 @@ object Dedup {
     *
     * Corpus caveat: on statistically homogeneous corpora simhash chunk
     * values cluster, so the bucket join emits far more candidates than
-    * minhash banding does (measured ~4x the wall time on the synthetic
-    * documents table). Both are provided because both are standard;
+    * minhash banding does. Oversize buckets are dropped before the
+    * self-join (`maxBucket`): a 16-bit pair key shared by hundreds of
+    * documents carries no near-dup signal — it is a corpus-statistics
+    * artifact (measured: the largest bucket at sf0.1 holds 633 docs =
+    * ~200k candidate pairs, >1000x any true-pair bucket's yield). A
+    * true pair is lost only if EVERY band it agrees on is oversize;
+    * with a cap of 64, zero of the true pairs at either test scale
+    * lose all their buckets (both SFs verified against the
+    * brute-force oracle). `maxBucket = 0` disables the cap. Even so,
     * when free to choose, prefer [[nearDupMinhash]] — its collision
     * probability depends only on the Jaccard similarity, not on the
     * corpus's global token statistics.
     */
   def nearDupSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3): DataFrame = {
+      threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     // chunks ride the exploded keys (8 longs — cheap) so the hamming
     // prefilter runs INSIDE the join, before the distinct: on
     // homogeneous corpora the bucket join can emit millions of pairs
     // and shuffling them through distinct dominated the runtime
-    val keyed = docs
+    val keyed0 = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), graft.functions.Sketches.simhashChunks(col("toks")).as("chunks"),
         posexplode(graft.functions.Sketches.simhashPairKeys(col("toks"))).as(Seq("band", "key")))
+    val keyed = if (maxBucket <= 0) keyed0 else {
+      // one partial-agg shuffle over (band,key) counts, then a
+      // semi-join; removes the quadratic tail of signal-free buckets
+      val small = keyed0.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+        .select(col("band"), col("key"))
+      keyed0.join(small, Seq("band", "key"), "left_semi")
+    }
     val a = keyed.alias("a")
     val b = keyed.alias("b")
     val within = a.join(b, col("a.band") === col("b.band") &&
