@@ -149,6 +149,33 @@ object SparqlQueries {
           col("obj").getField("lex").as("o"))
         .orderBy(col("s"), col("p"), col("o"))
     },
+    // numeric aggregates over typed-literal values, grouped, checked
+    // against the relational truth (SUM/MIN/MAX exact through DECIMAL;
+    // AVG covered in SparqlSpec where division exactness is controlled)
+    "sparql_agg_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val quads = rows.toSeq.flatMap { case (k, rk) =>
+        Seq(
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER)),
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+            Term.typed(k.toString, Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqagg").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?rk (SUM(?k) AS ?sum_k) (MIN(?k) AS ?min_k) (MAX(?k) AS ?max_k)
+            { ?s <${NS}regionkey> ?rk . ?s <${NS}key> ?k }
+            GROUP BY ?rk""")
+      res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
+          col("sum_k").cast("long").as("sum_k"),
+          col("min_k").cast("long").as("min_k"),
+          col("max_k").cast("long").as("max_k"))
+        .orderBy(col("n_regionkey"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
@@ -200,6 +227,12 @@ object SparqlQueries {
            ('http://x/a', 'http://x/p', 'keep'),
            ('http://x/c', 'http://x/new', '3')) t(s, p, o)
          ORDER BY s, p, o""",
+    "sparql_agg_funcs" ->
+      """SELECT n_regionkey,
+                SUM(n_nationkey)::BIGINT AS sum_k,
+                MIN(n_nationkey)::BIGINT AS min_k,
+                MAX(n_nationkey)::BIGINT AS max_k
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->

@@ -67,10 +67,15 @@ object Sparql {
   final case class SelectItems(items: Seq[SelectItem]) extends Projection
   sealed trait SelectItem
   final case class ItemVar(name: String) extends SelectItem
-  /** `(COUNT(*) AS ?x)` (arg None) or `(COUNT(?v) AS ?x)` — COUNT(?v)
-    * counts rows where ?v is bound, per SPARQL aggregate semantics.
+  /** `(FUNC(?v) AS ?x)` for FUNC ∈ COUNT, SUM, MIN, MAX, AVG; COUNT
+    * also takes `*`. COUNT(?v) counts rows where ?v is bound, per
+    * SPARQL aggregate semantics; the numeric aggregates operate on
+    * the NUMERIC VALUE of literal bindings (exact DECIMAL
+    * accumulation — cross-engine-stable for integer inputs; a bare
+    * double sum would drift).
     */
-  final case class ItemAgg(arg: Option[String], as: String) extends SelectItem
+  final case class ItemAgg(func: String, arg: Option[String], as: String)
+    extends SelectItem
 
   final case class Query(projection: Projection, pattern: Pattern,
       groupBy: Seq[String], orderBy: Seq[String], limit: Option[Int],
@@ -144,15 +149,23 @@ object Sparql {
         items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
           .foreach(n => throw new RdfParseException(
             s"projected variable ?$n is not in GROUP BY"))
-        val aggCols = items.collect { case ItemAgg(arg, as) =>
-          arg.fold(count(lit(1)))(v => count(col(v))).as(as)
+        def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
+        val aggCols = items.collect { case ItemAgg(func, arg, as) =>
+          (func match {
+            case "COUNT" => arg.fold(count(lit(1)))(v => count(col(v)))
+            case "SUM" => sum(numVal(arg.get))
+            case "AVG" => avg(numVal(arg.get))
+            case "MIN" => min(numVal(arg.get))
+            case "MAX" => max(numVal(arg.get))
+            case other => throw new RdfParseException(s"unsupported aggregate $other")
+          }).as(as)
         }
         val grouped =
           if (q.groupBy.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
           else bound.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         grouped.select(items.map {
           case ItemVar(n) => col(n)
-          case ItemAgg(_, as) => col(as)
+          case ItemAgg(_, _, as) => col(as)
         }: _*)
     }
     val distinct = if (q.distinct) projected.dropDuplicates() else projected
@@ -475,14 +488,20 @@ object Sparql {
         if (peek == '?') items += ItemVar(parseVar())
         else if (peek == '(') {
           pos += 1
-          keyword("COUNT"); expect('(')
+          val func = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
+            .find(tryKeyword).getOrElse(fail("expected an aggregate function"))
+          expect('(')
           skipWs()
-          val arg = if (peek == '*') { pos += 1; None } else Some(parseVar())
+          val arg =
+            if (peek == '*') {
+              if (func != "COUNT") fail(s"$func requires a ?variable argument")
+              pos += 1; None
+            } else Some(parseVar())
           expect(')')
           keyword("AS")
           val as = parseVar()
           expect(')')
-          items += ItemAgg(arg, as)
+          items += ItemAgg(func, arg, as)
         } else done = true
       }
       if (items.isEmpty) fail("expected projection variables or aggregates")

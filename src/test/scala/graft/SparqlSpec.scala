@@ -218,6 +218,22 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("SUM/MIN/MAX/AVG aggregate the numeric value of literals") {
+    val store = ingest(
+      (Seq(("a", 10), ("a", 2), ("b", 9)).map { case (g, v) =>
+        s"""<http://x/$g> <http://x/v> "$v"^^<${Term.XSD_INTEGER}> ."""
+      }.mkString("", "\n", "\n")) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s (SUM(?v) AS ?sum) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (AVG(?v) AS ?m)
+        |{ ?s <http://x/v> ?v } GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .collect()
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDecimal(i).doubleValue()
+    assert(rows.length == 2)
+    assert(d(rows(0), 1) == 12.0 && d(rows(0), 2) == 2.0 &&
+      d(rows(0), 3) == 10.0 && d(rows(0), 4) == 6.0)
+    assert(d(rows(1), 1) == 9.0 && d(rows(1), 4) == 9.0)
+  }
+
   test("ORDER BY sorts numeric literals by value, not lexically") {
     val store = ingest(
       (Seq(9, 10, 2, 100).map(i =>
