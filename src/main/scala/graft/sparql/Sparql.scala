@@ -47,6 +47,13 @@ object Sparql {
   final case class FilterElem(f: FExpr) extends GroupElem
   final case class OptElem(inner: Pattern) extends GroupElem
   final case class BindElem(expr: VExpr, as: String) extends GroupElem
+  /** `VALUES` inline data: one row per binding tuple; None = UNDEF.
+    * An UNDEF cell leaves the variable unbound (null); note the join
+    * is null-safe, so UNDEF matches only unbound — SPARQL's wildcard
+    * UNDEF in a shared position is not supported.
+    */
+  final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
+    extends GroupElem
 
   /** FILTER expressions: comparisons over variables/constants composed
     * with `&&` / `||` (SPARQL `ConditionalAndExpression`).
@@ -227,6 +234,14 @@ object Sparql {
           acc = Some(base.withColumn(as, compileVExpr(base, termType, expr)))
         case FilterElem(f) =>
           acc = Some(applyFilter(cur, f))
+        case ValuesElem(vars, rows) =>
+          val data = rows.map { r =>
+            unitDf(quads).select(vars.zip(r).map {
+              case (v, Some(t)) => termLit(t).as(v)
+              case (v, None) => lit(null).cast(termType).as(v)
+            }: _*)
+          }.reduce(_.unionByName(_))
+          acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
       }
       cur
   }
@@ -560,6 +575,31 @@ object Sparql {
             val f = parseFilterOr()
             expect(')')
             elems += FilterElem(f)
+          } else if (tryKeyword("VALUES")) {
+            skipWs()
+            val vars =
+              if (peek == '(') {
+                expect('('); val vs = parseVarList(); expect(')'); vs
+              } else Seq(parseVar())
+            val single = vars.size == 1
+            expect('{')
+            val rows = scala.collection.mutable.ArrayBuffer[Seq[Option[Term]]]()
+            skipWs()
+            while (peek != '}') {
+              val cells =
+                if (single) Seq(parseValuesCell())
+                else {
+                  expect('(')
+                  val cs = vars.map(_ => parseValuesCell())
+                  expect(')')
+                  cs
+                }
+              rows += cells
+              skipWs()
+            }
+            expect('}')
+            if (rows.isEmpty) fail("VALUES needs at least one data row")
+            elems += ValuesElem(vars, rows.toSeq)
           } else {
             val s = parseNode(); val p = parseNode(); val o = parseNode()
             elems += PatElem(TriplePattern(None, s, p, o))
@@ -570,6 +610,13 @@ object Sparql {
         Group(elems.toSeq)
       }
     }
+
+    private def parseValuesCell(): Option[Term] =
+      if (tryKeyword("UNDEF")) None
+      else parseNode() match {
+        case Const(t) => Some(t)
+        case _ => fail("VALUES data must be constant terms or UNDEF")
+      }
 
     // FILTER grammar: or := and ('||' and)* ; and := cmp ('&&' cmp)* ;
     // cmp := '(' or ')' | operand OP operand — standard precedence,

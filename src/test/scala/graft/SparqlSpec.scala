@@ -218,6 +218,26 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("VALUES restricts solutions to the inline data") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/c> <http://x/p> "3" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?v { ?s <http://x/p> ?v
+        |VALUES ?s { <http://x/a> <http://x/c> } } ORDER BY ?s""".stripMargin)
+      .collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq ==
+      Seq("http://x/a", "http://x/c"))
+    // multi-var form with a full tuple match
+    val tup = Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ?v
+        |VALUES (?s ?v) { (<http://x/a> "1") (<http://x/b> "9") } }""".stripMargin)
+      .collect()
+    assert(tup.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
+  }
+
   test("SUM/MIN/MAX/AVG aggregate the numeric value of literals") {
     val store = ingest(
       (Seq(("a", 10), ("a", 2), ("b", 9)).map { case (g, v) =>
