@@ -86,7 +86,7 @@ object Sparql {
 
   final case class Query(projection: Projection, pattern: Pattern,
       groupBy: Seq[String], orderBy: Seq[String], limit: Option[Int],
-      distinct: Boolean)
+      offset: Option[Int], distinct: Boolean)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
     * CONSTRUCT instantiated quads.
@@ -179,7 +179,8 @@ object Sparql {
     val ordered = if (q.orderBy.nonEmpty)
       distinct.orderBy(q.orderBy.flatMap(sortKeys): _*)
     else distinct
-    q.limit.fold(ordered)(ordered.limit)
+    val offsetted = q.offset.fold(ordered)(ordered.offset)
+    q.limit.fold(offsetted)(offsetted.limit)
   }
 
   /** ORDER BY keys in VALUE space (spec §15.1): unbound < blank < IRI
@@ -488,9 +489,10 @@ object Sparql {
       val orderBy =
         if (tryKeyword("ORDER")) { keyword("BY"); parseVarList() } else Seq.empty
       val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+      val offset = if (tryKeyword("OFFSET")) Some(parseInt()) else None
       skipWs()
       if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
-      Query(projection, pattern, groupBy, orderBy, limit, distinct)
+      Query(projection, pattern, groupBy, orderBy, limit, offset, distinct)
     }
 
     private def parseProjection(): Projection = {

@@ -40,7 +40,13 @@ class EndToEndSpec extends AnyFunSuite {
       ("<http://example/s1> <http://example/p1> <http://example/o1> .\n",
         "application/n-quads"),
       ("TX .\nA <http://example/s> <http://example/p> \"two\" <http://example/patch> .\nTC .\n",
-        "application/rdf-patch")
+        "application/rdf-patch"),
+      // a .ru event through the same stream: adds one quad, rewrites
+      // the turtle event's object via DELETE/INSERT WHERE
+      ("""PREFIX ex: <http://example/>
+         |INSERT DATA { ex:u ex:p "upd" } ;
+         |DELETE { ex:s ex:p ?o } INSERT { ex:s ex:p2 ?o } WHERE { ex:s ex:p ?o }""".stripMargin,
+        "application/sparql-update")
     ).zipWithIndex.map { case ((body, ct), i) =>
       Event("RDF", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
         Map("Content-Type" -> ct))
@@ -61,19 +67,23 @@ class EndToEndSpec extends AnyFunSuite {
       "SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }")
       .collect().head.getLong(0)
     var n = counted()
-    while (n != 3L && System.currentTimeMillis() < deadline) {
+    while (n != 4L && System.currentTimeMillis() < deadline) {
       Thread.sleep(250); n = counted()
     }
     engine.stop()
-    assert(n == 3L)
-    assert(rc.offsets.loadOffset("RDF", 0).contains(3L))
+    assert(n == 4L)
+    assert(rc.offsets.loadOffset("RDF", 0).contains(4L))
+    // the update's modify rewrote the turtle event's predicate
+    def ask(q: String) = Sparql.execute(store.quads(), q).collect().head.getBoolean(0)
+    assert(ask("ASK { <http://example/s> <http://example/p2> <http://example/o> }"))
+    assert(!ask("ASK { <http://example/s> <http://example/p> <http://example/o> }"))
 
     // restart under the Sync policy: stored offsets mean nothing replays
     val engine2 = new Engine(factory, cfg => new QuadStoreSink(spark, store))
     engine2.start(configs)
     Thread.sleep(300)
     engine2.stop()
-    assert(counted() == 3L)
+    assert(counted() == 4L)
     assert(store.committedSegments().nonEmpty)
   }
 }

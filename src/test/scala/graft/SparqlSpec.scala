@@ -204,6 +204,9 @@ class SparqlSpec extends AnyFunSuite {
     val limited = Sparql.execute(store.quads(),
       "SELECT ?v { ?s ?p ?v } ORDER BY ?v LIMIT 2").collect()
     assert(limited.map(_.getStruct(0).getString(1)).toSeq == Seq("1", "2"))
+    val paged = Sparql.execute(store.quads(),
+      "SELECT ?v { ?s ?p ?v } ORDER BY ?v LIMIT 2 OFFSET 1").collect()
+    assert(paged.map(_.getStruct(0).getString(1)).toSeq == Seq("2", "3"))
   }
 
   test("constant-term filters reach the parquet scan as leaf-field pushdowns") {
