@@ -176,6 +176,25 @@ object SparqlQueries {
           col("max_k").cast("long").as("max_k"))
         .orderBy(col("n_regionkey"))
     },
+    // transitive closure over a chain built from nation keys
+    // (k → k+1); the oracle replays it with a recursive CTE
+    "sparql_path" -> { (s, dir) =>
+      import s.implicits._
+      val keys = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+      val quads = keys.toSeq.filter(_ < keys.max).map { k =>
+        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}next"),
+          Term.iri(s"${NS}nation/${k + 1}"))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqpath").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"SELECT ?s ?o { ?s <${NS}next>+ ?o }")
+      res.select(
+          regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("s"),
+          regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
+        .orderBy(col("s"), col("o"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
@@ -233,6 +252,15 @@ object SparqlQueries {
                 MIN(n_nationkey)::BIGINT AS min_k,
                 MAX(n_nationkey)::BIGINT AS max_k
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "sparql_path" ->
+      """WITH RECURSIVE edges AS (
+           SELECT n_nationkey AS s, n_nationkey + 1 AS o FROM nation
+           WHERE n_nationkey < (SELECT max(n_nationkey) FROM nation)),
+         reach(s, o) AS (
+           SELECT s, o FROM edges
+           UNION
+           SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s)
+         SELECT s::INT AS s, o::INT AS o FROM reach ORDER BY s, o""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->

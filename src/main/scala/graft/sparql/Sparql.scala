@@ -55,6 +55,27 @@ object Sparql {
   final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
     extends GroupElem
 
+  /** Property-path expressions (SPARQL §9). Sequence, alternative and
+    * inverse desugar to joins/unions at compile time; `+` and `*`
+    * compile to a distributed transitive-closure fixpoint (doubling
+    * joins — O(log diameter) rounds, each fully parallel).
+    */
+  sealed trait PathExpr
+  final case class PLink(iri: Term) extends PathExpr
+  final case class PInv(p: PathExpr) extends PathExpr
+  final case class PSeq(l: PathExpr, r: PathExpr) extends PathExpr
+  final case class PAlt(l: PathExpr, r: PathExpr) extends PathExpr
+  final case class PPlus(p: PathExpr) extends PathExpr
+  final case class PStar(p: PathExpr) extends PathExpr
+  final case class POpt(p: PathExpr) extends PathExpr
+
+  /** A triple whose predicate is a non-trivial path. Restricted to the
+    * default graph and constant GRAPH contexts (a path inside
+    * `GRAPH ?g` would need per-graph closures).
+    */
+  final case class PathElem(graph: Option[Node], s: Node, path: PathExpr,
+      o: Node) extends GroupElem
+
   /** FILTER expressions: comparisons over variables/constants composed
     * with `&&` / `||` (SPARQL `ConditionalAndExpression`).
     */
@@ -243,8 +264,97 @@ object Sparql {
             }: _*)
           }.reduce(_.unionByName(_))
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
+        case PathElem(graph, s, path, o) =>
+          var pairs = pathPairs(quads, graph, path)
+          s match {
+            case Const(t) => pairs = pairs.filter(col("ps") <=> termLit(t))
+            case _ => ()
+          }
+          o match {
+            case Const(t) => pairs = pairs.filter(col("po") <=> termLit(t))
+            case _ => ()
+          }
+          (s, o) match {
+            case (Var(a), Var(b)) if a == b =>
+              pairs = pairs.filter(col("ps") <=> col("po"))
+            case _ => ()
+          }
+          val proj = Seq(s -> "ps", o -> "po")
+            .collect { case (Var(n), c) => (n, c) }.toMap // dedups ?x path ?x
+          val bound = pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*)
+          acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
       cur
+  }
+
+  /** Evaluate a path expression to a (ps, po) pair relation. */
+  private def pathPairs(quads: DataFrame, graph: Option[Node],
+      p: PathExpr): DataFrame = p match {
+    case PLink(t) =>
+      val scoped = graph match {
+        case None => quads.filter(col("graph").isNull)
+        case Some(Const(g)) => quads.filter(termEqFields("graph", g))
+        case Some(Var(_)) => throw new RdfParseException(
+          "property paths inside GRAPH ?var are not supported")
+      }
+      scoped.filter(termEqFields("predicate", t))
+        .select(col("subject").as("ps"), col("obj").as("po"))
+    case PInv(i) =>
+      pathPairs(quads, graph, i).select(col("po").as("ps"), col("ps").as("po"))
+    case PSeq(l, r) =>
+      val a = pathPairs(quads, graph, l).alias("l")
+      val b = pathPairs(quads, graph, r).alias("r")
+      a.join(b, col("l.po") <=> col("r.ps"))
+        .select(col("l.ps").as("ps"), col("r.po").as("po"))
+    case PAlt(l, r) =>
+      pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r)).distinct()
+    case PPlus(i) => closure(pathPairs(quads, graph, i))
+    case PStar(i) =>
+      closure(pathPairs(quads, graph, i))
+        .unionByName(identityPairs(quads, graph)).distinct()
+    case POpt(i) =>
+      pathPairs(quads, graph, i)
+        .unionByName(identityPairs(quads, graph)).distinct()
+  }
+
+  /** Zero-length path: every node of the (scoped) graph to itself
+    * (spec: all terms; restricted here to terms occurring as subject
+    * or object, the practically queryable set).
+    */
+  private def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
+    val scoped = graph match {
+      case None => quads.filter(col("graph").isNull)
+      case Some(Const(g)) => quads.filter(termEqFields("graph", g))
+      case Some(Var(_)) => throw new RdfParseException(
+        "property paths inside GRAPH ?var are not supported")
+    }
+    scoped.select(col("subject").as("n"))
+      .unionByName(scoped.select(col("obj").as("n"))).distinct()
+      .select(col("n").as("ps"), col("n").as("po"))
+  }
+
+  /** Distributed transitive closure by doubling: each round joins the
+    * closure with itself, so diameter d needs ⌈log2 d⌉ rounds, every
+    * round a fully-parallel join + distinct. The driver only CONTROLS
+    * the loop (a count per round decides the fixpoint — an aggregate,
+    * not a collect); `localCheckpoint` truncates the growing lineage
+    * so round N's plan does not replay rounds 1..N-1. On a cluster the
+    * same loop runs with a reliable checkpoint dir.
+    */
+  private def closure(edges: DataFrame): DataFrame = {
+    var cur = edges.distinct().localCheckpoint()
+    var size = cur.count()
+    var fixed = false
+    while (!fixed) {
+      val next = cur.alias("l")
+        .join(cur.alias("r"), col("l.po") <=> col("r.ps"))
+        .select(col("l.ps").as("ps"), col("r.po").as("po"))
+        .unionByName(cur).distinct().localCheckpoint()
+      val n = next.count()
+      if (n == size) fixed = true
+      else { size = n; cur = next }
+    }
+    cur
   }
 
   /** SPARQL join of two binding sets: null-safe equi-join on shared
@@ -562,9 +672,11 @@ object Sparql {
             val g = parseNode()
             parseGroup() match {
               case Group(es) if es.forall(e =>
-                  e.isInstanceOf[PatElem] || e.isInstanceOf[FilterElem]) =>
+                  e.isInstanceOf[PatElem] || e.isInstanceOf[FilterElem] ||
+                  e.isInstanceOf[PathElem]) =>
                 elems ++= es.map {
                   case PatElem(tp) => PatElem(tp.copy(graph = Some(g)))
+                  case pe: PathElem => pe.copy(graph = Some(g))
                   case other => other
                 }
               case _ => fail("GRAPH block must contain a basic pattern")
@@ -603,14 +715,71 @@ object Sparql {
             if (rows.isEmpty) fail("VALUES needs at least one data row")
             elems += ValuesElem(vars, rows.toSeq)
           } else {
-            val s = parseNode(); val p = parseNode(); val o = parseNode()
-            elems += PatElem(TriplePattern(None, s, p, o))
+            val s = parseNode()
+            val pred = parsePredicate()
+            val o = parseNode()
+            pred match {
+              case Left(p) => elems += PatElem(TriplePattern(None, s, p, o))
+              case Right(path) => elems += PathElem(None, s, path, o)
+            }
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
           }
         }
         Group(elems.toSeq)
       }
+    }
+
+    /** Predicate position: a plain node (IRI/var/`a`) or a property
+      * path. Path grammar: alt := seq ('|' seq)* ; seq := elt ('/'
+      * elt)* ; elt := '^'? prim ('+'|'*'|'?')? ; prim := iri | '('
+      * alt ')'. A modifier must touch its operand (`ex:p?` is a
+      * modifier, `ex:p ?o` is the object variable).
+      */
+    private def parsePredicate(): Either[Node, PathExpr] = {
+      skipWs()
+      if (peek == '?') Left(Var(parseVar()))
+      else {
+        val path = parsePathAlt()
+        path match {
+          case PLink(t) => Left(Const(t))
+          case p => Right(p)
+        }
+      }
+    }
+
+    private def parsePathAlt(): PathExpr = {
+      var e = parsePathSeq()
+      skipWs()
+      while (pos < text.length && peek == '|') { pos += 1; e = PAlt(e, parsePathSeq()); skipWs() }
+      e
+    }
+
+    private def parsePathSeq(): PathExpr = {
+      var e = parsePathElt()
+      skipWs()
+      while (pos < text.length && peek == '/') { pos += 1; e = PSeq(e, parsePathElt()); skipWs() }
+      e
+    }
+
+    private def parsePathElt(): PathExpr = {
+      skipWs()
+      val inv = if (peek == '^') { pos += 1; true } else false
+      val prim: PathExpr =
+        if (peek == '(') { pos += 1; val e = parsePathAlt(); expect(')'); e }
+        else parseNode() match {
+          case Const(t) if t.isIri => PLink(t)
+          case _ => fail("a path element must be an IRI or a parenthesized path")
+        }
+      // modifiers bind only when directly adjacent (no whitespace)
+      val modified =
+        if (pos < text.length) text.charAt(pos) match {
+          case '+' => pos += 1; PPlus(prim)
+          case '*' => pos += 1; PStar(prim)
+          case '?' => pos += 1; POpt(prim)
+          case _ => prim
+        } else prim
+      if (inv) PInv(modified) else modified
     }
 
     private def parseValuesCell(): Option[Term] =

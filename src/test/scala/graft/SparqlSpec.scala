@@ -221,6 +221,39 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("property paths: sequence, alternative, inverse") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> <http://x/b> .
+         |<http://x/b> <http://x/q> <http://x/c> .
+         |<http://x/a> <http://x/r> <http://x/d> .
+         |""".stripMargin) -> "application/n-quads")
+    def iris(q: String) = Sparql.execute(store.quads(), q).collect()
+      .map(_.getStruct(0).getString(1)).toSeq.sorted
+    assert(iris("SELECT ?o { <http://x/a> <http://x/p>/<http://x/q> ?o }") ==
+      Seq("http://x/c"))
+    assert(iris("SELECT ?o { <http://x/a> <http://x/p>|<http://x/r> ?o }") ==
+      Seq("http://x/b", "http://x/d"))
+    assert(iris("SELECT ?s { <http://x/b> ^<http://x/p> ?s }") ==
+      Seq("http://x/a"))
+  }
+
+  test("property paths: + computes the distributed transitive closure") {
+    // chain a0 -> a1 -> ... -> a9 plus a side edge
+    val chain = (0 until 9).map(i =>
+      s"<http://x/a$i> <http://x/next> <http://x/a${i + 1}> .").mkString("\n")
+    val store = ingest((chain + "\n") -> "application/n-quads")
+    val reach = Sparql.execute(store.quads(),
+      "SELECT ?o { <http://x/a0> <http://x/next>+ ?o }").collect()
+    assert(reach.length == 9) // a1..a9 — full closure, not one hop
+    val all = Sparql.execute(store.quads(),
+      "SELECT ?s ?o { ?s <http://x/next>+ ?o }").collect()
+    assert(all.length == 45) // 10 choose 2 ordered pairs along a chain
+    // * adds the zero-length identity on every node
+    val star = Sparql.execute(store.quads(),
+      "SELECT ?s ?o { ?s <http://x/next>* ?o }").collect()
+    assert(star.length == 45 + 10)
+  }
+
   test("VALUES restricts solutions to the inline data") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
