@@ -83,6 +83,13 @@ object Sparql {
   final case class FCmp(l: Node, op: String, r: Node) extends FExpr
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
+  final case class FNot(e: FExpr) extends FExpr
+  /** REGEX(?v, "pat" [, "flags"]) — flags subset: i. */
+  final case class FRegex(v: Node, pattern: String, flags: String) extends FExpr
+  /** CONTAINS / STRSTARTS / STRENDS over the lexical form. */
+  final case class FStrFn(func: String, v: Node, arg: String) extends FExpr
+  /** BOUND / isIRI / isBLANK / isLITERAL. */
+  final case class FTest(func: String, v: String) extends FExpr
 
   /** Value expressions usable in BIND. */
   sealed trait VExpr
@@ -385,16 +392,41 @@ object Sparql {
   }
 
   private def applyFilter(df: DataFrame, f: FExpr): DataFrame =
-    df.filter(compileFilter(f))
+    df.filter(compileFilter(f, df.columns.toSet))
 
   private def operandCol(n: Node): Column = n match {
     case Var(v) => col(v)
     case Const(t) => termLit(t)
   }
 
-  private def compileFilter(f: FExpr): Column = f match {
-    case FAnd(a, b) => compileFilter(a) && compileFilter(b)
-    case FOr(a, b) => compileFilter(a) || compileFilter(b)
+  private def compileFilter(f: FExpr, bound: Set[String]): Column = f match {
+    case FAnd(a, b) => compileFilter(a, bound) && compileFilter(b, bound)
+    case FOr(a, b) => compileFilter(a, bound) || compileFilter(b, bound)
+    case FNot(e) =>
+      // SPARQL error semantics: an error inside NOT stays an error
+      // (row dropped) — Spark's three-valued !null matches exactly
+      !compileFilter(e, bound)
+    case FRegex(v, pattern, flags) =>
+      val pat = if (flags.contains("i")) "(?i)" + pattern else pattern
+      operandCol(v).getField("lex").rlike(pat)
+    case FStrFn(func, v, arg) =>
+      val lex = operandCol(v).getField("lex")
+      func match {
+        case "CONTAINS" => lex.contains(arg)
+        case "STRSTARTS" => lex.startsWith(arg)
+        case "STRENDS" => lex.endsWith(arg)
+        case other => throw new RdfParseException(s"unsupported string test $other")
+      }
+    case FTest(func, v) =>
+      // BOUND of a never-projected var is statically false
+      if (!bound.contains(v)) lit(false)
+      else func match {
+        case "BOUND" => col(v).isNotNull
+        case "ISIRI" | "ISURI" => col(v).getField("termType") === Term.IRI
+        case "ISBLANK" => col(v).getField("termType") === Term.BLANK
+        case "ISLITERAL" => col(v).getField("termType") === Term.LIT
+        case other => throw new RdfParseException(s"unsupported test $other")
+      }
     case FCmp(l, op, r) =>
       val lc = operandCol(l)
       val rc = operandCol(r)
@@ -807,7 +839,29 @@ object Sparql {
     private def parseFilterCmp(): FExpr = {
       skipWs()
       if (peek == '(') { expect('('); val e = parseFilterOr(); expect(')'); e }
-      else {
+      else if (peek == '!' && pos + 1 < text.length && text.charAt(pos + 1) != '=') {
+        pos += 1
+        FNot(parseFilterCmp())
+      } else if (tryKeyword("REGEX")) {
+        expect('('); val v = parseNode(); expect(',')
+        val pat = parseStringLit()
+        skipWs()
+        val flags = if (peek == ',') { pos += 1; parseStringLit() } else ""
+        expect(')')
+        FRegex(v, pat, flags)
+      } else if (tryKeyword("CONTAINS") || tryKeyword("STRSTARTS") ||
+                 tryKeyword("STRENDS")) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
+        expect('('); val v = parseNode(); expect(',')
+        val arg = parseStringLit()
+        expect(')')
+        FStrFn(func, v, arg)
+      } else if (tryKeyword("BOUND") || tryKeyword("ISIRI") || tryKeyword("ISURI") ||
+                 tryKeyword("ISBLANK") || tryKeyword("ISLITERAL")) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
+        expect('('); val v = parseVar(); expect(')')
+        FTest(func, v)
+      } else {
         val l = parseNode()
         skipWs()
         val op =
@@ -817,6 +871,11 @@ object Sparql {
           else fail("expected comparison operator")
         FCmp(l, op, parseNode())
       }
+    }
+
+    private def parseStringLit(): String = parseNode() match {
+      case Const(t) if t.isLit => t.lex
+      case _ => fail("expected a string literal")
     }
 
     private def parseVExpr(): VExpr = {

@@ -221,6 +221,30 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("FILTER functions: REGEX, CONTAINS, STRSTARTS, BOUND, isIRI, negation") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "Alice Smith" .
+         |<http://x/b> <http://x/name> "bob jones" .
+         |<http://x/a> <http://x/link> <http://x/b> .
+         |""".stripMargin) -> "application/n-quads")
+    def subs(q: String) = Sparql.execute(store.quads(), q).collect()
+      .map(_.getStruct(0).getString(1)).toSeq.sorted
+    assert(subs("""SELECT ?s { ?s <http://x/name> ?n FILTER(REGEX(?n, "^alice", "i")) }""") ==
+      Seq("http://x/a"))
+    assert(subs("""SELECT ?s { ?s <http://x/name> ?n FILTER(CONTAINS(?n, "jones")) }""") ==
+      Seq("http://x/b"))
+    assert(subs("""SELECT ?s { ?s <http://x/name> ?n FILTER(STRSTARTS(?n, "Alice")) }""") ==
+      Seq("http://x/a"))
+    assert(subs("""SELECT ?s { ?s ?p ?o FILTER(isIRI(?o)) }""") == Seq("http://x/a"))
+    assert(subs("""SELECT ?s { ?s <http://x/name> ?n FILTER(!CONTAINS(?n, "jones")) }""") ==
+      Seq("http://x/a"))
+    // BOUND over an OPTIONAL: only subjects WITHOUT a link survive
+    assert(subs(
+      """SELECT ?s { ?s <http://x/name> ?n
+        |OPTIONAL { ?s <http://x/link> ?l } FILTER(!BOUND(?l)) }""".stripMargin) ==
+      Seq("http://x/b"))
+  }
+
   test("property paths: sequence, alternative, inverse") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> <http://x/b> .
