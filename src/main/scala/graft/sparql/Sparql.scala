@@ -10,11 +10,15 @@ import graft.rdf.{RdfParseException, Term}
   * issues — the verification count
   * `SELECT (count(*) AS ?C) { { ?s ?p ?o } UNION { GRAPH ?g { ?s ?p ?o } } }`
   * (DockerTestConfigFK.java:392-394) and the assembler's config probes
-  * — plus BGP joins, GRAPH blocks, UNION, OPTIONAL, BIND(COALESCE),
-  * GROUP BY with COUNT, PREFIX prologues and prefixed names, FILTER
-  * (value-space `=`/`!=`/`<`/`>`/`<=`/`>=`, `&&`/`||`, var-vs-var),
-  * ORDER BY, LIMIT, DISTINCT, and the ASK and CONSTRUCT query forms.
-  * SPARQL Update lives in [[SparqlUpdate]].
+  * — plus BGP joins, GRAPH blocks, UNION, OPTIONAL,
+  * BIND(COALESCE/STR/LANG/DATATYPE), VALUES, property paths
+  * (`/ | ^ + * ?` — transitive closure as a distributed fixpoint),
+  * FILTER (value-space `=`/`!=`/`<`/`>`/`<=`/`>=`, `&&`/`||`/`!`,
+  * var-vs-var, REGEX/CONTAINS/STRSTARTS/STRENDS/BOUND/type tests),
+  * GROUP BY with COUNT/SUM/MIN/MAX/AVG, PREFIX prologues and prefixed
+  * names, ORDER BY in value space, LIMIT/OFFSET, DISTINCT, and the
+  * ASK / CONSTRUCT / DESCRIBE query forms. SPARQL Update lives in
+  * [[SparqlUpdate]].
   *
   * Compilation is fully declarative: each triple pattern becomes a
   * filtered projection of the quads DataFrame (constant terms are
@@ -96,6 +100,8 @@ object Sparql {
   final case class VVar(name: String) extends VExpr
   final case class VConst(term: Term) extends VExpr
   final case class VCoalesce(args: Seq[VExpr]) extends VExpr
+  /** STR / LANG / DATATYPE accessors (spec §17.4.2). */
+  final case class VFn(func: String, arg: VExpr) extends VExpr
 
   sealed trait Projection
   case object SelectAll extends Projection
@@ -389,6 +395,27 @@ object Sparql {
       if (base.columns.contains(n)) col(n) else lit(null).cast(termType)
     case VConst(t) => termLit(t)
     case VCoalesce(args) => coalesce(args.map(compileVExpr(base, termType, _)): _*)
+    case VFn(func, arg) =>
+      val a = compileVExpr(base, termType, arg)
+      def strTerm(lex: Column) = when(a.isNull, lit(null).cast(termType))
+        .otherwise(struct(lit(Term.LIT).as("termType"), lex.as("lex"),
+          lit(null).cast("string").as("datatype"), lit(null).cast("string").as("lang")))
+      func match {
+        case "STR" => strTerm(a.getField("lex"))
+        case "LANG" =>
+          // only defined for literals; "" when no language tag
+          when(a.getField("termType") === Term.LIT,
+            strTerm(coalesce(a.getField("lang"), lit(""))))
+            .otherwise(lit(null).cast(termType))
+        case "DATATYPE" =>
+          when(a.getField("termType") === Term.LIT,
+            struct(lit(Term.IRI).as("termType"),
+              coalesce(a.getField("datatype"), lit(Term.XSD_STRING)).as("lex"),
+              lit(null).cast("string").as("datatype"),
+              lit(null).cast("string").as("lang")))
+            .otherwise(lit(null).cast(termType))
+        case other => throw new RdfParseException(s"unsupported function $other")
+      }
   }
 
   private def applyFilter(df: DataFrame, f: FExpr): DataFrame =
@@ -880,7 +907,13 @@ object Sparql {
 
     private def parseVExpr(): VExpr = {
       skipWs()
-      if (tryKeyword("COALESCE")) {
+      if (tryKeyword("STR") || tryKeyword("LANG") || tryKeyword("DATATYPE")) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
+        expect('(')
+        val a = parseVExpr()
+        expect(')')
+        VFn(func, a)
+      } else if (tryKeyword("COALESCE")) {
         expect('(')
         val args = scala.collection.mutable.ArrayBuffer[VExpr]()
         args += parseVExpr()

@@ -221,6 +221,21 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("BIND STR/LANG/DATATYPE accessors") {
+    val store = ingest(
+      (s"""<http://x/a> <http://x/p> "hej"@sv .
+          |<http://x/b> <http://x/p> "7"^^<${Term.XSD_INTEGER}> .
+          |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?str ?lang ?dt { ?s <http://x/p> ?o
+        |BIND(STR(?o) AS ?str) BIND(LANG(?o) AS ?lang)
+        |BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?s""".stripMargin).collect()
+    def f(r: org.apache.spark.sql.Row, i: Int) = r.getStruct(i).getString(1)
+    assert(f(rows(0), 1) == "hej" && f(rows(0), 2) == "sv")
+    assert(f(rows(1), 1) == "7" && f(rows(1), 2) == "" &&
+      f(rows(1), 3) == Term.XSD_INTEGER)
+  }
+
   test("FILTER functions: REGEX, CONTAINS, STRSTARTS, BOUND, isIRI, negation") {
     val store = ingest(
       ("""<http://x/a> <http://x/name> "Alice Smith" .
