@@ -124,6 +124,10 @@ object PipelineQueries {
       val embs = t(s, dir, "embeddings")
       Similarity.lshRecall(embs, embs.filter(col("vec_id") % 25 === 0))
     },
+    "pl_ann_ivf" -> { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.ivfRecall(embs, embs.filter(col("vec_id") % 25 === 0))
+    },
     "pl_multimodal" -> { (s, dir) =>
       Multimodal.pipeline(s, t(s, dir, "documents"))
         .groupBy(col("source"))
@@ -251,6 +255,9 @@ object PipelineQueries {
     // (recall 0.955 >= 0.9 contract; swept in Similarity.lshTopK doc).
     "pl_ann_lsh" ->
       """SELECT 20::BIGINT AS n_queries, 191::BIGINT AS total_hits,
+                true AS mean_recall_ge_09""",
+    "pl_ann_ivf" ->
+      """SELECT 20::BIGINT AS n_queries, 188::BIGINT AS total_hits,
                 true AS mean_recall_ge_09""",
     "pl_ann_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (

@@ -112,16 +112,127 @@ object Similarity {
     * the mean recall is exposed only as a >= 0.9 boolean so no
     * cross-engine float formatting is involved.
     */
+  /** IVF (inverted-file) top-k — the other classic ANN scale path
+    * next to LSH: a coarse quantizer of `nlist` centroids partitions
+    * the corpus into cells (at 100 TB the assignment is computed once
+    * and persisted beside the vectors); a query probes its `nprobe`
+    * closest cells and reranks exactly inside them, touching about
+    * nprobe/nlist of the corpus.
+    *
+    * Training is `iters` Lloyd rounds executed as DataFrame
+    * aggregations (assign: argmax dot against broadcast centroid
+    * literals; update: per-dimension mean via posexplode + groupBy).
+    * Only the centroid MODEL (nlist × dim doubles) ever reaches the
+    * driver — data never does. Deterministic end to end: stride
+    * sampling by id order for init, fixed round count, cosine metric
+    * on unit-normalized centroids, ties to the higher cell index.
+    *
+    * Default `nprobe` is tuned for the synthetic corpus, which is
+    * nearly ISOTROPIC (no cluster structure) — the worst case for
+    * IVF, needing 12/16 cells for recall ≥ 0.9 (measured 0.94 at
+    * sf0.01, 0.955 at sf0.1). Real embedding corpora cluster, which
+    * is the IVF assumption; there nprobe/nlist shrinks by orders of
+    * magnitude. [[lshTopK]] is the distribution-free default.
+    */
+  def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nprobe: Int = 12, iters: Int = 2): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val centroids = trainCentroids(e, nlist, iters)
+    val assigned = assignCells(e, centroids)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // nprobe closest cells per query: scores against the centroid
+    // literals, sorted in-row, explode — no shuffle on the query side
+    val probed = q.select(col("query_id"), col("qv"),
+        explode(slice(sort_array(cellScores(col("qv"), centroids), asc = false),
+          1, nprobe).getField("i")).as("cell"))
+    // a vector lives in exactly one cell and probed cells are
+    // distinct, so candidate pairs need no dedup
+    val scored = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / sqrt(dot(col("v"), col("v")))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Per-centroid (score, index) structs for a vector column. */
+  private def cellScores(v: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.Sketches.dotDouble(v, typedLit(c.toSeq)).as("s"),
+        lit(i).as("i"))
+    }: _*)
+
+  /** Hard cell assignment: argmax cosine against unit centroids
+    * (array_max on (score, index) structs — ties to the larger
+    * index, deterministic).
+    */
+  private def assignCells(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    e.select(col("id"), col("v"),
+      array_max(cellScores(col("v"), centroids)).getField("i").as("cell"))
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
+    // deterministic stride init over id order (the window produces a
+    // tiny result and runs once — training-time only)
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    val w = Window.orderBy(col("id"))
+    var centroids = e.withColumn("rn", row_number().over(w))
+      .filter((col("rn") - lit(1)) % stride === 0)
+      .orderBy(col("rn")).limit(nlist)
+      .select(col("v")).collect()
+      .map(r => unit(r.getSeq[Double](0).toArray))
+    for (_ <- 0 until iters) {
+      val means = assignCells(e, centroids)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> unit(r.getSeq[Double](1).toArray)).toMap
+      // an emptied cell keeps its previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Gate-checkable IVF recall vs the exact baseline — same contract
+    * as [[lshRecall]].
+    */
+  def ivfRecall(embs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val brute = bruteForceTopK(embs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(embs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    recallOf(brute, ivf)
+  }
+
   def lshRecall(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val brute = bruteForceTopK(embs, queries, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
     val lsh = lshTopK(embs, queries, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    // hits = true top-k pairs the LSH tier also surfaced; group by
-    // query so partial coverage of one query can't mask another
+    recallOf(brute, lsh)
+  }
+
+  /** hits = true top-k pairs the approximate tier also surfaced;
+    * grouped by query so partial coverage of one query can't mask
+    * another.
+    */
+  private def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
     val perQuery = brute
-      .join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     val truth = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
     truth.join(perQuery, Seq("query_id"), "left_outer")

@@ -42,6 +42,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF ANN recall >= 0.9 of exact top-10 on real embeddings") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("exact dedup counts real duplicates when planted") {
     import spark.implicits._
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q r s"), (4L, "x y z"))
