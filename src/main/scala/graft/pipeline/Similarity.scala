@@ -101,17 +101,6 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
-  /** Recall of [[lshTopK]] against [[bruteForceTopK]] as ONE
-    * deterministic row `(n_queries, total_hits, mean_recall_ge_09)`.
-    *
-    * Both sides are deterministic (fixed hyperplane seed, exact
-    * rerank, id-tiebroken ranks), so the row is a stable scenario
-    * fact that a literal oracle can assert — this is what makes the
-    * approximate operator checkable by the verify gate rather than
-    * only by a unit test. `total_hits` is an integer (portable);
-    * the mean recall is exposed only as a >= 0.9 boolean so no
-    * cross-engine float formatting is involved.
-    */
   /** IVF (inverted-file) top-k — the other classic ANN scale path
     * next to LSH: a coarse quantizer of `nlist` centroids partitions
     * the corpus into cells (at 100 TB the assignment is computed once
@@ -217,6 +206,17 @@ object Similarity {
     recallOf(brute, ivf)
   }
 
+  /** Recall of [[lshTopK]] against [[bruteForceTopK]] as ONE
+    * deterministic row `(n_queries, total_hits, mean_recall_ge_09)`.
+    *
+    * Both sides are deterministic (fixed hyperplane seed, exact
+    * rerank, id-tiebroken ranks), so the row is a stable scenario
+    * fact that a literal oracle can assert — this is what makes the
+    * approximate operator checkable by the verify gate rather than
+    * only by a unit test. `total_hits` is an integer (portable);
+    * the mean recall is exposed only as a >= 0.9 boolean so no
+    * cross-engine float formatting is involved.
+    */
   def lshRecall(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val brute = bruteForceTopK(embs, queries, k, idCol, vecCol)
