@@ -29,7 +29,7 @@ import graft.store.QuadStore
 final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends BatchSink {
   import QuadStore.OpRow
 
-  private val QUAD_COLS = Seq("graph", "subject", "predicate", "obj")
+  private val QUAD_COLS = QuadStore.QUAD_COLUMNS
 
   /** `state` minus `touched` plus `adds` (both small/derived sides;
     * null-safe per-column equality — default graph is NULL).
@@ -72,7 +72,13 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       }
       state
     }
-    def foldResolved(df: DataFrame): Unit = {
+    def foldResolved(df0: DataFrame): Unit = {
+      // materialize NOW (executor storage): the resolved plan reads
+      // store.quads(), and a replayed batchId overwrites the very
+      // segment that plan would lazily re-read during the commit write
+      // — eager materialization also keeps currentState() folds from
+      // re-running earlier resolutions
+      val df = df0.localCheckpoint()
       resolved += df
       val touched = df.select(QUAD_COLS.map(col): _*)
       val adds = df.filter(col("op") === "A").select(QUAD_COLS.map(col): _*)

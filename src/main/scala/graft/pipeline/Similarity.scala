@@ -183,7 +183,11 @@ object Similarity {
     for (_ <- 0 until iters) {
       val means = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        // exact DECIMAL mean: double partial sums merge in shuffle
+        // arrival order and would make centroids (hence the literal
+        // recall oracle) run-to-run nondeterministic
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("c"))

@@ -256,7 +256,11 @@ object Sparql {
       // OPTIONAL/BIND operates on the empty solution, not on zero rows
       var acc: Option[DataFrame] = None
       def cur: DataFrame = acc.getOrElse(unitDf(quads))
-      elems.foreach {
+      // FILTER scopes over the WHOLE group regardless of position
+      // (spec §17.2) — binding elements first, filters at the end; a
+      // filter variable no element binds is an error ⇒ row dropped
+      val (filterElems, bindingElems) = elems.partition(_.isInstanceOf[FilterElem])
+      bindingElems.foreach {
         case PatElem(tp) =>
           val next = compilePattern(quads, tp)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
@@ -267,8 +271,7 @@ object Sparql {
           if (base.columns.contains(as))
             throw new RdfParseException(s"BIND would rebind ?$as")
           acc = Some(base.withColumn(as, compileVExpr(base, termType, expr)))
-        case FilterElem(f) =>
-          acc = Some(applyFilter(cur, f))
+        case FilterElem(_) => () // handled below
         case ValuesElem(vars, rows) =>
           val data = rows.map { r =>
             unitDf(quads).select(vars.zip(r).map {
@@ -296,6 +299,10 @@ object Sparql {
             .collect { case (Var(n), c) => (n, c) }.toMap // dedups ?x path ?x
           val bound = pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
+      }
+      filterElems.foreach {
+        case FilterElem(f) => acc = Some(applyFilter(cur, f))
+        case _ => ()
       }
       cur
   }
@@ -421,8 +428,18 @@ object Sparql {
   private def applyFilter(df: DataFrame, f: FExpr): DataFrame =
     df.filter(compileFilter(f, df.columns.toSet))
 
-  private def operandCol(n: Node): Column = n match {
-    case Var(v) => col(v)
+  /** Term struct type (for typed nulls off the quads schema). */
+  private[sparql] val TERM_STRUCT = org.apache.spark.sql.types.StructType(
+    Seq("termType", "lex", "datatype", "lang").map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
+  /** A filter operand; an UNBOUND variable is a typed null — SPARQL
+    * expression-error semantics then drop the row via three-valued
+    * logic instead of failing analysis.
+    */
+  private def operandCol(n: Node, bound: Set[String]): Column = n match {
+    case Var(v) => if (bound.contains(v)) col(v) else lit(null).cast(TERM_STRUCT)
     case Const(t) => termLit(t)
   }
 
@@ -435,9 +452,9 @@ object Sparql {
       !compileFilter(e, bound)
     case FRegex(v, pattern, flags) =>
       val pat = if (flags.contains("i")) "(?i)" + pattern else pattern
-      operandCol(v).getField("lex").rlike(pat)
+      operandCol(v, bound).getField("lex").rlike(pat)
     case FStrFn(func, v, arg) =>
-      val lex = operandCol(v).getField("lex")
+      val lex = operandCol(v, bound).getField("lex")
       func match {
         case "CONTAINS" => lex.contains(arg)
         case "STRSTARTS" => lex.startsWith(arg)
@@ -455,8 +472,8 @@ object Sparql {
         case other => throw new RdfParseException(s"unsupported test $other")
       }
     case FCmp(l, op, r) =>
-      val lc = operandCol(l)
-      val rc = operandCol(r)
+      val lc = operandCol(l, bound)
+      val rc = operandCol(r, bound)
       import graft.functions.TermOps
       op match {
         // SPARQL VALUE equality, not structural: "01"^^xsd:integer
@@ -467,10 +484,10 @@ object Sparql {
         // "10"^^xsd:integer (numeric by BigDecimal; the lexical order
         // is inverted there). SPARQL ordering ops are a type error
         // (row dropped) for incomparable operand kinds.
-        case "<" => comparable(l, r) && TermOps.termValueCompare(lc, rc) < 0
-        case ">" => comparable(l, r) && TermOps.termValueCompare(lc, rc) > 0
-        case "<=" => comparable(l, r) && TermOps.termValueCompare(lc, rc) <= 0
-        case ">=" => comparable(l, r) && TermOps.termValueCompare(lc, rc) >= 0
+        case "<" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) < 0
+        case ">" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) > 0
+        case "<=" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) <= 0
+        case ">=" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) >= 0
         case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
       }
   }
@@ -481,12 +498,12 @@ object Sparql {
     * resolves statically to a plain datatype/lang predicate on the
     * other operand (pushable); var-vs-var takes the column form.
     */
-  private def comparable(l: Node, r: Node): Column = (l, r) match {
-    case (Const(t), v: Var) => comparableWith(operandCol(v), t)
-    case (v: Var, Const(t)) => comparableWith(operandCol(v), t)
+  private def comparable(l: Node, r: Node, bound: Set[String]): Column = (l, r) match {
+    case (Const(t), v: Var) => comparableWith(operandCol(v, bound), t)
+    case (v: Var, Const(t)) => comparableWith(operandCol(v, bound), t)
     case _ =>
-      val a = operandCol(l)
-      val b = operandCol(r)
+      val a = operandCol(l, bound)
+      val b = operandCol(r, bound)
       when(isNumericLit(a) || isNumericLit(b), isNumericLit(a) && isNumericLit(b))
         .when(isPlainString(a) || isPlainString(b), isPlainString(a) && isPlainString(b))
         .otherwise(lit(true)) // IRI/blank/lang-tagged: total order (extension)
@@ -657,8 +674,15 @@ object Sparql {
         if (tryKeyword("GROUP")) { keyword("BY"); parseVarList() } else Seq.empty
       val orderBy =
         if (tryKeyword("ORDER")) { keyword("BY"); parseVarList() } else Seq.empty
-      val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
-      val offset = if (tryKeyword("OFFSET")) Some(parseInt()) else None
+      // LimitOffsetClauses: either order, each at most once
+      var limit: Option[Int] = None
+      var offset: Option[Int] = None
+      var more = true
+      while (more) {
+        if (limit.isEmpty && tryKeyword("LIMIT")) limit = Some(parseInt())
+        else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
+        else more = false
+      }
       skipWs()
       if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
       Query(projection, pattern, groupBy, orderBy, limit, offset, distinct)
@@ -1042,9 +1066,12 @@ object Sparql {
       if (!tryKeyword(kw)) fail(s"expected $kw")
     private[sparql] def tryKeyword(kw: String): Boolean = {
       skipWs()
+      // a trailing ':' means this is a prefixed name whose prefix label
+      // happens to spell a keyword (values:x), not the keyword
       if (text.regionMatches(true, pos, kw, 0, kw.length) &&
           (pos + kw.length >= text.length ||
-           !text.charAt(pos + kw.length).isLetterOrDigit)) {
+           (!text.charAt(pos + kw.length).isLetterOrDigit &&
+            text.charAt(pos + kw.length) != ':'))) {
         pos += kw.length; true
       } else false
     }

@@ -86,9 +86,10 @@ object SparqlUpdate {
     }
     def gp(pat: Pattern): Pattern = withGraph match {
       case None => pat
-      case Some(_) => pat match {
+      case Some(n) => pat match {
         case Group(elems) => Group(elems.map {
           case PatElem(tp) if tp.graph.isEmpty => PatElem(g(Seq(tp)).head)
+          case pe: PathElem if pe.graph.isEmpty => pe.copy(graph = Some(n))
           case OptElem(inner) => OptElem(gp(inner))
           case other => other
         })

@@ -221,6 +221,36 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("FILTER scopes over the whole group regardless of position") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |""".stripMargin) -> "application/n-quads")
+    // filter BEFORE the pattern that binds ?v (spec §17.2)
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s { FILTER(?v = "2") ?s <http://x/p> ?v }""").collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/b"))
+    // a filter variable nothing binds is an expression error → no rows
+    assert(Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ?v FILTER(?nope = "1") }""").collect().isEmpty)
+  }
+
+  test("OFFSET/LIMIT accepted in either order; keyword-named prefixes parse") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/c> <http://x/p> "3" .
+         |""".stripMargin) -> "application/n-quads")
+    val paged = Sparql.execute(store.quads(),
+      "SELECT ?v { ?s ?p ?v } ORDER BY ?v OFFSET 1 LIMIT 1").collect()
+    assert(paged.map(_.getStruct(0).getString(1)).toSeq == Seq("2"))
+    // a prefix label spelling a keyword must stay a prefixed name
+    val rows = Sparql.execute(store.quads(),
+      """PREFIX values: <http://x/>
+        |SELECT ?v { values:a <http://x/p> ?v }""".stripMargin).collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("1"))
+  }
+
   test("BIND STR/LANG/DATATYPE accessors") {
     val store = ingest(
       (s"""<http://x/a> <http://x/p> "hej"@sv .

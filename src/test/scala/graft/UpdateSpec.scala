@@ -138,6 +138,20 @@ class UpdateSpec extends AnyFunSuite {
       (null, "http://x/a", "http://x/flag", "y")))
   }
 
+  test("WITH <g> also scopes property paths in the WHERE pattern") {
+    val store = ingest(
+      """PREFIX x: <http://x/>
+        |INSERT DATA { GRAPH x:g { x:a x:next x:b . x:b x:next x:c }
+        |              x:a x:next x:zDefault } ;
+        |WITH x:g DELETE { ?s x:marker "no" } INSERT { ?s x:reach "yes" }
+        |WHERE { x:a x:next+ ?s }""".stripMargin -> CT_RU)
+    // the closure ran in graph g only: b and c flagged, zDefault not
+    val flagged = stateNT(store).collect {
+      case (g, s, p, _) if p == "http://x/reach" => (g, s)
+    }
+    assert(flagged == Set(("http://x/g", "http://x/b"), ("http://x/g", "http://x/c")))
+  }
+
   test("DESCRIBE returns all quads about a resource (constant and WHERE-bound)") {
     val store = ingest(
       """PREFIX x: <http://x/>
