@@ -52,9 +52,8 @@ object Sparql {
   final case class OptElem(inner: Pattern) extends GroupElem
   final case class BindElem(expr: VExpr, as: String) extends GroupElem
   /** `VALUES` inline data: one row per binding tuple; None = UNDEF.
-    * An UNDEF cell leaves the variable unbound (null); note the join
-    * is null-safe, so UNDEF matches only unbound — SPARQL's wildcard
-    * UNDEF in a shared position is not supported.
+    * An UNDEF cell leaves the variable unbound, which join
+    * compatibility then treats as a wildcard (see [[joinShared]]).
     */
   final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
     extends GroupElem
@@ -245,40 +244,69 @@ object Sparql {
   private def unitDf(quads: DataFrame): DataFrame =
     quads.sparkSession.range(1).drop("id")
 
-  private def compile(quads: DataFrame, pattern: Pattern): DataFrame = pattern match {
+  /** A compiled binding set plus the variables that may be UNBOUND
+    * (null) in some row — introduced by OPTIONAL, UNION branch gaps,
+    * VALUES UNDEF, or a BIND that can evaluate to error. Joins need
+    * the distinction: SPARQL join compatibility (§18.3) treats an
+    * unbound variable as compatible with anything, so a maybe-unbound
+    * shared variable joins with an OR-null condition and merges via
+    * COALESCE, while sure-bound variables keep plain null-safe
+    * equality — which Catalyst plans as hash-join keys. Only patterns
+    * that CAN produce unbound pay the non-equi price.
+    */
+  private final case class Sol(df: DataFrame, maybe: Set[String])
+
+  private def compile(quads: DataFrame, pattern: Pattern): DataFrame =
+    compileSol(quads, pattern).df
+
+  private def compileSol(quads: DataFrame, pattern: Pattern): Sol = pattern match {
     case Union(branches) =>
       // branches may bind different variable sets (e.g. ?g only under
       // GRAPH); SPARQL leaves the others unbound → null columns
-      branches.map(compile(quads, _)).reduce(_.unionByName(_, allowMissingColumns = true))
+      val sols = branches.map(compileSol(quads, _))
+      val allVars = sols.flatMap(_.df.columns).toSet
+      val df = sols.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+      Sol(df, sols.flatMap(s => s.maybe ++ (allVars -- s.df.columns)).toSet)
     case Group(elems) =>
       val termType = quads.schema("subject").dataType
       // acc == None until the first binding element, so a leading
       // OPTIONAL/BIND operates on the empty solution, not on zero rows
-      var acc: Option[DataFrame] = None
-      def cur: DataFrame = acc.getOrElse(unitDf(quads))
+      var acc: Option[Sol] = None
+      def cur: Sol = acc.getOrElse(Sol(unitDf(quads), Set.empty))
       // FILTER scopes over the WHOLE group regardless of position
       // (spec §17.2) — binding elements first, filters at the end; a
       // filter variable no element binds is an error ⇒ row dropped
       val (filterElems, bindingElems) = elems.partition(_.isInstanceOf[FilterElem])
       bindingElems.foreach {
         case PatElem(tp) =>
-          val next = compilePattern(quads, tp)
+          val next = Sol(compilePattern(quads, tp), Set.empty)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case OptElem(inner) =>
-          acc = Some(joinShared(cur, compile(quads, inner), "left_outer"))
+          acc = Some(joinShared(cur, compileSol(quads, inner), "left_outer"))
         case BindElem(expr, as) =>
           val base = cur
-          if (base.columns.contains(as))
+          if (base.df.columns.contains(as))
             throw new RdfParseException(s"BIND would rebind ?$as")
-          acc = Some(base.withColumn(as, compileVExpr(base, termType, expr)))
+          // the bound value is sure only when the expression cannot
+          // evaluate to error/null
+          val sure = expr match {
+            case VConst(_) => true
+            case VVar(n) => base.df.columns.contains(n) && !base.maybe.contains(n)
+            case _ => false
+          }
+          acc = Some(Sol(base.df.withColumn(as, compileVExpr(base.df, termType, expr)),
+            if (sure) base.maybe else base.maybe + as))
         case FilterElem(_) => () // handled below
         case ValuesElem(vars, rows) =>
-          val data = rows.map { r =>
+          val df = rows.map { r =>
             unitDf(quads).select(vars.zip(r).map {
               case (v, Some(t)) => termLit(t).as(v)
               case (v, None) => lit(null).cast(termType).as(v)
             }: _*)
           }.reduce(_.unionByName(_))
+          val undef = vars.zipWithIndex
+            .collect { case (v, i) if rows.exists(_(i).isEmpty) => v }.toSet
+          val data = Sol(df, undef)
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
         case PathElem(graph, s, path, o) =>
           var pairs = pathPairs(quads, graph, path)
@@ -297,11 +325,13 @@ object Sparql {
           }
           val proj = Seq(s -> "ps", o -> "po")
             .collect { case (Var(n), c) => (n, c) }.toMap // dedups ?x path ?x
-          val bound = pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*)
+          val bound = Sol(
+            pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*),
+            Set.empty)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
       filterElems.foreach {
-        case FilterElem(f) => acc = Some(applyFilter(cur, f))
+        case FilterElem(f) => acc = Some(cur.copy(df = applyFilter(cur.df, f)))
         case _ => ()
       }
       cur
@@ -377,22 +407,44 @@ object Sparql {
     cur
   }
 
-  /** SPARQL join of two binding sets: null-safe equi-join on shared
-    * variables (`left_outer` for OPTIONAL). Default-graph bindings are
-    * NULL structs, so `<=>` rather than `=` is load-bearing. With no
-    * shared variables the condition degenerates to `true` — a cross
-    * join, or for OPTIONAL the guaranteed-at-least-one-row extension.
+  /** SPARQL join of two binding sets (`left_outer` for OPTIONAL).
+    * Sure-bound shared variables join with null-safe equality
+    * (default-graph bindings are NULL structs, so `<=>` rather than
+    * `=` is load-bearing) — Catalyst treats these as hash-join keys.
+    * MAYBE-unbound shared variables use full join compatibility
+    * (§18.3: unbound matches anything): `l <=> r || l IS NULL ||
+    * r IS NULL`, merged with COALESCE. With no shared variables the
+    * condition degenerates to `true` — a cross join, or for OPTIONAL
+    * the guaranteed-at-least-one-row extension.
     */
-  private def joinShared(acc: DataFrame, next: DataFrame, how: String): DataFrame = {
-    val shared = acc.columns.toSet intersect next.columns.toSet
-    val a = acc.alias("l")
-    val b = next.alias("r")
-    val cond =
-      if (shared.isEmpty) lit(true)
-      else shared.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
-    val keep = acc.columns.map(c => col(s"l.$c")) ++
-      next.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
-    a.join(b, cond, how).select(keep: _*)
+  private def joinShared(l: Sol, r: Sol, how: String): Sol = {
+    val shared = l.df.columns.toSet intersect r.df.columns.toSet
+    def eitherMaybe(c: String) = l.maybe.contains(c) || r.maybe.contains(c)
+    val a = l.df.alias("l")
+    val b = r.df.alias("r")
+    val conds = shared.toSeq.map { c =>
+      if (eitherMaybe(c))
+        col(s"l.$c") <=> col(s"r.$c") ||
+          col(s"l.$c").isNull || col(s"r.$c").isNull
+      else col(s"l.$c") <=> col(s"r.$c")
+    }
+    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+    val keep = l.df.columns.map { c =>
+      if (shared.contains(c) && l.maybe.contains(c))
+        coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+      else col(s"l.$c")
+    } ++ r.df.columns.filterNot(shared.contains).map(c => col(s"r.$c"))
+    val df = a.join(b, cond, how).select(keep: _*)
+    // post-join unboundness: an inner join fills a maybe var from the
+    // other side unless BOTH sides can be unbound; a left join keeps
+    // the left status and makes every right-only var optional
+    val maybe = how match {
+      case "left_outer" => l.maybe ++ (r.df.columns.toSet -- shared)
+      case _ =>
+        l.maybe.filter(v => !shared.contains(v) || r.maybe.contains(v)) ++
+          r.maybe.filter(v => !shared.contains(v) || l.maybe.contains(v))
+    }
+    Sol(df, maybe)
   }
 
   private def compileVExpr(base: DataFrame,

@@ -221,6 +221,32 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("join compatibility: an unbound (OPTIONAL) variable matches anything") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "alice" .
+         |<http://x/b> <http://x/name> "bob" .
+         |<http://x/a> <http://x/nick> "al" .
+         |<http://x/t1> <http://x/tag> "al" .
+         |<http://x/t2> <http://x/tag> "zz" .
+         |""".stripMargin) -> "application/n-quads")
+    // for b, ?k is unbound after the OPTIONAL → compatible with BOTH
+    // tags (spec §18.3); a null-safe equi-join would silently drop b
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?t { ?s <http://x/name> ?n
+        |OPTIONAL { ?s <http://x/nick> ?k }
+        |?t <http://x/tag> ?k }""".stripMargin).collect()
+      .map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    assert(rows == Set(
+      ("http://x/a", "http://x/t1"),
+      ("http://x/b", "http://x/t1"),
+      ("http://x/b", "http://x/t2")))
+    // VALUES UNDEF in a shared position is the same wildcard
+    val undef = Sparql.execute(store.quads(),
+      """SELECT ?s ?n { ?s <http://x/name> ?n
+        |VALUES (?s ?n) { (<http://x/a> UNDEF) } }""".stripMargin).collect()
+    assert(undef.length == 1 && undef.head.getStruct(1).getString(1) == "alice")
+  }
+
   test("FILTER scopes over the whole group regardless of position") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
