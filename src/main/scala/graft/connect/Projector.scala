@@ -182,21 +182,39 @@ final class Projector(
     MaterialisedEvent(event, d)
   }
 
-  /** The batch's per-event patch op streams (empty for non-patch
-    * events, keeping indices aligned), optionally extended by one more.
-    */
-  private def batchPatchOps(extra: Seq[graft.rdf.PatchOp]*): Seq[Seq[graft.rdf.PatchOp]] =
-    batch.toSeq.map(b =>
-      if (b.decoded.kind == "patch") b.decoded.ops else Seq.empty) ++ extra
+  // incremental patch-marker state over the buffered batch — the same
+  // two state machines dataOpsBatch/closesTxn run, folded per event so
+  // arrival cost stays O(event), not O(batch) (a full re-scan per
+  // event made patch batches O(batch^2) in ops)
+  private var carriedTxnOpen = false // validation: txn open after buffered events
+  private var markerInTxn = true     // commit trigger: closesTxn state
 
   /** Apply-time validation a DatasetGraph would do while streaming ops
     * (invalid marker nesting → the reference's mid-apply failure).
-    * Validated against the WHOLE buffered batch so a transaction
-    * carried open from an earlier event makes a leading TC/TA valid.
+    * Judged against the carried batch state so a transaction left open
+    * by an earlier event makes a leading TC/TA valid. On success the
+    * carried state advances (the caller buffers the event).
     */
   private def validateApply(m: MaterialisedEvent): Unit =
-    if (m.decoded.kind == "patch")
-      RdfPatchParser.dataOpsBatch(batchPatchOps(m.decoded.ops))
+    if (m.decoded.kind == "patch") {
+      var open = carriedTxnOpen
+      var openedHere = false
+      m.decoded.ops.foreach { o =>
+        o.op match {
+          case "TX" =>
+            if (openedHere)
+              throw new RdfParseException("TX inside an open patch transaction")
+            open = true; openedHere = true
+          case "TC" => open = false; openedHere = false
+          case "TA" =>
+            if (!open)
+              throw new RdfParseException("TA without open patch transaction")
+            open = false; openedHere = false
+          case _ => ()
+        }
+      }
+      carriedTxnOpen = open
+    }
 
   /** The commit decision tree (FusekiProjector.java:400-479) — same
     * branches, same order.
@@ -204,8 +222,15 @@ final class Projector(
   private def commitTransactionIfNeeded(m: MaterialisedEvent): Unit = {
     val elapsed = clock() - lastCommitTime
     currentBatchSizeBytes += m.event.sizeInBytes
-    if (m.decoded.kind == "patch" &&
-        RdfPatchParser.closesTxn(batchPatchOps().flatten)) {
+    if (m.decoded.kind == "patch")
+      m.decoded.ops.foreach { o =>
+        o.op match {
+          case "TX" => markerInTxn = true
+          case "TC" | "TA" => markerInTxn = false
+          case _ => ()
+        }
+      }
+    if (m.decoded.kind == "patch" && !markerInTxn) {
       // the patch just committed the open transaction itself (:408-412)
       // — judged over the whole batch's marker stream, so a TX left
       // open by an EARLIER event suppresses this trigger until a later
@@ -237,6 +262,10 @@ final class Projector(
   /** Commit + bookkeeping (FusekiProjector.commit, :514-573). */
   private def commit(): Unit = {
     lastCommitTime = clock()
+    // a dangling open txn commits with the enclosing batch
+    // (dataOpsBatch contract) — marker state resets with it
+    carriedTxnOpen = false
+    markerInTxn = true
     if (batch.nonEmpty) {
       sink.apply(nextBatchId, batch.toSeq)
       nextBatchId += 1
