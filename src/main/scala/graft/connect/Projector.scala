@@ -262,10 +262,6 @@ final class Projector(
   /** Commit + bookkeeping (FusekiProjector.commit, :514-573). */
   private def commit(): Unit = {
     lastCommitTime = clock()
-    // a dangling open txn commits with the enclosing batch
-    // (dataOpsBatch contract) — marker state resets with it
-    carriedTxnOpen = false
-    markerInTxn = true
     if (batch.nonEmpty) {
       sink.apply(nextBatchId, batch.toSeq)
       nextBatchId += 1
@@ -296,6 +292,12 @@ final class Projector(
     }
     batch.clear()
     currentBatchSizeBytes = 0L
+    // a dangling open txn commits with the enclosing batch
+    // (dataOpsBatch contract) — marker state resets WITH the clear:
+    // resetting before sink.apply would desync state from the still-
+    // buffered batch if the sink throws and processing resumes
+    carriedTxnOpen = false
+    markerInTxn = true
   }
 
   /** Stall: no new events / connection lost → commit any open batch

@@ -170,6 +170,13 @@ object Similarity {
   }
 
   private def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
+    // fail fast on non-finite components: the decimal-mean cast would
+    // turn NaN/Inf into NULL and avg() would silently skip them,
+    // yielding a quietly biased centroid instead of a visible error
+    val poisoned = e.filter(exists(col("v"),
+      x => isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity))
+      .limit(1).count()
+    require(poisoned == 0, "ivfTopK: embeddings contain NaN/Infinity components")
     // deterministic stride init over id order (the window produces a
     // tiny result and runs once — training-time only)
     val n = e.count()

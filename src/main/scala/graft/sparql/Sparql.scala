@@ -276,13 +276,30 @@ object Sparql {
       // FILTER scopes over the WHOLE group regardless of position
       // (spec §17.2) — binding elements first, filters at the end; a
       // filter variable no element binds is an error ⇒ row dropped
-      val (filterElems, bindingElems) = elems.partition(_.isInstanceOf[FilterElem])
+      val filters = elems.collect { case FilterElem(f) => f }
+      val bindingElems = elems.filterNot(_.isInstanceOf[FilterElem])
       bindingElems.foreach {
         case PatElem(tp) =>
           val next = Sol(compilePattern(quads, tp), Set.empty)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case OptElem(inner) =>
-          acc = Some(joinShared(cur, compileSol(quads, inner), "left_outer"))
+          // LeftJoin-condition semantics (§18.2.2.2): an inner filter
+          // whose variables are NOT all bound inside the optional
+          // group becomes part of the left-join condition, evaluated
+          // with the left solution visible — compiling it inside the
+          // group would read those outer variables as unbound
+          val (innerSol, joinFilters) = inner match {
+            case Group(es) =>
+              val fs = es.collect { case FilterElem(f) => f }
+              val rest = es.filterNot(_.isInstanceOf[FilterElem])
+              val sol0 = compileSol(quads, Group(rest))
+              val (local, joined) =
+                fs.partition(f => varsOf(f).subsetOf(sol0.df.columns.toSet))
+              (local.foldLeft(sol0)((a, f) => a.copy(df = applyFilter(a.df, f))),
+                joined)
+            case other => (compileSol(quads, other), Seq.empty[FExpr])
+          }
+          acc = Some(joinShared(cur, innerSol, "left_outer", joinFilters))
         case BindElem(expr, as) =>
           val base = cur
           if (base.df.columns.contains(as))
@@ -330,10 +347,7 @@ object Sparql {
             Set.empty)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
-      filterElems.foreach {
-        case FilterElem(f) => acc = Some(cur.copy(df = applyFilter(cur.df, f)))
-        case _ => ()
-      }
+      filters.foreach(f => acc = Some(cur.copy(df = applyFilter(cur.df, f))))
       cur
   }
 
@@ -417,7 +431,8 @@ object Sparql {
     * condition degenerates to `true` — a cross join, or for OPTIONAL
     * the guaranteed-at-least-one-row extension.
     */
-  private def joinShared(l: Sol, r: Sol, how: String): Sol = {
+  private def joinShared(l: Sol, r: Sol, how: String,
+      extraFilters: Seq[FExpr] = Seq.empty): Sol = {
     val shared = l.df.columns.toSet intersect r.df.columns.toSet
     def eitherMaybe(c: String) = l.maybe.contains(c) || r.maybe.contains(c)
     val a = l.df.alias("l")
@@ -428,7 +443,17 @@ object Sparql {
           col(s"l.$c").isNull || col(s"r.$c").isNull
       else col(s"l.$c") <=> col(s"r.$c")
     }
-    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+    // extra join-level filters (OPTIONAL's LeftJoin condition) see the
+    // MERGED candidate solution: shared vars take the merged value,
+    // left-only from l, right-only from r
+    val mergedResolve: String => Column = n =>
+      if (shared.contains(n) && l.maybe.contains(n))
+        coalesce(col(s"l.$n"), col(s"r.$n"))
+      else if (l.df.columns.contains(n)) col(s"l.$n")
+      else if (r.df.columns.contains(n)) col(s"r.$n")
+      else lit(null).cast(TERM_STRUCT)
+    val cond = (conds ++ extraFilters.map(compileFilter(_, mergedResolve)))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val keep = l.df.columns.map { c =>
       if (shared.contains(c) && l.maybe.contains(c))
         coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
@@ -477,8 +502,22 @@ object Sparql {
       }
   }
 
-  private def applyFilter(df: DataFrame, f: FExpr): DataFrame =
-    df.filter(compileFilter(f, df.columns.toSet))
+  private def applyFilter(df: DataFrame, f: FExpr): DataFrame = {
+    val cols = df.columns.toSet
+    df.filter(compileFilter(f,
+      n => if (cols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
+  }
+
+  /** Variables referenced by a filter expression. */
+  private def varsOf(f: FExpr): Set[String] = f match {
+    case FCmp(l, _, r) => Seq(l, r).collect { case Var(n) => n }.toSet
+    case FAnd(a, b) => varsOf(a) ++ varsOf(b)
+    case FOr(a, b) => varsOf(a) ++ varsOf(b)
+    case FNot(e) => varsOf(e)
+    case FRegex(v, _, _) => Seq(v).collect { case Var(n) => n }.toSet
+    case FStrFn(_, v, _) => Seq(v).collect { case Var(n) => n }.toSet
+    case FTest(_, v) => Set(v)
+  }
 
   /** Term struct type (for typed nulls off the quads schema). */
   private[sparql] val TERM_STRUCT = org.apache.spark.sql.types.StructType(
@@ -486,27 +525,28 @@ object Sparql {
       org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
-  /** A filter operand; an UNBOUND variable is a typed null — SPARQL
+  /** A filter operand via the contextual variable resolver — an
+    * UNBOUND variable resolves to a typed null, and SPARQL
     * expression-error semantics then drop the row via three-valued
     * logic instead of failing analysis.
     */
-  private def operandCol(n: Node, bound: Set[String]): Column = n match {
-    case Var(v) => if (bound.contains(v)) col(v) else lit(null).cast(TERM_STRUCT)
+  private def operandCol(n: Node, resolve: String => Column): Column = n match {
+    case Var(v) => resolve(v)
     case Const(t) => termLit(t)
   }
 
-  private def compileFilter(f: FExpr, bound: Set[String]): Column = f match {
-    case FAnd(a, b) => compileFilter(a, bound) && compileFilter(b, bound)
-    case FOr(a, b) => compileFilter(a, bound) || compileFilter(b, bound)
+  private def compileFilter(f: FExpr, resolve: String => Column): Column = f match {
+    case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
+    case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
     case FNot(e) =>
       // SPARQL error semantics: an error inside NOT stays an error
       // (row dropped) — Spark's three-valued !null matches exactly
-      !compileFilter(e, bound)
+      !compileFilter(e, resolve)
     case FRegex(v, pattern, flags) =>
       val pat = if (flags.contains("i")) "(?i)" + pattern else pattern
-      operandCol(v, bound).getField("lex").rlike(pat)
+      operandCol(v, resolve).getField("lex").rlike(pat)
     case FStrFn(func, v, arg) =>
-      val lex = operandCol(v, bound).getField("lex")
+      val lex = operandCol(v, resolve).getField("lex")
       func match {
         case "CONTAINS" => lex.contains(arg)
         case "STRSTARTS" => lex.startsWith(arg)
@@ -514,18 +554,17 @@ object Sparql {
         case other => throw new RdfParseException(s"unsupported string test $other")
       }
     case FTest(func, v) =>
-      // BOUND of a never-projected var is statically false
-      if (!bound.contains(v)) lit(false)
-      else func match {
-        case "BOUND" => col(v).isNotNull
-        case "ISIRI" | "ISURI" => col(v).getField("termType") === Term.IRI
-        case "ISBLANK" => col(v).getField("termType") === Term.BLANK
-        case "ISLITERAL" => col(v).getField("termType") === Term.LIT
+      val c = resolve(v) // a never-bound var resolves to null → false
+      func match {
+        case "BOUND" => c.isNotNull
+        case "ISIRI" | "ISURI" => c.getField("termType") === Term.IRI
+        case "ISBLANK" => c.getField("termType") === Term.BLANK
+        case "ISLITERAL" => c.getField("termType") === Term.LIT
         case other => throw new RdfParseException(s"unsupported test $other")
       }
     case FCmp(l, op, r) =>
-      val lc = operandCol(l, bound)
-      val rc = operandCol(r, bound)
+      val lc = operandCol(l, resolve)
+      val rc = operandCol(r, resolve)
       import graft.functions.TermOps
       op match {
         // SPARQL VALUE equality, not structural: "01"^^xsd:integer
@@ -536,10 +575,10 @@ object Sparql {
         // "10"^^xsd:integer (numeric by BigDecimal; the lexical order
         // is inverted there). SPARQL ordering ops are a type error
         // (row dropped) for incomparable operand kinds.
-        case "<" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) < 0
-        case ">" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) > 0
-        case "<=" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) <= 0
-        case ">=" => comparable(l, r, bound) && TermOps.termValueCompare(lc, rc) >= 0
+        case "<" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) < 0
+        case ">" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) > 0
+        case "<=" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) <= 0
+        case ">=" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) >= 0
         case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
       }
   }
@@ -550,12 +589,12 @@ object Sparql {
     * resolves statically to a plain datatype/lang predicate on the
     * other operand (pushable); var-vs-var takes the column form.
     */
-  private def comparable(l: Node, r: Node, bound: Set[String]): Column = (l, r) match {
-    case (Const(t), v: Var) => comparableWith(operandCol(v, bound), t)
-    case (v: Var, Const(t)) => comparableWith(operandCol(v, bound), t)
+  private def comparable(l: Node, r: Node, resolve: String => Column): Column = (l, r) match {
+    case (Const(t), v: Var) => comparableWith(operandCol(v, resolve), t)
+    case (v: Var, Const(t)) => comparableWith(operandCol(v, resolve), t)
     case _ =>
-      val a = operandCol(l, bound)
-      val b = operandCol(r, bound)
+      val a = operandCol(l, resolve)
+      val b = operandCol(r, resolve)
       when(isNumericLit(a) || isNumericLit(b), isNumericLit(a) && isNumericLit(b))
         .when(isPlainString(a) || isPlainString(b), isPlainString(a) && isPlainString(b))
         .otherwise(lit(true)) // IRI/blank/lang-tagged: total order (extension)
@@ -1118,14 +1157,18 @@ object Sparql {
       if (!tryKeyword(kw)) fail(s"expected $kw")
     private[sparql] def tryKeyword(kw: String): Boolean = {
       skipWs()
-      // a trailing ':' means this is a prefixed name whose prefix label
-      // happens to spell a keyword (values:x), not the keyword
-      if (text.regionMatches(true, pos, kw, 0, kw.length) &&
-          (pos + kw.length >= text.length ||
-           (!text.charAt(pos + kw.length).isLetterOrDigit &&
-            text.charAt(pos + kw.length) != ':'))) {
-        pos += kw.length; true
-      } else false
+      if (!text.regionMatches(true, pos, kw, 0, kw.length)) return false
+      var i = pos + kw.length
+      if (i < text.length && text.charAt(i).isLetterOrDigit) return false
+      // lookahead over the remaining prefix-label chars: if they run
+      // into a ':', this is a prefixed name whose label starts with a
+      // keyword (values:x, values_x:y), not the keyword itself
+      while (i < text.length && (text.charAt(i).isLetterOrDigit ||
+             text.charAt(i) == '_' || text.charAt(i) == '-' ||
+             text.charAt(i) == '.')) i += 1
+      if (i < text.length && text.charAt(i) == ':') return false
+      pos += kw.length
+      true
     }
     private[sparql] def tryToken(tok: String): Boolean = {
       skipWs()

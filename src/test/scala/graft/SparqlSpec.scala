@@ -221,6 +221,24 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("OPTIONAL filter referencing an outer variable is a LeftJoin condition") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/name> "alice" .
+         |<http://x/b> <http://x/name> "bob" .
+         |<http://x/a> <http://x/nick> "al" .
+         |<http://x/b> <http://x/nick> "bo" .
+         |""".stripMargin) -> "application/n-quads")
+    // §18.2.2.2: the filter sees the OUTER ?n; bob's nick is rejected
+    // by the condition, so bob keeps a row with ?k unbound
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?n ?k { ?s <http://x/name> ?n
+        |OPTIONAL { ?s <http://x/nick> ?k FILTER(?n != "bob") } } ORDER BY ?n""".stripMargin)
+      .collect()
+      .map(r => (r.getStruct(0).getString(1),
+        Option(r.getStruct(1)).map(_.getString(1)).orNull))
+    assert(rows.toSeq == Seq(("alice", "al"), ("bob", null)))
+  }
+
   test("join compatibility: an unbound (OPTIONAL) variable matches anything") {
     val store = ingest(
       ("""<http://x/a> <http://x/name> "alice" .
