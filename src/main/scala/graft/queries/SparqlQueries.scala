@@ -195,6 +195,38 @@ object SparqlQueries {
           regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
         .orderBy(col("s"), col("o"))
     },
+    // negation: EXISTS / NOT EXISTS (semi/anti join on shared-var
+    // compatibility) and MINUS — including the semantic corner where
+    // they disagree: MINUS with disjoint domains removes NOTHING while
+    // NOT EXISTS over the same non-empty pattern removes everything
+    "sparql_negation" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect()
+      val quads = rows.toSeq.flatMap { k =>
+        val key = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}key"), Term.typed(k.toString, Term.XSD_INTEGER))
+        if (k < 10)
+          Seq(key, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
+        else Seq(key)
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqneg").toString)
+      store.addQuads(0, quads)
+      def run(label: String, q: String) =
+        Sparql.execute(store.quads(), q).select(lit(label).as("method"),
+          regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1)
+            .cast("int").as("n_nationkey"))
+      run("exists",
+          s"SELECT ?s { ?s <${NS}key> ?k FILTER EXISTS { ?s <${NS}comment> ?c } }")
+        .unionByName(run("not_exists",
+          s"SELECT ?s { ?s <${NS}key> ?k FILTER NOT EXISTS { ?s <${NS}comment> ?c } }"))
+        .unionByName(run("minus",
+          s"SELECT ?s { ?s <${NS}key> ?k MINUS { ?s <${NS}comment> ?c } }"))
+        .unionByName(run("minus_disjoint",
+          s"SELECT ?s { ?s <${NS}key> ?k MINUS { ?x <${NS}comment> ?c } }"))
+        .orderBy(col("method"), col("n_nationkey"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
@@ -261,6 +293,16 @@ object SparqlQueries {
            UNION
            SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s)
          SELECT s::INT AS s, o::INT AS o FROM reach ORDER BY s, o""",
+    "sparql_negation" ->
+      """SELECT * FROM (
+           SELECT 'exists' AS method, n_nationkey FROM nation WHERE n_nationkey < 10
+           UNION ALL
+           SELECT 'minus', n_nationkey FROM nation WHERE n_nationkey >= 10
+           UNION ALL
+           SELECT 'minus_disjoint', n_nationkey FROM nation
+           UNION ALL
+           SELECT 'not_exists', n_nationkey FROM nation WHERE n_nationkey >= 10
+         ) ORDER BY method, n_nationkey""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->

@@ -57,6 +57,17 @@ object Sparql {
     */
   final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
     extends GroupElem
+  /** `MINUS { ... }` (spec §18.5): positional like OPTIONAL — removes
+    * solutions compatible with some right-side solution that shares at
+    * least one BOUND variable; disjoint-domain solutions survive
+    * (the observable difference from NOT EXISTS).
+    */
+  final case class MinusElem(inner: Pattern) extends GroupElem
+  /** `FILTER [NOT] EXISTS { ... }` (spec §8.1.1): scope is the whole
+    * group like any FILTER; compiled to a semi (anti) join on
+    * shared-variable compatibility.
+    */
+  final case class ExistsElem(inner: Pattern, positive: Boolean) extends GroupElem
 
   /** Property-path expressions (SPARQL §9). Sequence, alternative and
     * inverse desugar to joins/unions at compile time; `+` and `*`
@@ -277,7 +288,9 @@ object Sparql {
       // (spec §17.2) — binding elements first, filters at the end; a
       // filter variable no element binds is an error ⇒ row dropped
       val filters = elems.collect { case FilterElem(f) => f }
-      val bindingElems = elems.filterNot(_.isInstanceOf[FilterElem])
+      val existsElems = elems.collect { case e: ExistsElem => e }
+      val bindingElems = elems.filterNot(e =>
+        e.isInstanceOf[FilterElem] || e.isInstanceOf[ExistsElem])
       bindingElems.foreach {
         case PatElem(tp) =>
           val next = Sol(compilePattern(quads, tp), Set.empty)
@@ -313,7 +326,9 @@ object Sparql {
           }
           acc = Some(Sol(base.df.withColumn(as, compileVExpr(base.df, termType, expr)),
             if (sure) base.maybe else base.maybe + as))
-        case FilterElem(_) => () // handled below
+        case MinusElem(inner) =>
+          acc = Some(minusJoin(cur, compileSol(quads, inner)))
+        case FilterElem(_) | ExistsElem(_, _) => () // handled below
         case ValuesElem(vars, rows) =>
           val df = rows.map { r =>
             unitDf(quads).select(vars.zip(r).map {
@@ -348,7 +363,52 @@ object Sparql {
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
       filters.foreach(f => acc = Some(cur.copy(df = applyFilter(cur.df, f))))
+      existsElems.foreach(e =>
+        acc = Some(existsJoin(cur, compileSol(quads, e.inner), e.positive)))
       cur
+  }
+
+  /** Shared-variable join compatibility (§18.3) as a join condition:
+    * sure-bound vars are plain null-safe equality (hash-join keys);
+    * maybe-unbound vars add the unbound-matches-anything disjuncts.
+    */
+  private def compatCond(l: Sol, r: Sol): Column = {
+    val shared = l.df.columns.toSet intersect r.df.columns.toSet
+    shared.toSeq.map { c =>
+      if (l.maybe.contains(c) || r.maybe.contains(c))
+        col(s"l.$c") <=> col(s"r.$c") ||
+          col(s"l.$c").isNull || col(s"r.$c").isNull
+      else col(s"l.$c") <=> col(s"r.$c")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** FILTER EXISTS / NOT EXISTS → left_semi / left_anti join. With no
+    * shared variables the condition degenerates to `true`, i.e. pure
+    * pattern-nonemptiness — exactly the spec's substitution semantics
+    * for that case.
+    */
+  private def existsJoin(l: Sol, r: Sol, positive: Boolean): Sol =
+    Sol(l.df.alias("l").join(r.df.alias("r"), compatCond(l, r),
+      if (positive) "left_semi" else "left_anti"), l.maybe)
+
+  /** MINUS (§18.5): anti join, but a right solution only removes a left
+    * one when at least one shared variable is bound on BOTH sides; with
+    * no shared variables nothing is removed. When every shared var is
+    * sure-bound the overlap guard is identically true and is omitted,
+    * keeping the anti join hash-joinable.
+    */
+  private def minusJoin(l: Sol, r: Sol): Sol = {
+    val shared = l.df.columns.toSet intersect r.df.columns.toSet
+    if (shared.isEmpty) l
+    else {
+      val allSure = shared.forall(c => !l.maybe.contains(c) && !r.maybe.contains(c))
+      val cond =
+        if (allSure) compatCond(l, r)
+        else compatCond(l, r) && shared.toSeq
+          .map(c => col(s"l.$c").isNotNull && col(s"r.$c").isNotNull)
+          .reduce(_ || _)
+      Sol(l.df.alias("l").join(r.df.alias("r"), cond, "left_anti"), l.maybe)
+    }
   }
 
   /** Evaluate a path expression to a (ps, po) pair relation. */
@@ -858,11 +918,20 @@ object Sparql {
             // Quads grammar allows '.' between GRAPH blocks and triples
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
+          } else if (tryKeyword("MINUS")) {
+            elems += MinusElem(parseGroup())
           } else if (tryKeyword("FILTER")) {
-            expect('(')
-            val f = parseFilterOr()
-            expect(')')
-            elems += FilterElem(f)
+            if (tryKeyword("NOT")) {
+              keyword("EXISTS")
+              elems += ExistsElem(parseGroup(), positive = false)
+            } else if (tryKeyword("EXISTS")) {
+              elems += ExistsElem(parseGroup(), positive = true)
+            } else {
+              expect('(')
+              val f = parseFilterOr()
+              expect(')')
+              elems += FilterElem(f)
+            }
           } else if (tryKeyword("VALUES")) {
             skipWs()
             val vars =

@@ -461,4 +461,47 @@ class SparqlSpec extends AnyFunSuite {
       .collect()
     assert(and.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
   }
+
+  test("FILTER EXISTS / NOT EXISTS as semi/anti joins") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/a> <http://x/tag> "t" .
+         |""".stripMargin) -> "application/n-quads")
+    def subjects(q: String): Set[String] =
+      Sparql.execute(store.quads(), q).collect()
+        .map(_.getStruct(0).getString(1)).toSet
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v FILTER EXISTS { ?s <http://x/tag> ?t } }") ==
+      Set("http://x/a"))
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v FILTER NOT EXISTS { ?s <http://x/tag> ?t } }") ==
+      Set("http://x/b"))
+    // no shared variables: pure pattern-nonemptiness
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v FILTER EXISTS { ?x <http://x/tag> ?t } }") ==
+      Set("http://x/a", "http://x/b"))
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v FILTER NOT EXISTS { ?x <http://x/missing> ?t } }") ==
+      Set("http://x/a", "http://x/b"))
+  }
+
+  test("MINUS removes compatible solutions but keeps disjoint domains") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/a> <http://x/tag> "t" .
+         |""".stripMargin) -> "application/n-quads")
+    def subjects(q: String): Set[String] =
+      Sparql.execute(store.quads(), q).collect()
+        .map(_.getStruct(0).getString(1)).toSet
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v MINUS { ?s <http://x/tag> ?t } }") ==
+      Set("http://x/b"))
+    // §18.5: disjoint domains — nothing shared, nothing removed (the
+    // observable difference from NOT EXISTS over the same pattern)
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v MINUS { ?x <http://x/tag> ?t } }") ==
+      Set("http://x/a", "http://x/b"))
+  }
 }
