@@ -195,6 +195,35 @@ object SparqlQueries {
           regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
         .orderBy(col("s"), col("o"))
     },
+    // sub-SELECT (spec §12): the per-group argmax idiom — an inner
+    // grouped MAX joined back on BOTH the group key and the aggregate
+    // value. MAX compiles to max_by over the numeric value, returning
+    // the ORIGINAL term, so the join with outer bindings is structural
+    "sparql_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val quads = rows.toSeq.flatMap { case (k, rk) =>
+        Seq(
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+            Term.typed(k.toString, Term.XSD_INTEGER)),
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqsub").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?rk ?s {
+              ?s <${NS}key> ?m . ?s <${NS}regionkey> ?rk .
+              { SELECT ?rk (MAX(?k) AS ?m)
+                { ?x <${NS}regionkey> ?rk . ?x <${NS}key> ?k } GROUP BY ?rk }
+            }""")
+      res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
+          regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1)
+            .cast("int").as("n_nationkey"))
+        .orderBy(col("n_regionkey"))
+    },
     // negation: EXISTS / NOT EXISTS (semi/anti join on shared-var
     // compatibility) and MINUS — including the semantic corner where
     // they disagree: MINUS with disjoint domains removes NOTHING while
@@ -293,6 +322,9 @@ object SparqlQueries {
            UNION
            SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s)
          SELECT s::INT AS s, o::INT AS o FROM reach ORDER BY s, o""",
+    "sparql_subquery" ->
+      """SELECT n_regionkey, MAX(n_nationkey) AS n_nationkey
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "sparql_negation" ->
       """SELECT * FROM (
            SELECT 'exists' AS method, n_nationkey FROM nation WHERE n_nationkey < 10

@@ -68,6 +68,16 @@ object Sparql {
     * shared-variable compatibility.
     */
   final case class ExistsElem(inner: Pattern, positive: Boolean) extends GroupElem
+  /** A nested group graph pattern `{ ... }` (possibly a UNION chain),
+    * joined with the group-so-far. FILTERs inside scope to the nested
+    * group only — which is exactly why it stays a separate element
+    * instead of being spliced into the outer group.
+    */
+  final case class NestedElem(p: Pattern) extends GroupElem
+  /** A sub-SELECT `{ SELECT ... }` (spec §12): evaluated bottom-up in
+    * isolation, its projected variables joined with the group-so-far.
+    */
+  final case class SubSelectElem(q: Query) extends GroupElem
 
   /** Property-path expressions (SPARQL §9). Sequence, alternative and
     * inverse desugar to joins/unions at compile time; `+` and `*`
@@ -187,30 +197,70 @@ object Sparql {
           .getOrElse(quads.limit(0))
     }
 
-  private def executeSelect(quads: DataFrame, q: Query): DataFrame = {
-    val bound = compile(quads, q.pattern)
+  private def executeSelect(quads: DataFrame, q: Query): DataFrame =
+    executeSelectSol(quads, q, asTerms = false).df
+
+  /** Evaluate a SELECT query. On the sub-SELECT path (`asTerms`, spec
+    * §12) aggregate results must be RDF terms so they can join with
+    * outer bindings: MIN/MAX return the ORIGINAL term of the extreme
+    * value (`min_by`/`max_by` over the numeric value — semantically
+    * exact, an aggregate returns one of its inputs), while COUNT/SUM/
+    * AVG build canonical-lexical numeric literals (integer when the
+    * value is whole). The top level keeps raw SQL values — the
+    * driver-facing contract of the existing verify entries.
+    */
+  private def executeSelectSol(quads: DataFrame, q: Query, asTerms: Boolean): Sol = {
+    val boundSol = compileSol(quads, q.pattern)
+    val bound = boundSol.df
+    def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
+    def intTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
+      c.cast("string").as("lex"),
+      lit(Term.XSD_INTEGER).cast("string").as("datatype"),
+      lit(null).cast("string").as("lang"))
+    // canonical lex: whole values render as xsd:integer ("24", not
+    // "24.0000000000"), so a SUM over integers joins/compares cleanly
+    def numTerm(c: Column) = when(c.isNull, lit(null).cast(TERM_STRUCT))
+      .when(c % 1 === 0, intTerm(c.cast("long")))
+      .otherwise(struct(lit(Term.LIT).as("termType"),
+        regexp_replace(c.cast("string"), "0+$", "").as("lex"),
+        lit(Term.XSD_DECIMAL).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang")))
+    var maybe: Set[String] = Set.empty
     val projected = q.projection match {
-      case SelectAll => bound
+      case SelectAll =>
+        maybe = boundSol.maybe
+        bound
       case SelectItems(items)
           if q.groupBy.isEmpty && !items.exists(_.isInstanceOf[ItemAgg]) =>
-        bound.select(items.collect { case ItemVar(n) => col(n) }: _*)
+        val names = items.collect { case ItemVar(n) => n }
+        maybe = boundSol.maybe intersect names.toSet
+        bound.select(names.map(col): _*)
       case SelectItems(items) =>
         // aggregation query: plain projected vars must be GROUP BY keys
         // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all
         items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
           .foreach(n => throw new RdfParseException(
             s"projected variable ?$n is not in GROUP BY"))
-        def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
         val aggCols = items.collect { case ItemAgg(func, arg, as) =>
           (func match {
-            case "COUNT" => arg.fold(count(lit(1)))(v => count(col(v)))
-            case "SUM" => sum(numVal(arg.get))
-            case "AVG" => avg(numVal(arg.get))
-            case "MIN" => min(numVal(arg.get))
-            case "MAX" => max(numVal(arg.get))
+            case "COUNT" =>
+              val raw = arg.fold(count(lit(1)))(v => count(col(v)))
+              if (asTerms) intTerm(raw) else raw
+            case "SUM" =>
+              if (asTerms) numTerm(sum(numVal(arg.get))) else sum(numVal(arg.get))
+            case "AVG" =>
+              if (asTerms) numTerm(avg(numVal(arg.get))) else avg(numVal(arg.get))
+            case "MIN" =>
+              if (asTerms) min_by(col(arg.get), numVal(arg.get)) else min(numVal(arg.get))
+            case "MAX" =>
+              if (asTerms) max_by(col(arg.get), numVal(arg.get)) else max(numVal(arg.get))
             case other => throw new RdfParseException(s"unsupported aggregate $other")
           }).as(as)
         }
+        // a non-COUNT aggregate over no numeric bindings is null ⇒
+        // its alias is maybe-unbound for join compatibility
+        maybe = (boundSol.maybe intersect q.groupBy.toSet) ++
+          items.collect { case ItemAgg(func, _, as) if func != "COUNT" => as }
         val grouped =
           if (q.groupBy.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
           else bound.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -224,7 +274,7 @@ object Sparql {
       distinct.orderBy(q.orderBy.flatMap(sortKeys): _*)
     else distinct
     val offsetted = q.offset.fold(ordered)(ordered.offset)
-    q.limit.fold(offsetted)(offsetted.limit)
+    Sol(q.limit.fold(offsetted)(offsetted.limit), maybe)
   }
 
   /** ORDER BY keys in VALUE space (spec §15.1): unbound < blank < IRI
@@ -328,6 +378,12 @@ object Sparql {
             if (sure) base.maybe else base.maybe + as))
         case MinusElem(inner) =>
           acc = Some(minusJoin(cur, compileSol(quads, inner)))
+        case NestedElem(p) =>
+          val inner = compileSol(quads, p)
+          acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
+        case SubSelectElem(q) =>
+          val inner = executeSelectSol(quads, q, asTerms = true)
+          acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
         case FilterElem(_) | ExistsElem(_, _) => () // handled below
         case ValuesElem(vars, rows) =>
           val df = rows.map { r =>
@@ -817,6 +873,16 @@ object Sparql {
     def parseQuery(): Query = {
       parsePrologue()
       keyword("SELECT")
+      val q = parseSelectTail()
+      skipWs()
+      if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
+      q
+    }
+
+    /** Everything after the SELECT keyword — shared between top-level
+      * queries and sub-SELECTs (which stop at the enclosing '}').
+      */
+    private def parseSelectTail(): Query = {
       val distinct = tryKeyword("DISTINCT")
       val projection = parseProjection()
       tryKeyword("WHERE")
@@ -834,8 +900,6 @@ object Sparql {
         else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
         else more = false
       }
-      skipWs()
-      if (pos < text.length) fail(s"trailing content: '${text.substring(pos).take(20)}'")
       Query(projection, pattern, groupBy, orderBy, limit, offset, distinct)
     }
 
@@ -879,21 +943,37 @@ object Sparql {
 
     private[sparql] def parseGroup(): Pattern = {
       expect('{')
-      skipWs()
-      // UNION of sub-groups?
-      if (peek == '{') {
-        val branches = scala.collection.mutable.ArrayBuffer[Pattern]()
-        branches += parseGroup()
-        while (tryKeyword("UNION")) branches += parseGroup()
-        expect('}')
-        if (branches.size == 1) branches.head else Union(branches.toSeq)
-      } else {
+      locally {
         val elems = scala.collection.mutable.ArrayBuffer[GroupElem]()
         var done = false
         while (!done) {
           skipWs()
           if (pos >= text.length) fail("unterminated group pattern")
           else if (peek == '}') { pos += 1; done = true }
+          else if (peek == '{') {
+            // sub-SELECT, or a nested group pattern (possibly the head
+            // of a UNION chain: `{A} UNION {B}` groups as Union(A,B))
+            val save = pos
+            pos += 1
+            skipWs()
+            val isSub = text.regionMatches(true, pos, "SELECT", 0, 6) &&
+              (pos + 6 >= text.length || !text.charAt(pos + 6).isLetterOrDigit)
+            pos = save
+            if (isSub) {
+              expect('{')
+              keyword("SELECT")
+              val q = parseSelectTail()
+              expect('}')
+              elems += SubSelectElem(q)
+            } else {
+              var p: Pattern = parseGroup()
+              while (tryKeyword("UNION")) p = p match {
+                case Union(bs) => Union(bs :+ parseGroup())
+                case x => Union(Seq(x, parseGroup()))
+              }
+              elems += NestedElem(p)
+            }
+          }
           else if (tryKeyword("OPTIONAL")) elems += OptElem(parseGroup())
           else if (tryKeyword("BIND")) {
             expect('(')

@@ -486,6 +486,46 @@ class SparqlSpec extends AnyFunSuite {
       Set("http://x/a", "http://x/b"))
   }
 
+  test("sub-SELECT: grouped aggregate joined back on key and value") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/g> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/a> <http://x/v> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/g> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/v> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/g> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/v> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    // argmax per group: MAX returns the ORIGINAL term (max_by), so the
+    // join back on ?m is structural
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?g {
+           ?s <http://x/v> ?m . ?s <http://x/g> ?g .
+           { SELECT ?g (MAX(?v) AS ?m) { ?x <http://x/g> ?g . ?x <http://x/v> ?v } GROUP BY ?g }
+         }""").collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSet ==
+      Set("http://x/b", "http://x/c"))
+    // sub-select with DISTINCT + LIMIT runs in isolation
+    val limited = Sparql.execute(store.quads(),
+      """SELECT ?g { { SELECT DISTINCT ?g { ?x <http://x/g> ?g } ORDER BY ?g LIMIT 1 } }""")
+      .collect()
+    assert(limited.map(_.getStruct(0).getString(1)).toSeq == Seq("1"))
+  }
+
+  test("nested group pattern joins; its FILTER scopes locally") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/a> <http://x/q> "x" .
+         |<http://x/b> <http://x/q> "y" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      s"""SELECT ?s ?t {
+            ?s <http://x/q> ?t .
+            { ?s <http://x/p> ?v FILTER(?v < "2"^^<${Term.XSD_INTEGER}>) }
+          }""").collect()
+    assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
+  }
+
   test("MINUS removes compatible solutions but keeps disjoint domains") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
