@@ -195,6 +195,34 @@ object SparqlQueries {
           regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
         .orderBy(col("s"), col("o"))
     },
+    // HAVING + the set-oriented aggregates: GROUP_CONCAT (sorted-lex
+    // join — deterministic where the spec leaves order open), SAMPLE
+    // (lexically-least choice), COUNT(DISTINCT). Nations keyed < 13 so
+    // region group sizes differ and HAVING actually cuts
+    "sparql_having" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)].collect()
+      val quads = rows.toSeq.filter(_._1 < 13).flatMap { case (k, name, rk) =>
+        Seq(
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"),
+            Term.lit(name)),
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqhav").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?rk (COUNT(*) AS ?n) (GROUP_CONCAT(?name; SEPARATOR=",") AS ?names)
+                   (SAMPLE(?name) AS ?one) (COUNT(DISTINCT ?name) AS ?nd)
+            { ?s <${NS}regionkey> ?rk . ?s <${NS}name> ?name }
+            GROUP BY ?rk
+            HAVING (COUNT(*) >= "3"^^<${Term.XSD_INTEGER}>)""")
+      res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
+          col("n"), col("names"), col("one"), col("nd"))
+        .orderBy(col("n_regionkey"))
+    },
     // sub-SELECT (spec §12): the per-group argmax idiom — an inner
     // grouped MAX joined back on BOTH the group key and the aggregate
     // value. MAX compiles to max_by over the numeric value, returning
@@ -322,6 +350,15 @@ object SparqlQueries {
            UNION
            SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s)
          SELECT s::INT AS s, o::INT AS o FROM reach ORDER BY s, o""",
+    "sparql_having" ->
+      """SELECT n_regionkey,
+                COUNT(*)::BIGINT AS n,
+                string_agg(n_name, ',' ORDER BY n_name) AS names,
+                MIN(n_name) AS one,
+                COUNT(DISTINCT n_name)::BIGINT AS nd
+         FROM nation WHERE n_nationkey < 13
+         GROUP BY n_regionkey HAVING COUNT(*) >= 3
+         ORDER BY n_regionkey""",
     "sparql_subquery" ->
       """SELECT n_regionkey, MAX(n_nationkey) AS n_nationkey
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",

@@ -128,19 +128,27 @@ object Sparql {
   final case class SelectItems(items: Seq[SelectItem]) extends Projection
   sealed trait SelectItem
   final case class ItemVar(name: String) extends SelectItem
-  /** `(FUNC(?v) AS ?x)` for FUNC ∈ COUNT, SUM, MIN, MAX, AVG; COUNT
-    * also takes `*`. COUNT(?v) counts rows where ?v is bound, per
-    * SPARQL aggregate semantics; the numeric aggregates operate on
-    * the NUMERIC VALUE of literal bindings (exact DECIMAL
-    * accumulation — cross-engine-stable for integer inputs; a bare
-    * double sum would drift).
+  /** `(FUNC([DISTINCT] ?v) AS ?x)` for FUNC ∈ COUNT, SUM, MIN, MAX,
+    * AVG, GROUP_CONCAT, SAMPLE; COUNT also takes `*`. COUNT(?v) counts
+    * rows where ?v is bound, per SPARQL aggregate semantics; the
+    * numeric aggregates operate on the NUMERIC VALUE of literal
+    * bindings (exact DECIMAL accumulation — cross-engine-stable for
+    * integer inputs; a bare double sum would drift). GROUP_CONCAT
+    * joins lexical forms SORTED ascending (the spec leaves order
+    * undefined; sorting makes the engine deterministic), SAMPLE
+    * returns the lexically-least value for the same reason.
     */
-  final case class ItemAgg(func: String, arg: Option[String], as: String)
+  final case class ItemAgg(func: String, arg: Option[String], as: String,
+      isDistinct: Boolean = false, separator: String = " ")
     extends SelectItem
 
+  /** One HAVING conjunct: `AGG([DISTINCT] ?v|*) op literal`. */
+  final case class HavingCmp(func: String, arg: Option[String], op: String,
+      value: Term, isDistinct: Boolean = false)
+
   final case class Query(projection: Projection, pattern: Pattern,
-      groupBy: Seq[String], orderBy: Seq[String], limit: Option[Int],
-      offset: Option[Int], distinct: Boolean)
+      groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[String],
+      limit: Option[Int], offset: Option[Int], distinct: Boolean)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
     * CONSTRUCT instantiated quads.
@@ -241,32 +249,72 @@ object Sparql {
         items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
           .foreach(n => throw new RdfParseException(
             s"projected variable ?$n is not in GROUP BY"))
-        val aggCols = items.collect { case ItemAgg(func, arg, as) =>
+        // raw (SQL-typed) aggregate — also the HAVING form
+        def rawAgg(func: String, arg: Option[String], isDistinct: Boolean,
+            separator: String): Column = func match {
+          case "COUNT" =>
+            if (isDistinct) count_distinct(col(arg.get))
+            else arg.fold(count(lit(1)))(v => count(col(v)))
+          case "SUM" =>
+            if (isDistinct) sum_distinct(numVal(arg.get)) else sum(numVal(arg.get))
+          case "AVG" =>
+            if (isDistinct) throw new RdfParseException("AVG(DISTINCT) is not supported")
+            else avg(numVal(arg.get))
+          case "MIN" => min(numVal(arg.get))
+          case "MAX" => max(numVal(arg.get))
+          case "GROUP_CONCAT" =>
+            val lex = col(arg.get).getField("lex")
+            array_join(array_sort(
+              if (isDistinct) collect_set(lex) else collect_list(lex)), separator)
+          case "SAMPLE" => min(col(arg.get).getField("lex"))
+          case other => throw new RdfParseException(s"unsupported aggregate $other")
+        }
+        def strTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
+          c.as("lex"), lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang"))
+        val aggCols = items.collect { case ItemAgg(func, arg, as, isDistinct, sep) =>
           (func match {
-            case "COUNT" =>
-              val raw = arg.fold(count(lit(1)))(v => count(col(v)))
-              if (asTerms) intTerm(raw) else raw
-            case "SUM" =>
-              if (asTerms) numTerm(sum(numVal(arg.get))) else sum(numVal(arg.get))
-            case "AVG" =>
-              if (asTerms) numTerm(avg(numVal(arg.get))) else avg(numVal(arg.get))
-            case "MIN" =>
-              if (asTerms) min_by(col(arg.get), numVal(arg.get)) else min(numVal(arg.get))
-            case "MAX" =>
-              if (asTerms) max_by(col(arg.get), numVal(arg.get)) else max(numVal(arg.get))
+            case _ if !asTerms => rawAgg(func, arg, isDistinct, sep)
+            case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
+            case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
+            case "MIN" => min_by(col(arg.get), numVal(arg.get))
+            case "MAX" => max_by(col(arg.get), numVal(arg.get))
+            case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
+            case "SAMPLE" => min_by(col(arg.get), col(arg.get).getField("lex"))
             case other => throw new RdfParseException(s"unsupported aggregate $other")
           }).as(as)
+        }
+        // HAVING conjuncts ride the same aggregation as hidden columns
+        val havingCols = q.having.zipWithIndex.map { case (h, i) =>
+          rawAgg(h.func, h.arg, h.isDistinct, " ").as(s"_having_$i")
         }
         // a non-COUNT aggregate over no numeric bindings is null ⇒
         // its alias is maybe-unbound for join compatibility
         maybe = (boundSol.maybe intersect q.groupBy.toSet) ++
-          items.collect { case ItemAgg(func, _, as) if func != "COUNT" => as }
+          items.collect {
+            case ItemAgg(func, _, as, _, _)
+                if func != "COUNT" && func != "GROUP_CONCAT" => as
+          }
+        val allAggs = aggCols ++ havingCols
         val grouped =
-          if (q.groupBy.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
-          else bound.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        grouped.select(items.map {
+          if (q.groupBy.isEmpty) bound.agg(allAggs.head, allAggs.tail: _*)
+          else bound.groupBy(q.groupBy.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
+        val kept = q.having.zipWithIndex.foldLeft(grouped) { case (d, (h, i)) =>
+          val c = col(s"_having_$i")
+          val v = lit(new java.math.BigDecimal(h.value.lex))
+          d.filter(h.op match {
+            case "=" => c === v
+            case "!=" => c =!= v
+            case "<" => c < v
+            case ">" => c > v
+            case "<=" => c <= v
+            case ">=" => c >= v
+            case other => throw new RdfParseException(s"unsupported HAVING op '$other'")
+          })
+        }
+        kept.select(items.map {
           case ItemVar(n) => col(n)
-          case ItemAgg(_, _, as) => col(as)
+          case ItemAgg(_, _, as, _, _) => col(as)
         }: _*)
     }
     val distinct = if (q.distinct) projected.dropDuplicates() else projected
@@ -889,6 +937,29 @@ object Sparql {
       val pattern = parseGroup()
       val groupBy =
         if (tryKeyword("GROUP")) { keyword("BY"); parseVarList() } else Seq.empty
+      val having =
+        if (tryKeyword("HAVING")) {
+          expect('(')
+          val cmps = scala.collection.mutable.ArrayBuffer[HavingCmp]()
+          var moreCmps = true
+          while (moreCmps) {
+            val (func, arg, isDistinct, _) = parseAggCall()
+            skipWs()
+            val op =
+              if (tryToken("!=")) "!=" else if (tryToken("<=")) "<="
+              else if (tryToken(">=")) ">=" else if (tryToken("=")) "="
+              else if (tryToken("<")) "<" else if (tryToken(">")) ">"
+              else fail("expected comparison operator in HAVING")
+            val v = parseNode() match {
+              case Const(t) if t.isLit => t
+              case _ => fail("HAVING compares an aggregate against a literal")
+            }
+            cmps += HavingCmp(func, arg, op, v, isDistinct)
+            moreCmps = tryToken("&&")
+          }
+          expect(')')
+          cmps.toSeq
+        } else Seq.empty
       val orderBy =
         if (tryKeyword("ORDER")) { keyword("BY"); parseVarList() } else Seq.empty
       // LimitOffsetClauses: either order, each at most once
@@ -900,7 +971,7 @@ object Sparql {
         else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
         else more = false
       }
-      Query(projection, pattern, groupBy, orderBy, limit, offset, distinct)
+      Query(projection, pattern, groupBy, having, orderBy, limit, offset, distinct)
     }
 
     private def parseProjection(): Projection = {
@@ -913,24 +984,38 @@ object Sparql {
         if (peek == '?') items += ItemVar(parseVar())
         else if (peek == '(') {
           pos += 1
-          val func = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
-            .find(tryKeyword).getOrElse(fail("expected an aggregate function"))
-          expect('(')
-          skipWs()
-          val arg =
-            if (peek == '*') {
-              if (func != "COUNT") fail(s"$func requires a ?variable argument")
-              pos += 1; None
-            } else Some(parseVar())
-          expect(')')
+          val (func, arg, isDistinct, sep) = parseAggCall()
           keyword("AS")
           val as = parseVar()
           expect(')')
-          items += ItemAgg(func, arg, as)
+          items += ItemAgg(func, arg, as, isDistinct, sep)
         } else done = true
       }
       if (items.isEmpty) fail("expected projection variables or aggregates")
       SelectItems(items.toSeq)
+    }
+
+    /** `FUNC([DISTINCT] ?v|*) [; SEPARATOR="…"]` — the aggregate call
+      * shared by projection items and HAVING conjuncts.
+      */
+    private def parseAggCall(): (String, Option[String], Boolean, String) = {
+      val func = Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+        .find(tryKeyword).getOrElse(fail("expected an aggregate function"))
+      expect('(')
+      val isDistinct = tryKeyword("DISTINCT")
+      skipWs()
+      val arg =
+        if (peek == '*') {
+          if (func != "COUNT") fail(s"$func requires a ?variable argument")
+          pos += 1; None
+        } else Some(parseVar())
+      var sep = " "
+      if (func == "GROUP_CONCAT") {
+        skipWs()
+        if (peek == ';') { pos += 1; keyword("SEPARATOR"); expect('='); sep = parseStringLit() }
+      }
+      expect(')')
+      (func, arg, isDistinct, sep)
     }
 
     private def parseVarList(): Seq[String] = {

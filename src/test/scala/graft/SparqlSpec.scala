@@ -526,6 +526,38 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
   }
 
+  test("HAVING filters groups; GROUP_CONCAT/SAMPLE/COUNT DISTINCT aggregate") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/g> "1" .
+         |<http://x/a> <http://x/name> "ann" .
+         |<http://x/b> <http://x/g> "1" .
+         |<http://x/b> <http://x/name> "bob" .
+         |<http://x/c> <http://x/g> "2" .
+         |<http://x/c> <http://x/name> "cyd" .
+         |<http://x/d> <http://x/g> "1" .
+         |<http://x/d> <http://x/name> "ann" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      s"""SELECT ?g (COUNT(*) AS ?n) (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names)
+                 (SAMPLE(?name) AS ?one) (COUNT(DISTINCT ?name) AS ?nd)
+          { ?s <http://x/g> ?g . ?s <http://x/name> ?name }
+          GROUP BY ?g
+          HAVING (COUNT(*) >= "2"^^<${Term.XSD_INTEGER}>)""").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getStruct(0).getString(1) == "1")
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "ann|ann|bob") // sorted lexical forms
+    assert(r.getString(3) == "ann")         // deterministic SAMPLE
+    assert(r.getLong(4) == 2L)
+    // GROUP_CONCAT(DISTINCT) dedups before joining
+    val dist = Sparql.execute(store.quads(),
+      """SELECT ?g (GROUP_CONCAT(DISTINCT ?name; SEPARATOR="|") AS ?names)
+         { ?s <http://x/g> ?g . ?s <http://x/name> ?name } GROUP BY ?g
+         ORDER BY ?g""").collect()
+    assert(dist.map(_.getString(1)).toSeq == Seq("ann|bob", "cyd"))
+  }
+
   test("MINUS removes compatible solutions but keeps disjoint domains") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
