@@ -284,6 +284,64 @@ object SparqlQueries {
           s"SELECT ?s { ?s <${NS}key> ?k MINUS { ?x <${NS}comment> ?c } }"))
         .orderBy(col("method"), col("n_nationkey"))
     },
+    // the round-5 expression engine: arithmetic with precedence and
+    // type promotion (integer stays integer, division is decimal),
+    // IF conditionals, IN lists, and an arithmetic FILTER — all over
+    // typed-literal values with bare-numeric literals in the query
+    "sparql_expr_arith" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect()
+      val quads = rows.toSeq.map { k =>
+        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+          Term.typed(k.toString, Term.XSD_INTEGER))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqea").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?k ?dbl ?q ?cls {
+              ?s <${NS}key> ?k
+              BIND(?k * 2 + 1 AS ?dbl)
+              BIND(?k / 4 AS ?q)
+              BIND(IF(?k < 10, "low", "high") AS ?cls)
+              FILTER((?k + 5) * 2 <= 40 && ?k NOT IN (2, 4))
+            }""")
+      res.select(col("k").getField("lex").cast("int").as("k"),
+          col("dbl").getField("lex").cast("long").as("dbl"),
+          col("q").getField("lex").cast("double").as("q"),
+          col("cls").getField("lex").as("cls"))
+        .orderBy(col("k"))
+    },
+    // string scalar functions over nation names, matched against the
+    // relational truth computed by DuckDB's own string functions
+    "sparql_expr_str" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_name")).as[String].collect()
+      val quads = rows.toSeq.map { n =>
+        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$n"), Term.iri(s"${NS}name"),
+          Term.lit(n))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqes").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?name ?len ?lc ?cat ?pre ?aft {
+              ?s <${NS}name> ?name
+              BIND(STRLEN(?name) AS ?len)
+              BIND(LCASE(?name) AS ?lc)
+              BIND(CONCAT(?name, "!") AS ?cat)
+              BIND(SUBSTR(?name, 1, 3) AS ?pre)
+              BIND(STRAFTER(?name, "_") AS ?aft)
+              FILTER(STRSTARTS(?name, "NATION_1") || CONTAINS(?name, "_2"))
+            }""")
+      res.select(col("name").getField("lex").as("n_name"),
+          col("len").getField("lex").cast("long").as("len"),
+          col("lc").getField("lex").as("lc"),
+          col("cat").getField("lex").as("cat"),
+          col("pre").getField("lex").as("pre"),
+          col("aft").getField("lex").as("aft"))
+        .orderBy(col("n_name"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
@@ -372,6 +430,26 @@ object SparqlQueries {
            UNION ALL
            SELECT 'not_exists', n_nationkey FROM nation WHERE n_nationkey >= 10
          ) ORDER BY method, n_nationkey""",
+    "sparql_expr_arith" ->
+      """SELECT n_nationkey AS k,
+                (n_nationkey * 2 + 1)::BIGINT AS dbl,
+                (n_nationkey::DOUBLE / 4) AS q,
+                CASE WHEN n_nationkey < 10 THEN 'low' ELSE 'high' END AS cls
+         FROM nation
+         WHERE (n_nationkey + 5) * 2 <= 40 AND n_nationkey NOT IN (2, 4)
+         ORDER BY k""",
+    "sparql_expr_str" ->
+      """SELECT n_name,
+                length(n_name)::BIGINT AS len,
+                lower(n_name) AS lc,
+                n_name || '!' AS cat,
+                substr(n_name, 1, 3) AS pre,
+                CASE WHEN position('_' IN n_name) > 0
+                     THEN substr(n_name, position('_' IN n_name) + 1)
+                     ELSE '' END AS aft
+         FROM nation
+         WHERE starts_with(n_name, 'NATION_1') OR contains(n_name, '_2')
+         ORDER BY n_name""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->

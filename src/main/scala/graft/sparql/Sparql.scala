@@ -92,6 +92,12 @@ object Sparql {
   final case class PPlus(p: PathExpr) extends PathExpr
   final case class PStar(p: PathExpr) extends PathExpr
   final case class POpt(p: PathExpr) extends PathExpr
+  /** Negated property set `!(iri1|…|^irij|…)` (§9.1): forward edges
+    * whose predicate is NOT in `fwd` (when `fwd` was listed), plus
+    * reverse edges whose predicate is NOT in `inv` (when `inv` was
+    * listed) — `!ex:p` is forward-only, `!^ex:p` reverse-only.
+    */
+  final case class PNeg(fwd: Seq[Term], inv: Seq[Term]) extends PathExpr
 
   /** A triple whose predicate is a non-trivial path. Restricted to the
     * default graph and constant GRAPH contexts (a path inside
@@ -100,11 +106,11 @@ object Sparql {
   final case class PathElem(graph: Option[Node], s: Node, path: PathExpr,
       o: Node) extends GroupElem
 
-  /** FILTER expressions: comparisons over variables/constants composed
+  /** FILTER expressions: comparisons over value expressions composed
     * with `&&` / `||` (SPARQL `ConditionalAndExpression`).
     */
   sealed trait FExpr
-  final case class FCmp(l: Node, op: String, r: Node) extends FExpr
+  final case class FCmp(l: VExpr, op: String, r: VExpr) extends FExpr
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
   final case class FNot(e: FExpr) extends FExpr
@@ -112,16 +118,42 @@ object Sparql {
   final case class FRegex(v: Node, pattern: String, flags: String) extends FExpr
   /** CONTAINS / STRSTARTS / STRENDS over the lexical form. */
   final case class FStrFn(func: String, v: Node, arg: String) extends FExpr
-  /** BOUND / isIRI / isBLANK / isLITERAL. */
+  /** BOUND / isIRI / isBLANK / isLITERAL / isNUMERIC. */
   final case class FTest(func: String, v: String) extends FExpr
+  /** `expr [NOT] IN (e1, …, en)` — value-equality disjunction (§17.4.1.9). */
+  final case class FIn(e: VExpr, items: Seq[VExpr], positive: Boolean) extends FExpr
+  /** sameTerm(a, b) — STRUCTURAL identity, unlike `=` (§17.4.1.8). */
+  final case class FSameTerm(l: VExpr, r: VExpr) extends FExpr
+  /** LANGMATCHES(tag, range) with basic-range semantics (§17.4.3.1). */
+  final case class FLangMatches(tag: VExpr, range: String) extends FExpr
+  /** A bare expression in boolean position → effective boolean value
+    * (§17.2.2): boolean literals by value, numerics by != 0, strings by
+    * non-emptiness; anything else is a type error (row dropped).
+    */
+  final case class FEbv(e: VExpr) extends FExpr
 
-  /** Value expressions usable in BIND. */
+  /** Value expressions usable in BIND, SELECT expressions and FILTER
+    * comparison operands.
+    */
   sealed trait VExpr
   final case class VVar(name: String) extends VExpr
   final case class VConst(term: Term) extends VExpr
   final case class VCoalesce(args: Seq[VExpr]) extends VExpr
   /** STR / LANG / DATATYPE accessors (spec §17.4.2). */
   final case class VFn(func: String, arg: VExpr) extends VExpr
+  /** Arithmetic `+ - * /` over NUMERIC literal values (§17.3 operator
+    * mapping): integer op integer stays xsd:integer except division,
+    * which is always xsd:decimal; any other numeric mix is xsd:decimal.
+    * Non-numeric operands and division by zero are expression errors
+    * (unbound result / dropped filter row).
+    */
+  final case class VBin(op: String, l: VExpr, r: VExpr) extends VExpr
+  /** N-ary scalar functions (§17.4.3): STRLEN UCASE LCASE CONCAT
+    * SUBSTR REPLACE STRBEFORE STRAFTER ABS ROUND CEIL FLOOR IRI.
+    */
+  final case class VFnN(func: String, args: Seq[VExpr]) extends VExpr
+  /** IF(cond, then, else) — an error in `cond` is an error (§17.4.1.2). */
+  final case class VIf(cond: FExpr, t: VExpr, e: VExpr) extends VExpr
 
   sealed trait Projection
   case object SelectAll extends Projection
@@ -543,6 +575,23 @@ object Sparql {
     case POpt(i) =>
       pathPairs(quads, graph, i)
         .unionByName(identityPairs(quads, graph)).distinct()
+    case PNeg(fwd, inv) =>
+      val scoped = graph match {
+        case None => quads.filter(col("graph").isNull)
+        case Some(Const(g)) => quads.filter(termEqFields("graph", g))
+        case Some(Var(_)) => throw new RdfParseException(
+          "property paths inside GRAPH ?var are not supported")
+      }
+      def excluding(terms: Seq[Term]) =
+        scoped.filter(!terms.map(termEqFields("predicate", _)).reduce(_ || _))
+      val parts =
+        (if (fwd.nonEmpty)
+          Seq(excluding(fwd).select(col("subject").as("ps"), col("obj").as("po")))
+        else Seq.empty) ++
+        (if (inv.nonEmpty)
+          Seq(excluding(inv).select(col("obj").as("ps"), col("subject").as("po")))
+        else Seq.empty)
+      parts.reduce(_.unionByName(_))
   }
 
   /** Zero-length path: every node of the (scoped) graph to itself
@@ -637,31 +686,178 @@ object Sparql {
   }
 
   private def compileVExpr(base: DataFrame,
-      termType: org.apache.spark.sql.types.DataType, e: VExpr): Column = e match {
+      termType: org.apache.spark.sql.types.DataType, e: VExpr): Column = {
+    val cols = base.columns.toSet
+    compileExpr(e,
+      n => if (cols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT))
+  }
+
+  /** XSD integer-family datatypes (arithmetic result stays integer). */
+  private val INTEGER_DATATYPES: Seq[String] = Seq(
+    Term.XSD_INTEGER, Term.XSD + "int", Term.XSD + "long",
+    Term.XSD + "short", Term.XSD + "byte",
+    Term.XSD + "nonNegativeInteger", Term.XSD + "positiveInteger")
+
+  private def nullTerm: Column = lit(null).cast(TERM_STRUCT)
+
+  /** Canonical lexical form of a decimal value: strip a trailing
+    * fraction of zeros ("10.5000" → "10.5", "10.000" → "10") so the
+    * engine's arithmetic lexicals are deterministic.
+    */
+  private def decLex(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.contains("."),
+      regexp_replace(regexp_replace(s, "0+$", ""), "\\.$", ""))
+      .otherwise(s)
+  }
+
+  private def plainStrTerm(lex: Column): Column =
+    when(lex.isNull, nullTerm).otherwise(
+      struct(lit(Term.LIT).as("termType"), lex.as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang")))
+
+  private def numericTerm(v: Column, dt: Column): Column =
+    when(v.isNull, nullTerm).otherwise(
+      struct(lit(Term.LIT).as("termType"),
+        when(dt === Term.XSD_INTEGER, v.cast("decimal(38,0)").cast("string"))
+          .otherwise(decLex(v)).as("lex"),
+        dt.as("datatype"), lit(null).cast("string").as("lang")))
+
+  /** Numeric VALUE of a term column (null for non-numeric terms —
+    * SPARQL expression error).
+    */
+  private def numValueOf(c: Column): Column =
+    when(isNumericLit(c), c.getField("lex").cast("decimal(38,10)"))
+      .otherwise(lit(null).cast("decimal(38,10)"))
+
+  private def compileExpr(e: VExpr, resolve: String => Column): Column = e match {
     // an unbound variable is a typed-null term, so COALESCE skips it
-    case VVar(n) =>
-      if (base.columns.contains(n)) col(n) else lit(null).cast(termType)
+    case VVar(n) => resolve(n)
     case VConst(t) => termLit(t)
-    case VCoalesce(args) => coalesce(args.map(compileVExpr(base, termType, _)): _*)
+    case VCoalesce(args) => coalesce(args.map(compileExpr(_, resolve)): _*)
     case VFn(func, arg) =>
-      val a = compileVExpr(base, termType, arg)
-      def strTerm(lex: Column) = when(a.isNull, lit(null).cast(termType))
-        .otherwise(struct(lit(Term.LIT).as("termType"), lex.as("lex"),
-          lit(null).cast("string").as("datatype"), lit(null).cast("string").as("lang")))
+      val a = compileExpr(arg, resolve)
+      def strTerm(lex: Column) =
+        when(a.isNull, nullTerm).otherwise(plainStrTerm(lex))
       func match {
         case "STR" => strTerm(a.getField("lex"))
         case "LANG" =>
           // only defined for literals; "" when no language tag
           when(a.getField("termType") === Term.LIT,
             strTerm(coalesce(a.getField("lang"), lit(""))))
-            .otherwise(lit(null).cast(termType))
+            .otherwise(nullTerm)
         case "DATATYPE" =>
           when(a.getField("termType") === Term.LIT,
             struct(lit(Term.IRI).as("termType"),
               coalesce(a.getField("datatype"), lit(Term.XSD_STRING)).as("lex"),
               lit(null).cast("string").as("datatype"),
               lit(null).cast("string").as("lang")))
-            .otherwise(lit(null).cast(termType))
+            .otherwise(nullTerm)
+        case other => throw new RdfParseException(s"unsupported function $other")
+      }
+    case VBin(op, l, r) =>
+      val lc = compileExpr(l, resolve)
+      val rc = compileExpr(r, resolve)
+      val lv = numValueOf(lc)
+      val rv = numValueOf(rc)
+      val res = op match {
+        case "+" => lv + rv
+        case "-" => lv - rv
+        case "*" => lv * rv
+        // division by zero is an expression error, not infinity
+        case "/" => when(rv =!= lit(0), lv / rv)
+        case other => throw new RdfParseException(s"unsupported operator $other")
+      }
+      val bothInt = lc.getField("datatype").isin(INTEGER_DATATYPES: _*) &&
+        rc.getField("datatype").isin(INTEGER_DATATYPES: _*)
+      // integer op integer → xsd:integer, except `/` (always decimal)
+      val dt = if (op == "/") lit(Term.XSD_DECIMAL)
+        else when(bothInt, lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL))
+      numericTerm(res, dt)
+    case VIf(cond, t, f) =>
+      val c = compileFilter(cond, resolve)
+      // an error in the condition is an error in the result
+      when(c === true, compileExpr(t, resolve))
+        .when(c === false, compileExpr(f, resolve))
+        .otherwise(nullTerm)
+    case VFnN(func, args) =>
+      def a(i: Int) = compileExpr(args(i), resolve)
+      def lex(i: Int) = a(i).getField("lex")
+      // string functions are defined on literals only (§17.4.3)
+      def onLit(i: Int)(c: Column) =
+        when(a(i).getField("termType") === Term.LIT, c).otherwise(nullTerm)
+      // result carries the argument's lang/datatype (UCASE/LCASE/...)
+      def likeArg(i: Int)(l: Column) = onLit(i)(
+        struct(lit(Term.LIT).as("termType"), l.as("lex"),
+          a(i).getField("datatype").as("datatype"),
+          a(i).getField("lang").as("lang")))
+      def intTerm(v: Column) = when(v.isNull, nullTerm).otherwise(
+        struct(lit(Term.LIT).as("termType"), v.cast("string").as("lex"),
+          lit(Term.XSD_INTEGER).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang")))
+      // STRBEFORE/STRAFTER take their separator as a parse-time string
+      def sepArg: String = args(1) match {
+        case VConst(t) if t.isLit => t.lex
+        case _ => throw new RdfParseException(s"$func needs a constant separator")
+      }
+      func match {
+        case "STRLEN" => onLit(0)(intTerm(length(lex(0)).cast("long")))
+        case "UCASE" => likeArg(0)(upper(lex(0)))
+        case "LCASE" => likeArg(0)(lower(lex(0)))
+        case "CONCAT" =>
+          // all args must be literals; result is a simple literal
+          val ok = args.indices.map(i => a(i).getField("termType") === Term.LIT)
+            .reduce(_ && _)
+          when(ok, plainStrTerm(concat(args.indices.map(lex): _*)))
+            .otherwise(nullTerm)
+        case "SUBSTR" =>
+          // XPath 1-based positions; numeric args are value-space
+          val start = numValueOf(a(1)).cast("int")
+          val len = if (args.size > 2) numValueOf(a(2)).cast("int")
+            else lit(Int.MaxValue)
+          likeArg(0)(lex(0).substr(start, len))
+        case "REPLACE" =>
+          (args(1), args(2)) match {
+            case (VConst(p), VConst(r)) if p.isLit && r.isLit =>
+              likeArg(0)(regexp_replace(lex(0), p.lex, r.lex))
+            case _ => throw new RdfParseException(
+              "REPLACE needs constant pattern and replacement")
+          }
+        case "STRBEFORE" =>
+          val sep = sepArg
+          onLit(0)(plainStrTerm(
+            if (sep.isEmpty) lit("")
+            else when(instr(lex(0), sep) > 0,
+              substring_index(lex(0), sep, 1)).otherwise(lit(""))))
+        case "STRAFTER" =>
+          val sep = sepArg
+          onLit(0)(plainStrTerm(
+            if (sep.isEmpty) lex(0)
+            else {
+              val p = locate(sep, lex(0))
+              when(p > 0, lex(0).substr(p + sep.length, lit(Int.MaxValue)))
+                .otherwise(lit(""))
+            }))
+        case "ABS" => numericTerm(abs(numValueOf(a(0))),
+          when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
+            lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))
+        // XPath fn:round: half rounds toward positive infinity
+        // (round(-2.5) = -2), which is floor(x + 0.5)
+        case "ROUND" => numericTerm(
+          floor(numValueOf(a(0)) + lit(0.5)).cast("decimal(38,10)"),
+          when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
+            lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))
+        case "CEIL" => numericTerm(ceil(numValueOf(a(0))).cast("decimal(38,10)"),
+          when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
+            lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))
+        case "FLOOR" => numericTerm(floor(numValueOf(a(0))).cast("decimal(38,10)"),
+          when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
+            lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))
+        case "IRI" | "URI" =>
+          when(a(0).isNotNull, struct(lit(Term.IRI).as("termType"),
+            lex(0).as("lex"), lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang"))).otherwise(nullTerm)
         case other => throw new RdfParseException(s"unsupported function $other")
       }
   }
@@ -674,13 +870,28 @@ object Sparql {
 
   /** Variables referenced by a filter expression. */
   private def varsOf(f: FExpr): Set[String] = f match {
-    case FCmp(l, _, r) => Seq(l, r).collect { case Var(n) => n }.toSet
+    case FCmp(l, _, r) => varsOfV(l) ++ varsOfV(r)
     case FAnd(a, b) => varsOf(a) ++ varsOf(b)
     case FOr(a, b) => varsOf(a) ++ varsOf(b)
     case FNot(e) => varsOf(e)
     case FRegex(v, _, _) => Seq(v).collect { case Var(n) => n }.toSet
     case FStrFn(_, v, _) => Seq(v).collect { case Var(n) => n }.toSet
     case FTest(_, v) => Set(v)
+    case FIn(e, items, _) => (e +: items).flatMap(varsOfV).toSet
+    case FSameTerm(l, r) => varsOfV(l) ++ varsOfV(r)
+    case FLangMatches(t, _) => varsOfV(t)
+    case FEbv(e) => varsOfV(e)
+  }
+
+  /** Variables referenced by a value expression. */
+  private def varsOfV(e: VExpr): Set[String] = e match {
+    case VVar(n) => Set(n)
+    case VConst(_) => Set.empty
+    case VCoalesce(args) => args.flatMap(varsOfV).toSet
+    case VFn(_, a) => varsOfV(a)
+    case VBin(_, l, r) => varsOfV(l) ++ varsOfV(r)
+    case VFnN(_, args) => args.flatMap(varsOfV).toSet
+    case VIf(c, t, f) => varsOf(c) ++ varsOfV(t) ++ varsOfV(f)
   }
 
   /** Term struct type (for typed nulls off the quads schema). */
@@ -724,27 +935,66 @@ object Sparql {
         case "ISIRI" | "ISURI" => c.getField("termType") === Term.IRI
         case "ISBLANK" => c.getField("termType") === Term.BLANK
         case "ISLITERAL" => c.getField("termType") === Term.LIT
+        // a numeric TERM whose lexical form actually parses
+        case "ISNUMERIC" => isNumericLit(c) && numValueOf(c).isNotNull
         case other => throw new RdfParseException(s"unsupported test $other")
       }
+    case FIn(e, items, positive) =>
+      val ec = compileExpr(e, resolve)
+      val anyEq = items
+        .map(i => valueEq(ec, compileExpr(i, resolve)))
+        .reduce(_ || _)
+      if (positive) anyEq else !anyEq
+    case FSameTerm(l, r) =>
+      // structural identity of the term structs, not value equality
+      compileExpr(l, resolve) === compileExpr(r, resolve)
+    case FLangMatches(t, range) =>
+      val tag = lower(compileExpr(t, resolve).getField("lex"))
+      if (range == "*") tag.isNotNull && tag =!= ""
+      else {
+        val r = range.toLowerCase
+        tag === r || tag.startsWith(r + "-")
+      }
+    case FEbv(e) =>
+      val c = compileExpr(e, resolve)
+      when(c.getField("termType") === Term.LIT &&
+          c.getField("datatype") === Term.XSD_BOOLEAN,
+          c.getField("lex") === "true" || c.getField("lex") === "1")
+        .when(isNumericLit(c), numValueOf(c) =!= lit(0))
+        .when(isPlainString(c), length(c.getField("lex")) > 0)
+        .otherwise(lit(null).cast("boolean")) // type error → row dropped
     case FCmp(l, op, r) =>
-      val lc = operandCol(l, resolve)
-      val rc = operandCol(r, resolve)
+      val lc = compileExpr(l, resolve)
+      val rc = compileExpr(r, resolve)
       import graft.functions.TermOps
       op match {
         // SPARQL VALUE equality, not structural: "01"^^xsd:integer
         // equals "1"^^xsd:integer (graft.functions.TermValueEquals)
-        case "=" => TermOps.termValueEquals(lc, rc)
-        case "!=" => !TermOps.termValueEquals(lc, rc)
+        case "=" => valueEq(lc, rc)
+        case "!=" => !valueEq(lc, rc)
         // ordering is VALUE-space too: "9"^^xsd:integer <
         // "10"^^xsd:integer (numeric by BigDecimal; the lexical order
-        // is inverted there). SPARQL ordering ops are a type error
-        // (row dropped) for incomparable operand kinds.
-        case "<" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) < 0
-        case ">" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) > 0
-        case "<=" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) <= 0
-        case ">=" => comparable(l, r, resolve) && TermOps.termValueCompare(lc, rc) >= 0
+        // is inverted there). Incomparable operand kinds are a TYPE
+        // ERROR (null), not false — so FILTER drops the row, !(…)
+        // stays an error, and IF propagates the error (§17.2)
+        case "<" => when(comparable(l, r, resolve), TermOps.termValueCompare(lc, rc) < 0)
+        case ">" => when(comparable(l, r, resolve), TermOps.termValueCompare(lc, rc) > 0)
+        case "<=" => when(comparable(l, r, resolve), TermOps.termValueCompare(lc, rc) <= 0)
+        case ">=" => when(comparable(l, r, resolve), TermOps.termValueCompare(lc, rc) >= 0)
         case other => throw new RdfParseException(s"unsupported FILTER op '$other'")
       }
+  }
+
+  /** RDFterm-equal (§17.4.1.7) with the numeric-vs-non-numeric literal
+    * corner as a TYPE ERROR rather than false: `"banana" = 3` errors,
+    * so `?v NOT IN (3)` drops the banana row instead of keeping it.
+    */
+  private def valueEq(lc: Column, rc: Column): Column = {
+    val bothLit = lc.getField("termType") === Term.LIT &&
+      rc.getField("termType") === Term.LIT
+    when(bothLit && (isNumericLit(lc) =!= isNumericLit(rc)),
+      lit(null).cast("boolean"))
+      .otherwise(graft.functions.TermOps.termValueEquals(lc, rc))
   }
 
   /** SPARQL ordering comparability (spec §17.3, operator mapping):
@@ -753,12 +1003,12 @@ object Sparql {
     * resolves statically to a plain datatype/lang predicate on the
     * other operand (pushable); var-vs-var takes the column form.
     */
-  private def comparable(l: Node, r: Node, resolve: String => Column): Column = (l, r) match {
-    case (Const(t), v: Var) => comparableWith(operandCol(v, resolve), t)
-    case (v: Var, Const(t)) => comparableWith(operandCol(v, resolve), t)
+  private def comparable(l: VExpr, r: VExpr, resolve: String => Column): Column = (l, r) match {
+    case (VConst(t), e) => comparableWith(compileExpr(e, resolve), t)
+    case (e, VConst(t)) => comparableWith(compileExpr(e, resolve), t)
     case _ =>
-      val a = operandCol(l, resolve)
-      val b = operandCol(r, resolve)
+      val a = compileExpr(l, resolve)
+      val b = compileExpr(r, resolve)
       when(isNumericLit(a) || isNumericLit(b), isNumericLit(a) && isNumericLit(b))
         .when(isPlainString(a) || isPlainString(b), isPlainString(a) && isPlainString(b))
         .otherwise(lit(true)) // IRI/blank/lang-tagged: total order (extension)
@@ -766,7 +1016,9 @@ object Sparql {
 
   private def isNumericLit(c: Column): Column =
     c.getField("termType") === Term.LIT &&
-      c.getField("datatype").isin(graft.functions.TermOps.NUMERIC_DATATYPES.toSeq: _*)
+      // datatype is null for plain literals — that's false, not unknown
+      coalesce(c.getField("datatype")
+        .isin(graft.functions.TermOps.NUMERIC_DATATYPES.toSeq: _*), lit(false))
 
   private def isPlainString(c: Column): Column =
     c.getField("termType") === Term.LIT && c.getField("lang").isNull &&
@@ -1174,7 +1426,8 @@ object Sparql {
       skipWs()
       val inv = if (peek == '^') { pos += 1; true } else false
       val prim: PathExpr =
-        if (peek == '(') { pos += 1; val e = parsePathAlt(); expect(')'); e }
+        if (peek == '!') { pos += 1; parseNegatedSet() }
+        else if (peek == '(') { pos += 1; val e = parsePathAlt(); expect(')'); e }
         else parseNode() match {
           case Const(t) if t.isIri => PLink(t)
           case _ => fail("a path element must be an IRI or a parenthesized path")
@@ -1188,6 +1441,31 @@ object Sparql {
           case _ => prim
         } else prim
       if (inv) PInv(modified) else modified
+    }
+
+    /** After '!': a single (possibly inverted) IRI or a '('-list of
+      * them separated by '|'.
+      */
+    private def parseNegatedSet(): PathExpr = {
+      val fwd = scala.collection.mutable.ArrayBuffer[Term]()
+      val inv = scala.collection.mutable.ArrayBuffer[Term]()
+      def one(): Unit = {
+        skipWs()
+        val inverted = if (peek == '^') { pos += 1; true } else false
+        parseNode() match {
+          case Const(t) if t.isIri => if (inverted) inv += t else fwd += t
+          case _ => fail("a negated property set lists IRIs")
+        }
+      }
+      skipWs()
+      if (peek == '(') {
+        pos += 1
+        one()
+        skipWs()
+        while (peek == '|') { pos += 1; one(); skipWs() }
+        expect(')')
+      } else one()
+      PNeg(fwd.toSeq, inv.toSeq)
     }
 
     private def parseValuesCell(): Option[Term] =
@@ -1214,7 +1492,25 @@ object Sparql {
 
     private def parseFilterCmp(): FExpr = {
       skipWs()
-      if (peek == '(') { expect('('); val e = parseFilterOr(); expect(')'); e }
+      if (peek == '(') {
+        // ambiguous '(': a parenthesized boolean (`(?x < 3) || …`) or a
+        // parenthesized arithmetic operand (`(?a + ?b) > 3`). Try the
+        // boolean reading; if it fails, or the closing paren is
+        // followed by a comparison/arithmetic operator, re-read as an
+        // expression operand
+        val save = pos
+        val asBool: Option[FExpr] =
+          try {
+            expect('('); val e = parseFilterOr(); expect(')')
+            skipWs()
+            val c = peek
+            if ("=<>+-*/".indexOf(c.toInt) >= 0 ||
+                (c == '!' && pos + 1 < text.length && text.charAt(pos + 1) == '='))
+              None
+            else Some(e)
+          } catch { case _: RdfParseException => None }
+        asBool.getOrElse { pos = save; parseCmpTail() }
+      }
       else if (peek == '!' && pos + 1 < text.length && text.charAt(pos + 1) != '=') {
         pos += 1
         FNot(parseFilterCmp())
@@ -1232,21 +1528,48 @@ object Sparql {
         val arg = parseStringLit()
         expect(')')
         FStrFn(func, v, arg)
+      } else if (tryKeyword("SAMETERM")) {
+        expect('('); val a = parseAdditive(); expect(',')
+        val b = parseAdditive(); expect(')')
+        FSameTerm(a, b)
+      } else if (tryKeyword("LANGMATCHES")) {
+        expect('('); val t = parseAdditive(); expect(',')
+        val r = parseStringLit(); expect(')')
+        FLangMatches(t, r)
       } else if (tryKeyword("BOUND") || tryKeyword("ISIRI") || tryKeyword("ISURI") ||
-                 tryKeyword("ISBLANK") || tryKeyword("ISLITERAL")) {
+                 tryKeyword("ISBLANK") || tryKeyword("ISLITERAL") ||
+                 tryKeyword("ISNUMERIC")) {
         val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
         expect('('); val v = parseVar(); expect(')')
         FTest(func, v)
-      } else {
-        val l = parseNode()
-        skipWs()
-        val op =
-          if (tryToken("!=")) "!=" else if (tryToken("<=")) "<="
-          else if (tryToken(">=")) ">=" else if (tryToken("=")) "="
-          else if (tryToken("<")) "<" else if (tryToken(">")) ">"
-          else fail("expected comparison operator")
-        FCmp(l, op, parseNode())
-      }
+      } else parseCmpTail()
+    }
+
+    /** expression (op expression | [NOT] IN list)? — a bare expression
+      * in boolean position falls through to EBV.
+      */
+    private def parseCmpTail(): FExpr = {
+      val l = parseAdditive()
+      skipWs()
+      val op =
+        if (tryToken("!=")) "!=" else if (tryToken("<=")) "<="
+        else if (tryToken(">=")) ">=" else if (tryToken("=")) "="
+        else if (tryToken("<")) "<" else if (tryToken(">")) ">"
+        else ""
+      if (op.nonEmpty) FCmp(l, op, parseAdditive())
+      else if (tryKeyword("IN")) FIn(l, parseExprList(), positive = true)
+      else if (tryKeyword("NOT")) {
+        keyword("IN"); FIn(l, parseExprList(), positive = false)
+      } else FEbv(l)
+    }
+
+    private def parseExprList(): Seq[VExpr] = {
+      expect('(')
+      val args = scala.collection.mutable.ArrayBuffer(parseAdditive())
+      skipWs()
+      while (peek == ',') { pos += 1; args += parseAdditive(); skipWs() }
+      expect(')')
+      args.toSeq
     }
 
     private def parseStringLit(): String = parseNode() match {
@@ -1254,22 +1577,60 @@ object Sparql {
       case _ => fail("expected a string literal")
     }
 
-    private def parseVExpr(): VExpr = {
+    private def parseVExpr(): VExpr = parseAdditive()
+
+    // expression grammar with standard precedence:
+    //   additive := mult (('+'|'-') mult)* ; mult := prim (('*'|'/') prim)*
+    private def parseAdditive(): VExpr = {
+      var e = parseMultiplicative()
       skipWs()
-      if (tryKeyword("STR") || tryKeyword("LANG") || tryKeyword("DATATYPE")) {
+      while (pos < text.length && (peek == '+' || peek == '-')) {
+        val op = peek.toString; pos += 1
+        e = VBin(op, e, parseMultiplicative()); skipWs()
+      }
+      e
+    }
+
+    private def parseMultiplicative(): VExpr = {
+      var e = parsePrimaryV()
+      skipWs()
+      while (pos < text.length && (peek == '*' || peek == '/')) {
+        val op = peek.toString; pos += 1
+        e = VBin(op, e, parsePrimaryV()); skipWs()
+      }
+      e
+    }
+
+    private val UNARY_FNS =
+      Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR", "IRI", "URI")
+    private val NARY_FNS =
+      Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER")
+
+    private def parsePrimaryV(): VExpr = {
+      skipWs()
+      if (peek == '(') { pos += 1; val e = parseAdditive(); expect(')'); e }
+      else if (tryKeyword("IF")) {
+        expect('('); val c = parseFilterOr(); expect(',')
+        val t = parseAdditive(); expect(',')
+        val f = parseAdditive(); expect(')')
+        VIf(c, t, f)
+      } else if (tryKeyword("COALESCE")) {
+        VCoalesce(parseExprList())
+      } else if (tryKeyword("STR") || tryKeyword("LANG") || tryKeyword("DATATYPE")) {
         val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
         expect('(')
-        val a = parseVExpr()
+        val a = parseAdditive()
         expect(')')
         VFn(func, a)
-      } else if (tryKeyword("COALESCE")) {
+      } else if (UNARY_FNS.exists(tryKeyword)) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9]").last.toUpperCase
         expect('(')
-        val args = scala.collection.mutable.ArrayBuffer[VExpr]()
-        args += parseVExpr()
-        skipWs()
-        while (peek == ',') { pos += 1; args += parseVExpr(); skipWs() }
+        val a = parseAdditive()
         expect(')')
-        VCoalesce(args.toSeq)
+        VFnN(func, Seq(a))
+      } else if (NARY_FNS.exists(tryKeyword)) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9]").last.toUpperCase
+        VFnN(func, parseExprList())
       } else if (peek == '?') VVar(parseVar())
       else parseNode() match {
         case Const(t) => VConst(t)
@@ -1330,6 +1691,21 @@ object Sparql {
         case 'a' if pos + 1 < text.length && text.charAt(pos + 1).isWhitespace =>
           pos += 1
           Const(Term.iri(Term.RDF_TYPE))
+        // bare numeric literal (SPARQL §19.8 NumericLiteral): digits →
+        // xsd:integer, a dot followed by digits → xsd:decimal
+        case c if c.isDigit || ((c == '-' || c == '+') &&
+            pos + 1 < text.length && text.charAt(pos + 1).isDigit) =>
+          val start = pos
+          if (c == '-' || c == '+') pos += 1
+          while (pos < text.length && text.charAt(pos).isDigit) pos += 1
+          val isDec = pos + 1 < text.length && text.charAt(pos) == '.' &&
+            text.charAt(pos + 1).isDigit
+          if (isDec) {
+            pos += 1
+            while (pos < text.length && text.charAt(pos).isDigit) pos += 1
+          }
+          Const(Term.typed(text.substring(start, pos),
+            if (isDec) Term.XSD_DECIMAL else Term.XSD_INTEGER))
         case '_' if pos + 1 < text.length && text.charAt(pos + 1) == ':' =>
           pos += 2
           val start = pos

@@ -576,4 +576,167 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ?s { ?s <http://x/p> ?v MINUS { ?x <http://x/tag> ?t } }") ==
       Set("http://x/a", "http://x/b"))
   }
+
+  test("negated property sets: !iri, !(iri|^iri)") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> <http://x/b> .
+         |<http://x/a> <http://x/q> <http://x/c> .
+         |<http://x/b> <http://x/r> <http://x/a> .
+         |""".stripMargin) -> "application/n-quads")
+    def pairs(q: String): Set[(String, String)] =
+      Sparql.execute(store.quads(), q).collect()
+        .map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    // forward-only: any predicate except p
+    assert(pairs("SELECT ?s ?o { ?s !<http://x/p> ?o }") ==
+      Set("http://x/a" -> "http://x/c", "http://x/b" -> "http://x/a"))
+    // mixed set: forward except p, PLUS reverse except r
+    assert(pairs("SELECT ?s ?o { ?s !(<http://x/p>|^<http://x/r>) ?o }") ==
+      Set("http://x/a" -> "http://x/c", "http://x/b" -> "http://x/a",
+          "http://x/c" -> "http://x/a"))
+    // reverse-only negation matches no forward edge
+    assert(pairs("SELECT ?s ?o { ?s !^<http://x/r> ?o }") ==
+      Set("http://x/b" -> "http://x/a", "http://x/c" -> "http://x/a"))
+  }
+
+  // ---- expression engine (§17.3 arithmetic, §17.4 functions) ----
+
+  private def numStore = ingest(
+    ("""<http://x/a> <http://x/k> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+       |<http://x/b> <http://x/k> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+       |<http://x/c> <http://x/k> "banana" .
+       |""".stripMargin) -> "application/n-quads")
+
+  private def lex(row: org.apache.spark.sql.Row, i: Int): String =
+    row.getStruct(i).getString(1)
+
+  test("arithmetic in BIND: precedence, integer vs decimal result, bare numerics") {
+    val rows = Sparql.execute(numStore.quads(),
+      "SELECT ?s ?v { ?s <http://x/k> ?k BIND(?k * 2 + 1 AS ?v) } ORDER BY ?s")
+      .collect()
+    // non-numeric operand is an expression error → ?v unbound, row kept
+    assert(rows.length == 3)
+    val bySubj = rows.map(r => lex(r, 0) -> r.getStruct(1)).toMap
+    assert(bySubj("http://x/a").getString(1) == "7")
+    assert(bySubj("http://x/a").getString(2).endsWith("integer"))
+    assert(bySubj("http://x/b").getString(1) == "21")
+    assert(bySubj("http://x/c") == null)
+    // division is always decimal, with a canonical lexical form
+    val div = Sparql.execute(numStore.quads(),
+      "SELECT ?v { <http://x/b> <http://x/k> ?k BIND(?k / 4 AS ?v) }")
+      .collect().head.getStruct(0)
+    assert(div.getString(1) == "2.5")
+    assert(div.getString(2).endsWith("decimal"))
+    // division by zero is an error → unbound
+    val dz = Sparql.execute(numStore.quads(),
+      "SELECT ?v { <http://x/b> <http://x/k> ?k BIND(?k / 0 AS ?v) }")
+      .collect().head
+    assert(dz.getStruct(0) == null)
+  }
+
+  test("arithmetic in FILTER, parenthesized operands, bare numeric literals") {
+    def subjects(q: String): Set[String] =
+      Sparql.execute(numStore.quads(), q).collect().map(lex(_, 0)).toSet
+    // non-numeric "banana" is a type error → dropped, not matched
+    assert(subjects("SELECT ?s { ?s <http://x/k> ?k FILTER(?k * 2 >= 10) }") ==
+      Set("http://x/b"))
+    assert(subjects("SELECT ?s { ?s <http://x/k> ?k FILTER((?k + 2) * 2 = 10) }") ==
+      Set("http://x/a"))
+    assert(subjects("SELECT ?s { ?s <http://x/k> ?k FILTER(?k < 10) }") ==
+      Set("http://x/a"))
+  }
+
+  test("numeric functions: ABS, ROUND half-to-+inf, CEIL, FLOOR") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/k> "-2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+         |""".stripMargin) -> "application/n-quads")
+    val r = Sparql.execute(store.quads(),
+      """SELECT ?abs ?rnd ?cl ?fl { ?s <http://x/k> ?k
+         BIND(ABS(?k) AS ?abs) BIND(ROUND(?k) AS ?rnd)
+         BIND(CEIL(?k) AS ?cl) BIND(FLOOR(?k) AS ?fl) }""")
+      .collect().head
+    assert(lex(r, 0) == "2.5")
+    assert(lex(r, 1) == "-2") // XPath fn:round: half toward +inf
+    assert(lex(r, 2) == "-2")
+    assert(lex(r, 3) == "-3")
+  }
+
+  test("string functions: STRLEN UCASE LCASE CONCAT SUBSTR REPLACE STRBEFORE STRAFTER") {
+    val store = ingest(
+      ("<http://x/a> <http://x/name> \"Hello World\" .\n") -> "application/n-quads")
+    val r = Sparql.execute(store.quads(),
+      """SELECT ?len ?up ?lo ?cat ?sub ?rep ?before ?after {
+           ?s <http://x/name> ?n
+           BIND(STRLEN(?n) AS ?len) BIND(UCASE(?n) AS ?up)
+           BIND(LCASE(?n) AS ?lo) BIND(CONCAT(?n, "!", "!") AS ?cat)
+           BIND(SUBSTR(?n, 7, 5) AS ?sub)
+           BIND(REPLACE(?n, "l+", "L") AS ?rep)
+           BIND(STRBEFORE(?n, " ") AS ?before)
+           BIND(STRAFTER(?n, "l") AS ?after) }""").collect().head
+    assert(lex(r, 0) == "11")
+    assert(lex(r, 1) == "HELLO WORLD")
+    assert(lex(r, 2) == "hello world")
+    assert(lex(r, 3) == "Hello World!!")
+    assert(lex(r, 4) == "World")
+    assert(lex(r, 5) == "HeLo WorLd") // regex replace, all occurrences
+    assert(lex(r, 6) == "Hello")
+    assert(lex(r, 7) == "lo World") // after the FIRST occurrence
+    // spec corner: empty separator — STRBEFORE → "", STRAFTER → input
+    val e = Sparql.execute(store.quads(),
+      """SELECT ?b ?a { ?s <http://x/name> ?n
+         BIND(STRBEFORE(?n, "") AS ?b) BIND(STRAFTER(?n, "") AS ?a) }""")
+      .collect().head
+    assert(lex(e, 0) == "")
+    assert(lex(e, 1) == "Hello World")
+  }
+
+  test("IF, IN, NOT IN, EBV of a bare expression") {
+    def rows(q: String) = Sparql.execute(numStore.quads(), q).collect()
+    val iff = rows(
+      """SELECT ?s ?cls { ?s <http://x/k> ?k
+         BIND(IF(?k < 5, "low", "high") AS ?cls) } ORDER BY ?s""")
+    val byS = iff.map(r => lex(r, 0) -> r.getStruct(1)).toMap
+    assert(byS("http://x/a").getString(1) == "low")
+    assert(byS("http://x/b").getString(1) == "high")
+    assert(byS("http://x/c") == null) // error in condition → error
+    assert(rows("SELECT ?s { ?s <http://x/k> ?k FILTER(?k IN (3, 99)) }")
+      .map(lex(_, 0)).toSet == Set("http://x/a"))
+    // NOT IN: an error in the comparison poisons the row (banana dropped)
+    assert(rows("SELECT ?s { ?s <http://x/k> ?k FILTER(?k NOT IN (3, 99)) }")
+      .map(lex(_, 0)).toSet == Set("http://x/b"))
+    // EBV: numeric != 0 is true, non-empty string is true
+    assert(rows("SELECT ?s { ?s <http://x/k> ?k FILTER(?k - 3) }")
+      .map(lex(_, 0)).toSet == Set("http://x/b"))
+    assert(rows("SELECT ?s { ?s <http://x/k> ?k FILTER(?k) }")
+      .map(lex(_, 0)).toSet == Set("http://x/a", "http://x/b", "http://x/c"))
+  }
+
+  test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "01"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/p> "hi"@en .
+         |<http://x/d> <http://x/p> "hi"@en-GB .
+         |<http://x/e> <http://x/p> "hi"@fr .
+         |""".stripMargin) -> "application/n-quads")
+    def subjects(q: String): Set[String] =
+      Sparql.execute(store.quads(), q).collect().map(lex(_, 0)).toSet
+    // = is value equality ("01" = "1"), sameTerm is structural
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+         FILTER(?v = "1"^^<http://www.w3.org/2001/XMLSchema#integer>) }""") ==
+      Set("http://x/a", "http://x/b"))
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+         FILTER(sameTerm(?v, "1"^^<http://www.w3.org/2001/XMLSchema#integer>)) }""") ==
+      Set("http://x/b"))
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v FILTER(LANGMATCHES(LANG(?v), "en")) }""") ==
+      Set("http://x/c", "http://x/d"))
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v FILTER(LANGMATCHES(LANG(?v), "*")) }""") ==
+      Set("http://x/c", "http://x/d", "http://x/e"))
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v FILTER(isNUMERIC(?v)) }""") ==
+      Set("http://x/a", "http://x/b"))
+  }
 }
