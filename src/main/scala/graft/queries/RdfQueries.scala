@@ -67,6 +67,61 @@ object RdfQueries {
           max(when(col("predicate.lex") === s"${NS}nation", col("obj.lex"))).cast("int").as("s_nationkey"))
         .orderBy(col("s_suppkey"))
     },
+    // RDF/XML round-trip: part rows rendered as striped RDF/XML docs
+    // in executors, parsed by the StAX subset parser, reduced back to
+    // the relational truth (typed node + datatyped property)
+    "rdf_roundtrip_rdfxml" -> { (s, dir) =>
+      import s.implicits._
+      def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val docs = t(s, dir, "part")
+        .select(col("p_partkey").cast("long"), col("p_name"), col("p_size").cast("long"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          it.grouped(1000).map { chunk =>
+            "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"" +
+              s""" xmlns:g="$NS">""" + chunk.map { case (k, name, size) =>
+              s"""<rdf:Description rdf:about="${NS}part_$k">""" +
+                s"<g:name>${esc(name)}</g:name>" +
+                s"""<g:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">$size</g:size>""" +
+                "</rdf:Description>"
+            }.mkString + "</rdf:RDF>"
+          }
+        }
+      val quads = docs.flatMap(d => graft.rdf.RdfXmlParser.parse(d))
+      quads.toDF()
+        .groupBy(regexp_extract(col("subject.lex"), "part_(\\d+)$", 1).cast("long").as("p_partkey"))
+        .agg(
+          max(when(col("predicate.lex") === s"${NS}name", col("obj.lex"))).as("p_name"),
+          max(when(col("predicate.lex") === s"${NS}size", col("obj.lex"))).cast("int").as("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    // JSON-LD round-trip: customer rows as one @graph doc per chunk
+    // (context-compacted terms, @type-coerced id link), parsed by the
+    // Jackson subset parser, reduced back to the relational truth
+    "rdf_roundtrip_jsonld" -> { (s, dir) =>
+      import s.implicits._
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val docs = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          it.grouped(1000).map { chunk =>
+            s"""{"@context": {"g": "$NS", "name": "${NS}name",
+               |  "nation": {"@id": "${NS}nation", "@type": "@id"}},
+               | "@graph": [""".stripMargin + chunk.map { case (k, name, nk) =>
+              s"""{"@id": "g:customer_$k", "name": "${esc(name)}", "nation": "g:nation_$nk"}"""
+            }.mkString(",") + "]}"
+          }
+        }
+      val quads = docs.flatMap(d => graft.rdf.JsonLdParser.parse(d))
+      quads.toDF()
+        .groupBy(regexp_extract(col("subject.lex"), "customer_(\\d+)$", 1).cast("long").as("c_custkey"))
+        .agg(
+          max(when(col("predicate.lex") === s"${NS}name", col("obj.lex"))).as("c_name"),
+          max(when(col("predicate.lex") === s"${NS}nation",
+            regexp_extract(col("obj.lex"), "nation_(\\d+)$", 1))).cast("int").as("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    },
     // QuadStore ingest + set-semantics: region rows become quads,
     // ingested TWICE (idempotence), counted per predicate from store
     // state. Oracle: region count per predicate, unaffected by the
@@ -116,6 +171,10 @@ object RdfQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "rdf_roundtrip_turtle" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+    "rdf_roundtrip_rdfxml" ->
+      "SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey",
+    "rdf_roundtrip_jsonld" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
     "rdf_store_set_semantics" ->
       s"""SELECT predicate, n FROM (
           SELECT '${NS}key' AS predicate, COUNT(*) AS n FROM region

@@ -1,0 +1,181 @@
+package graft.rdf
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** JSON-LD parser (no Jena on the classpath — a hand-rolled expansion
+  * over Jackson's tree model, which ships with Spark). The reference
+  * accepts "any syntax supported by Apache Jena" per event
+  * Content-Type (README.md:13); JSON-LD is the syntax REST producers
+  * actually emit, so the dispatch table carries it.
+  *
+  * Supported subset:
+  *   - inline `@context`: prefix → IRI string mappings, `@vocab`, and
+  *     term definitions `{"@id": …, "@type": "@id" | datatype-IRI}`
+  *   - node objects with `@id` (IRI or `_:` blank; absent → fresh
+  *     blank), `@type` (string or array) → rdf:type triples
+  *   - value objects `{"@value", "@type", "@language"}`; bare JSON
+  *     strings → plain literals, integral numbers → xsd:integer,
+  *     other numbers → xsd:double, booleans → xsd:boolean
+  *   - arrays fan out to one triple per element; nested node objects
+  *     link via their `@id` / fresh blank and recurse
+  *   - `@graph`: top-level `{"@graph": […]}` (default graph), or with
+  *     a sibling `@id` → that NAMED graph (quads)
+  * Out of scope (parse error → DLQ): remote/array contexts, `@list`,
+  *   `@set`, `@reverse`, `@index`, `@included`, IRI-keyed id maps.
+  */
+object JsonLdParser {
+
+  private val XSD = "http://www.w3.org/2001/XMLSchema#"
+
+  def parse(doc: String): Seq[Quad] = {
+    val root =
+      try new ObjectMapper().readTree(doc)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new RdfParseException(s"json-ld: ${e.getMessage}")
+      }
+    if (root == null) throw new RdfParseException("json-ld: empty document")
+    new JsonLdParser().parseRoot(root)
+  }
+}
+
+final class JsonLdParser {
+  import JsonLdParser._
+
+  private val quads = scala.collection.mutable.ArrayBuffer[Quad]()
+  private var genid = 0
+  private def freshBlank(): Term = { genid += 1; Term.blank(s"genid$genid") }
+
+  // context state: prefix/term → IRI, term → type coercion
+  private var mappings = Map.empty[String, String]
+  private var coercions = Map.empty[String, String] // term → "@id" | datatype IRI
+  private var vocab: String = null
+
+  def parseRoot(root: JsonNode): Seq[Quad] = {
+    if (root.isArray) root.elements().asScala.foreach(parseNode(_, null))
+    else if (root.isObject) {
+      readContext(root)
+      if (root.has("@graph")) {
+        // named graph when the wrapper itself has an @id
+        val g = if (root.has("@id")) expandIri(root.get("@id").asText()) else null
+        val items = root.get("@graph")
+        if (!items.isArray)
+          throw new RdfParseException("json-ld: @graph must be an array")
+        items.elements().asScala.foreach(parseNode(_, g))
+      } else parseNode(root, null)
+    } else throw new RdfParseException("json-ld: root must be object or array")
+    quads.toSeq
+  }
+
+  private def readContext(obj: JsonNode): Unit = {
+    val ctx = obj.get("@context")
+    if (ctx == null) return
+    if (!ctx.isObject)
+      throw new RdfParseException("json-ld: only inline object @context supported")
+    ctx.properties().asScala.foreach { e =>
+      val term = e.getKey
+      val v = e.getValue
+      if (term == "@vocab") vocab = v.asText()
+      else if (v.isTextual) mappings += term -> v.asText()
+      else if (v.isObject) {
+        val id = Option(v.get("@id")).map(_.asText())
+          .getOrElse(throw new RdfParseException(
+            s"json-ld: term definition for '$term' needs @id"))
+        mappings += term -> id
+        Option(v.get("@type")).foreach(t => coercions += term -> t.asText())
+      } else throw new RdfParseException(s"json-ld: bad context entry '$term'")
+    }
+  }
+
+  /** Term or compact IRI → absolute IRI (also applies @vocab). */
+  private def expandIri(s: String): String =
+    if (s.startsWith("_:")) s // blank label, handled by caller
+    else mappings.get(s) match {
+      case Some(iri) => iri
+      case None =>
+        val colon = s.indexOf(':')
+        if (colon > 0) {
+          val pfx = s.substring(0, colon)
+          mappings.get(pfx) match {
+            case Some(ns) => ns + s.substring(colon + 1)
+            case None => s // already absolute (http:, urn:, …)
+          }
+        } else if (vocab != null) vocab + s
+        else s
+    }
+
+  private def subjectOf(node: JsonNode): Term =
+    if (node.has("@id")) {
+      val id = node.get("@id").asText()
+      if (id.startsWith("_:")) Term.blank(id.substring(2)) else Term.iri(expandIri(id))
+    } else freshBlank()
+
+  /** Emit the triples of one node object; returns its subject. */
+  private def parseNode(node: JsonNode, graphIri: String): Term = {
+    if (!node.isObject)
+      throw new RdfParseException("json-ld: node must be a JSON object")
+    readContext(node)
+    val g = if (graphIri == null) null else Term.iri(graphIri)
+    val subject = subjectOf(node)
+    node.properties().asScala.foreach { e =>
+      val key = e.getKey
+      val v = e.getValue
+      key match {
+        case "@context" | "@id" => ()
+        case "@type" =>
+          val types = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+          types.foreach(t => quads += Quad(g, subject,
+            Term.iri(Term.RDF_TYPE), Term.iri(expandIri(t.asText()))))
+        case "@graph" =>
+          // nested named graph: this node's @id scopes the contents
+          val inner = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+          val gname = subject.lex
+          inner.foreach(parseNode(_, gname))
+        case k if k.startsWith("@") =>
+          throw new RdfParseException(s"json-ld: keyword '$k' not supported")
+        case term =>
+          val pred = Term.iri(expandIri(term))
+          val values = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+          values.foreach(value =>
+            quads += Quad(g, subject, pred, objectOf(term, value, g)))
+      }
+    }
+    subject
+  }
+
+  private def objectOf(term: String, v: JsonNode, g: Term): Term = {
+    val coerced = coercions.get(term)
+    if (v.isTextual) {
+      if (coerced.contains("@id")) {
+        val s = v.asText()
+        if (s.startsWith("_:")) Term.blank(s.substring(2)) else Term.iri(expandIri(s))
+      } else coerced match {
+        case Some(dt) => Term.typed(v.asText(), expandIri(dt))
+        case None => Term.lit(v.asText())
+      }
+    } else if (v.isIntegralNumber) Term.typed(v.asText(), XSD + "integer")
+    else if (v.isNumber) Term.typed(v.asText(), XSD + "double")
+    else if (v.isBoolean) Term.typed(v.asText(), XSD + "boolean")
+    else if (v.isObject) {
+      if (v.has("@value")) {
+        val lex = v.get("@value") match {
+          case n if n.isTextual || n.isNumber || n.isBoolean => n.asText()
+          case _ => throw new RdfParseException("json-ld: bad @value")
+        }
+        (Option(v.get("@type")), Option(v.get("@language"))) match {
+          case (Some(_), Some(_)) =>
+            throw new RdfParseException("json-ld: @type with @language")
+          case (Some(t), None) => Term.typed(lex, expandIri(t.asText()))
+          case (None, Some(l)) => Term.langLit(lex, l.asText())
+          case (None, None) =>
+            if (v.get("@value").isIntegralNumber) Term.typed(lex, XSD + "integer")
+            else if (v.get("@value").isNumber) Term.typed(lex, XSD + "double")
+            else if (v.get("@value").isBoolean) Term.typed(lex, XSD + "boolean")
+            else Term.lit(lex)
+        }
+      } else parseNode(v, if (g == null) null else g.lex) // nested node object
+    } else throw new RdfParseException(s"json-ld: unsupported value $v")
+  }
+}

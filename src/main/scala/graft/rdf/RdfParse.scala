@@ -24,6 +24,8 @@ object RdfParse {
   val CT_TRIG = "application/trig"
   val CT_PATCH = "application/rdf-patch"
   val CT_SPARQL_UPDATE = "application/sparql-update"
+  val CT_RDFXML = "application/rdf+xml"
+  val CT_JSONLD = "application/ld+json"
 
   final case class Decoded(
       kind: String,               // "dataset" | "patch" | null on error
@@ -57,6 +59,10 @@ object RdfParse {
           Decoded("dataset", scopeBlanks(TurtleParser.parseTurtle(doc), scope), null, null)
         case CT_TRIG =>
           Decoded("dataset", scopeBlanks(TurtleParser.parseTrig(doc), scope), null, null)
+        case CT_RDFXML =>
+          Decoded("dataset", scopeBlanks(RdfXmlParser.parse(doc), scope), null, null)
+        case CT_JSONLD | "application/json+ld" =>
+          Decoded("dataset", scopeBlanks(JsonLdParser.parse(doc), scope), null, null)
         case CT_PATCH | "text/rdf-patch" =>
           Decoded("patch", null, RdfPatchParser.parse(doc), null)
         case CT_SPARQL_UPDATE =>

@@ -1,0 +1,246 @@
+package graft.rdf
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+/** RDF/XML parser (no Jena on the classpath — hand-rolled over the
+  * JDK's StAX cursor API). The reference accepts "any syntax supported
+  * by Apache Jena" per event Content-Type (README.md:13,
+  * FusekiProjector.java:502-508); RDF/XML is the historic default
+  * interchange syntax, so the dispatch table carries it.
+  *
+  * Supported subset (the striped syntax of the W3C spec):
+  *   - `rdf:RDF` root, or a single node element as the document root
+  *   - node elements: `rdf:Description` or a typed node element
+  *     (element QName becomes an `rdf:type` triple)
+  *   - node identification: `rdf:about`, `rdf:nodeID`, `rdf:ID`
+  *     (fragment against an optional base), or anonymous blank
+  *   - property attributes on node elements (non-rdf attributes)
+  *   - property elements with `rdf:resource` / `rdf:nodeID` object,
+  *     `rdf:datatype` typed text, `xml:lang` (inherited) language
+  *     text, plain text, a nested node element, or
+  *     `rdf:parseType="Resource"` (anonymous blank with nested
+  *     property elements)
+  * Out of scope (rejected with a parse error, routed to the DLQ):
+  *   `rdf:parseType="Literal"/"Collection"`, containers (`rdf:li`),
+  *   reification attributes.
+  *
+  * RDF/XML carries no named graphs: every quad lands in the default
+  * graph (graph = null).
+  */
+object RdfXmlParser {
+
+  val RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+  def parse(doc: String): Seq[Quad] = new RdfXmlParser(doc).parse()
+}
+
+final class RdfXmlParser(doc: String) {
+  import RdfXmlParser._
+
+  private val quads = scala.collection.mutable.ArrayBuffer[Quad]()
+  private var genid = 0
+  private def freshBlank(): Term = { genid += 1; Term.blank(s"genid$genid") }
+
+  private val reader: XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    // no DTDs, no external entities — payloads are untrusted bytes
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    f.createXMLStreamReader(new java.io.StringReader(doc))
+  }
+
+  def parse(): Seq[Quad] =
+    try {
+      parseDoc()
+      quads.toSeq
+    } catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new RdfParseException(s"rdf/xml: ${e.getMessage}")
+    } finally reader.close()
+
+  private def parseDoc(): Unit = {
+    while (reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (reader.getNamespaceURI == RDF_NS && reader.getLocalName == "RDF") {
+            val lang = xmlLang(null)
+            // children are node elements until </rdf:RDF>
+            var done = false
+            while (!done && reader.hasNext) {
+              reader.next() match {
+                case XMLStreamConstants.START_ELEMENT => parseNodeElement(lang)
+                case XMLStreamConstants.END_ELEMENT => done = true
+                case _ => ()
+              }
+            }
+          } else parseNodeElement(xmlLang(null)) // bare node-element root
+          return
+        case _ => ()
+      }
+    }
+    throw new RdfParseException("rdf/xml: no root element")
+  }
+
+  /** Positioned ON the node element's START_ELEMENT; consumes through
+    * its END_ELEMENT; returns the node's subject term.
+    */
+  private def parseNodeElement(inheritedLang: String): Term = {
+    val ns = reader.getNamespaceURI
+    val local = reader.getLocalName
+    val lang = xmlLang(inheritedLang)
+
+    var subject: Term = null
+    val propAttrs = scala.collection.mutable.ArrayBuffer[(Term, Term)]()
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      val ans = reader.getAttributeNamespace(i)
+      val aln = reader.getAttributeLocalName(i)
+      val v = reader.getAttributeValue(i)
+      if (ans == RDF_NS) aln match {
+        case "about" => subject = Term.iri(v)
+        case "nodeID" => subject = Term.blank(v)
+        case "ID" => subject = Term.iri("#" + v)
+        case other => throw new RdfParseException(
+          s"rdf/xml: unsupported node attribute rdf:$other")
+      } else if (ans == XML_NS || aln == "lang") () // handled via xmlLang
+      else propAttrs += ((Term.iri(Option(ans).getOrElse("") + aln),
+        if (lang != null) Term.langLit(v, lang) else Term.lit(v)))
+      i += 1
+    }
+    if (subject == null) subject = freshBlank()
+
+    if (!(ns == RDF_NS && local == "Description"))
+      quads += Quad(null, subject, Term.iri(Term.RDF_TYPE),
+        Term.iri(Option(ns).getOrElse("") + local))
+    propAttrs.foreach { case (p, o) => quads += Quad(null, subject, p, o) }
+
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT => parsePropertyElement(subject, lang)
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case _ => ()
+      }
+    }
+    subject
+  }
+
+  /** Positioned ON the property element's START_ELEMENT; consumes
+    * through its END_ELEMENT.
+    */
+  private def parsePropertyElement(subject: Term, inheritedLang: String): Unit = {
+    val ns = Option(reader.getNamespaceURI).getOrElse("")
+    val local = reader.getLocalName
+    if (ns == RDF_NS && local == "li")
+      throw new RdfParseException("rdf/xml: containers (rdf:li) not supported")
+    val pred = Term.iri(ns + local)
+    val lang = xmlLang(inheritedLang)
+
+    var resource: String = null
+    var nodeId: String = null
+    var datatype: String = null
+    var parseType: String = null
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      val ans = reader.getAttributeNamespace(i)
+      val aln = reader.getAttributeLocalName(i)
+      val v = reader.getAttributeValue(i)
+      if (ans == RDF_NS) aln match {
+        case "resource" => resource = v
+        case "nodeID" => nodeId = v
+        case "datatype" => datatype = v
+        case "parseType" => parseType = v
+        case other => throw new RdfParseException(
+          s"rdf/xml: unsupported property attribute rdf:$other")
+      }
+      i += 1
+    }
+
+    if (parseType != null && parseType != "Resource")
+      throw new RdfParseException(s"rdf/xml: parseType='$parseType' not supported")
+
+    if (resource != null || nodeId != null) {
+      val obj = if (resource != null) Term.iri(resource) else Term.blank(nodeId)
+      quads += Quad(null, subject, pred, obj)
+      skipToEnd()
+    } else if (parseType == "Resource") {
+      // anonymous node whose property elements follow inline
+      val b = freshBlank()
+      quads += Quad(null, subject, pred, b)
+      var done = false
+      while (!done && reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT => parsePropertyElement(b, lang)
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case _ => ()
+        }
+      }
+    } else {
+      // text literal or one nested node element
+      val text = new StringBuilder
+      var nested: Term = null
+      var done = false
+      while (!done && reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            text.append(reader.getText)
+          case XMLStreamConstants.START_ELEMENT =>
+            if (nested != null) throw new RdfParseException(
+              "rdf/xml: multiple nested node elements in one property")
+            nested = parseNodeElement(lang)
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case _ => ()
+        }
+      }
+      if (nested != null) {
+        if (text.toString.trim.nonEmpty) throw new RdfParseException(
+          "rdf/xml: mixed text and node element content")
+        quads += Quad(null, subject, pred, nested)
+      } else {
+        val lex = text.toString
+        val obj =
+          if (datatype != null) Term.typed(lex, datatype)
+          else if (lang != null) Term.langLit(lex, lang)
+          else Term.lit(lex)
+        quads += Quad(null, subject, pred, obj)
+      }
+    }
+  }
+
+  /** Consume to the current element's END_ELEMENT, requiring no child
+    * elements and only whitespace text.
+    */
+  private def skipToEnd(): Unit = {
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case XMLStreamConstants.START_ELEMENT =>
+          throw new RdfParseException(
+            "rdf/xml: unexpected element inside rdf:resource property")
+        case XMLStreamConstants.CHARACTERS =>
+          if (reader.getText.trim.nonEmpty) throw new RdfParseException(
+            "rdf/xml: unexpected text inside rdf:resource property")
+        case _ => ()
+      }
+    }
+  }
+
+  /** xml:lang on the current element, else the inherited value. */
+  private def xmlLang(inherited: String): String = {
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      if (reader.getAttributeLocalName(i) == "lang" &&
+          (reader.getAttributeNamespace(i) == XML_NS ||
+           reader.getAttributeNamespace(i) == null))
+        return {
+          val v = reader.getAttributeValue(i)
+          if (v.isEmpty) null else v
+        }
+      i += 1
+    }
+    inherited
+  }
+}

@@ -52,6 +52,126 @@ class RdfParserSpec extends AnyFunSuite {
       Term.iri("http://example/pq"), Term.lit("abc"))))
   }
 
+  test("rdf/xml: typed node, property elements, rdf:resource, datatype, xml:lang, nesting") {
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <ex:Widget rdf:about="http://example/w1" ex:label="inline">
+        |    <ex:name xml:lang="en">gear</ex:name>
+        |    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">5</ex:size>
+        |    <ex:partOf rdf:resource="http://example/m1"/>
+        |    <ex:maker>
+        |      <rdf:Description rdf:about="http://example/acme">
+        |        <ex:name>Acme</ex:name>
+        |      </rdf:Description>
+        |    </ex:maker>
+        |  </ex:Widget>
+        |</rdf:RDF>
+        |""".stripMargin
+    val qs = RdfXmlParser.parse(doc)
+    val w = Term.iri("http://example/w1")
+    assert(qs.contains(Quad(null, w, Term.iri(Term.RDF_TYPE),
+      Term.iri("http://example/Widget"))))
+    assert(qs.contains(Quad(null, w, Term.iri("http://example/label"),
+      Term.lit("inline"))))
+    assert(qs.contains(Quad(null, w, Term.iri("http://example/name"),
+      Term.langLit("gear", "en"))))
+    assert(qs.contains(Quad(null, w, Term.iri("http://example/size"),
+      Term.typed("5", "http://www.w3.org/2001/XMLSchema#integer"))))
+    assert(qs.contains(Quad(null, w, Term.iri("http://example/partOf"),
+      Term.iri("http://example/m1"))))
+    assert(qs.contains(Quad(null, w, Term.iri("http://example/maker"),
+      Term.iri("http://example/acme"))))
+    assert(qs.contains(Quad(null, Term.iri("http://example/acme"),
+      Term.iri("http://example/name"), Term.lit("Acme"))))
+    assert(qs.size == 7)
+    // parseType="Resource" makes an anonymous node with inline properties
+    val pt = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:about="http://example/a">
+        |    <ex:detail rdf:parseType="Resource">
+        |      <ex:k>v</ex:k>
+        |    </ex:detail>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(pt.size == 2)
+    val blank = pt.head.obj
+    assert(blank.isBlank)
+    assert(pt(1) == Quad(null, blank, Term.iri("http://example/k"), Term.lit("v")))
+    // unsupported constructs are parse errors, not silent drops
+    intercept[RdfParseException](RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |<rdf:Description><x:p xmlns:x="http://x/" rdf:parseType="Literal"><b/></x:p>
+        |</rdf:Description></rdf:RDF>""".stripMargin))
+  }
+
+  test("json-ld: context, @id/@type, value objects, arrays, nesting, @graph") {
+    val doc =
+      """{
+        |  "@context": {
+        |    "ex": "http://example/",
+        |    "name": "http://example/name",
+        |    "knows": {"@id": "http://example/knows", "@type": "@id"},
+        |    "age": {"@id": "http://example/age",
+        |            "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+        |  },
+        |  "@id": "ex:alice",
+        |  "@type": "ex:Person",
+        |  "name": {"@value": "Alice", "@language": "en"},
+        |  "age": "30",
+        |  "knows": ["ex:bob", "_:b1"],
+        |  "ex:score": 7,
+        |  "ex:friend": {"@id": "ex:bob", "name": "Bob"}
+        |}""".stripMargin
+    val qs = JsonLdParser.parse(doc)
+    val alice = Term.iri("http://example/alice")
+    val bob = Term.iri("http://example/bob")
+    assert(qs.contains(Quad(null, alice, Term.iri(Term.RDF_TYPE),
+      Term.iri("http://example/Person"))))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/name"),
+      Term.langLit("Alice", "en"))))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/age"),
+      Term.typed("30", "http://www.w3.org/2001/XMLSchema#integer"))))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/knows"), bob)))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/knows"),
+      Term.blank("b1"))))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/score"),
+      Term.typed("7", "http://www.w3.org/2001/XMLSchema#integer"))))
+    assert(qs.contains(Quad(null, alice, Term.iri("http://example/friend"), bob)))
+    assert(qs.contains(Quad(null, bob, Term.iri("http://example/name"),
+      Term.lit("Bob"))))
+    assert(qs.size == 8)
+    // @graph with a wrapper @id produces NAMED-graph quads
+    val g = JsonLdParser.parse(
+      """{"@id": "http://example/g1",
+        | "@graph": [{"@id": "http://example/s",
+        |             "http://example/p": "v"}]}""".stripMargin)
+    assert(g == Seq(Quad(Term.iri("http://example/g1"), Term.iri("http://example/s"),
+      Term.iri("http://example/p"), Term.lit("v"))))
+    // malformed JSON is a parse error (→ DLQ class)
+    intercept[RdfParseException](JsonLdParser.parse("{not json"))
+  }
+
+  test("rdf/xml and json-ld round-trip through decode with blank scoping") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description><ex:p>v</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val dx = RdfParse.decode(xml.getBytes(UTF_8), "application/rdf+xml", "e1")
+    assert(dx.kind == "dataset")
+    assert(dx.quads.head.subject == Term.blank("e1:genid1"))
+    val dj = RdfParse.decode(
+      """{"http://example/p": "v"}""".getBytes(UTF_8), "application/ld+json", "e2")
+    assert(dj.kind == "dataset")
+    assert(dj.quads.head.subject == Term.blank("e2:genid1"))
+    // unparseable payloads surface as _corrupt, not exceptions
+    assert(RdfParse.decode("<broken".getBytes(UTF_8),
+      "application/rdf+xml", "e3")._corrupt != null)
+  }
+
   test("patch1.rdfp parses to header + markers + 4 adds in the named graph") {
     val ops = RdfPatchParser.parse(patch1Rdfp)
     assert(ops.map(_.op) == Seq("H", "TX", "A", "A", "A", "A", "TC"))
