@@ -165,6 +165,55 @@ object Dedup {
     rerank(within, withSh, threshold)
   }
 
+  // --- n-gram Jaccard via prefix filtering ---------------------------------
+
+  /** N-gram Jaccard near-dup pairs by PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate scheme) — EXACT at `threshold`, unlike
+    * the MinHash/SimHash tiers: no sketch miss probability, at the
+    * cost of a candidate join driven by corpus token statistics.
+    *
+    * Scheme: order each document's shingles by ascending global
+    * document frequency (rarest first, ties by token — a global total
+    * order); keep the first `|s| - ceil(t·|s|) + 1` as the prefix.
+    * Prefix-filtering theorem: two sets with Jaccard ≥ t must share at
+    * least one token within BOTH prefixes (J ≥ t ⇒ overlap ≥
+    * ceil(t·max(|a|,|b|)), and an (|s|-α+1)-prefix intersects any set
+    * sharing α elements). Candidates = equi-join on prefix tokens with
+    * the pairwise length filter `t·|a| ≤ |b| ≤ |a|/t`; then the same
+    * exact-Jaccard rerank as the sketch tiers.
+    *
+    * At 100 TB: the document-frequency table is one partial-agg
+    * shuffle; rarest-first prefixes make the join key distribution
+    * NEAR-UNIFORM (each prefix token is by construction rare), which
+    * is what keeps the candidate join from going quadratic — the same
+    * reason AllPairs beats naive token joins. The per-doc prefix
+    * selection is a bounded window over a doc's own shingles, never
+    * cross-document state.
+    */
+  def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sized = withSh.withColumn("len", size(col("sh"))).filter(col("len") > 0)
+    val tok = sized.select(col("id"), col("len"), explode(col("sh")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("len") - ceil(col("len") * lit(threshold)) + 1)
+      .select(col("id"), col("len"), col("tok"))
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val cands = a.join(b, col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id") &&
+        // pairwise length filter: J ≥ t needs t·|a| ≤ |b| ≤ |a|/t
+        col("b.len") * lit(threshold) <= col("a.len") &&
+        col("a.len") * lit(threshold) <= col("b.len"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    rerank(cands, withSh, threshold)
+  }
+
   // --- embedding-cosine near-dup -------------------------------------------
 
   /** Embedding near-dup pairs: random-hyperplane sketch buckets (T

@@ -94,6 +94,12 @@ object PipelineQueries {
       Dedup.nearDupSimhash(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // prefix-filtering tier: EXACT at the threshold (same contract and
+    // oracle as the sketch tiers, but zero miss probability)
+    "pl_dedup_ngram" -> { (s, dir) =>
+      Dedup.nearDupNgramJaccard(t(s, dir, "documents"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // the natural corpus has no cosine-0.9 pairs (max ~0.52), which
     // would make this entry pass vacuously; plant deterministic
     // near-copies (per-element scale ramp, cosine ~0.9987) so the
@@ -236,6 +242,7 @@ object PipelineQueries {
          FROM documents GROUP BY text ORDER BY keeper_id""",
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
+    "pl_dedup_ngram" -> NEARDUP_ORACLE,
     "pl_dedup_embed" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                planted AS (

@@ -30,6 +30,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.size == 5, s"unexpected extra pairs: $pairs")
   }
 
+  test("ngram-Jaccard prefix filtering matches minhash output on real documents") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // prefix filtering is EXACT, so its output must be a superset of
+    // any sketch tier's and equal the exact-Jaccard truth; minhash at
+    // these parameters has miss prob ~4e-8, so equality is the check
+    val exact = Dedup.nearDupNgramJaccard(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sketch = Dedup.nearDupMinhash(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == sketch, s"prefix-filter vs minhash diff: ${exact.diff(sketch)} / ${sketch.diff(exact)}")
+    assert(exact.nonEmpty)
+  }
+
   test("LSH ANN recall >= 0.9 of exact top-10 on real embeddings") {
     import spark.implicits._
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
