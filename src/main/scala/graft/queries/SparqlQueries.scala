@@ -305,7 +305,7 @@ object SparqlQueries {
               BIND(?k / 4 AS ?q)
               BIND(IF(?k < 10, "low", "high") AS ?cls)
               FILTER((?k + 5) * 2 <= 40 && ?k NOT IN (2, 4))
-            }""")
+            } ORDER BY DESC(?k) LIMIT 10""")
       res.select(col("k").getField("lex").cast("int").as("k"),
           col("dbl").getField("lex").cast("long").as("dbl"),
           col("q").getField("lex").cast("double").as("q"),
@@ -431,12 +431,14 @@ object SparqlQueries {
            SELECT 'not_exists', n_nationkey FROM nation WHERE n_nationkey >= 10
          ) ORDER BY method, n_nationkey""",
     "sparql_expr_arith" ->
-      """SELECT n_nationkey AS k,
-                (n_nationkey * 2 + 1)::BIGINT AS dbl,
-                (n_nationkey::DOUBLE / 4) AS q,
-                CASE WHEN n_nationkey < 10 THEN 'low' ELSE 'high' END AS cls
-         FROM nation
-         WHERE (n_nationkey + 5) * 2 <= 40 AND n_nationkey NOT IN (2, 4)
+      """SELECT * FROM (
+           SELECT n_nationkey AS k,
+                  (n_nationkey * 2 + 1)::BIGINT AS dbl,
+                  (n_nationkey::DOUBLE / 4) AS q,
+                  CASE WHEN n_nationkey < 10 THEN 'low' ELSE 'high' END AS cls
+           FROM nation
+           WHERE (n_nationkey + 5) * 2 <= 40 AND n_nationkey NOT IN (2, 4)
+           ORDER BY n_nationkey DESC LIMIT 10)
          ORDER BY k""",
     "sparql_expr_str" ->
       """SELECT n_name,

@@ -160,6 +160,8 @@ object Sparql {
   final case class SelectItems(items: Seq[SelectItem]) extends Projection
   sealed trait SelectItem
   final case class ItemVar(name: String) extends SelectItem
+  /** `(expr AS ?x)` — a projected value expression (spec §16.1.2). */
+  final case class ItemExpr(expr: VExpr, as: String) extends SelectItem
   /** `(FUNC([DISTINCT] ?v) AS ?x)` for FUNC ∈ COUNT, SUM, MIN, MAX,
     * AVG, GROUP_CONCAT, SAMPLE; COUNT also takes `*`. COUNT(?v) counts
     * rows where ?v is bound, per SPARQL aggregate semantics; the
@@ -178,8 +180,11 @@ object Sparql {
   final case class HavingCmp(func: String, arg: Option[String], op: String,
       value: Term, isDistinct: Boolean = false)
 
+  /** One ORDER BY key: `?v`, `ASC(?v)` or `DESC(?v)` (spec §15.1). */
+  final case class OrderKey(v: String, descending: Boolean = false)
+
   final case class Query(projection: Projection, pattern: Pattern,
-      groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[String],
+      groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int], distinct: Boolean)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
@@ -273,14 +278,34 @@ object Sparql {
       case SelectItems(items)
           if q.groupBy.isEmpty && !items.exists(_.isInstanceOf[ItemAgg]) =>
         val names = items.collect { case ItemVar(n) => n }
-        maybe = boundSol.maybe intersect names.toSet
-        bound.select(names.map(col): _*)
+        // a projected expression is maybe-unbound unless it cannot error
+        val exprMaybe = items.collect {
+          case ItemExpr(e, as) => e match {
+            case VConst(_) => None
+            case VVar(n) if bound.columns.contains(n) &&
+              !boundSol.maybe.contains(n) => None
+            case _ => Some(as)
+          }
+        }.flatten
+        maybe = (boundSol.maybe intersect names.toSet) ++ exprMaybe
+        val cols = items.map {
+          case ItemVar(n) =>
+            // projecting a variable no pattern binds is legal: unbound
+            (if (bound.columns.contains(n)) col(n)
+             else lit(null).cast(TERM_STRUCT)).as(n)
+          case ItemExpr(e, as) => compileVExpr(bound, TERM_STRUCT, e).as(as)
+          case i => throw new RdfParseException(s"unexpected item $i")
+        }
+        bound.select(cols: _*)
       case SelectItems(items) =>
         // aggregation query: plain projected vars must be GROUP BY keys
         // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all
         items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
           .foreach(n => throw new RdfParseException(
             s"projected variable ?$n is not in GROUP BY"))
+        items.collect { case ItemExpr(_, as) => as }.foreach(as =>
+          throw new RdfParseException(
+            s"expression projection ?$as not supported in aggregate queries"))
         // raw (SQL-typed) aggregate — also the HAVING form
         def rawAgg(func: String, arg: Option[String], isDistinct: Boolean,
             separator: String): Column = func match {
@@ -347,11 +372,13 @@ object Sparql {
         kept.select(items.map {
           case ItemVar(n) => col(n)
           case ItemAgg(_, _, as, _, _) => col(as)
+          case ItemExpr(_, as) => col(as) // unreachable (rejected above)
         }: _*)
     }
     val distinct = if (q.distinct) projected.dropDuplicates() else projected
     val ordered = if (q.orderBy.nonEmpty)
-      distinct.orderBy(q.orderBy.flatMap(sortKeys): _*)
+      distinct.orderBy(q.orderBy.flatMap(k =>
+        sortKeys(k.v).map(c => if (k.descending) c.desc else c.asc)): _*)
     else distinct
     val offsetted = q.offset.fold(ordered)(ordered.offset)
     Sol(q.limit.fold(offsetted)(offsetted.limit), maybe)
@@ -1213,7 +1240,7 @@ object Sparql {
           cmps.toSeq
         } else Seq.empty
       val orderBy =
-        if (tryKeyword("ORDER")) { keyword("BY"); parseVarList() } else Seq.empty
+        if (tryKeyword("ORDER")) { keyword("BY"); parseOrderKeys() } else Seq.empty
       // LimitOffsetClauses: either order, each at most once
       var limit: Option[Int] = None
       var offset: Option[Int] = None
@@ -1236,11 +1263,29 @@ object Sparql {
         if (peek == '?') items += ItemVar(parseVar())
         else if (peek == '(') {
           pos += 1
-          val (func, arg, isDistinct, sep) = parseAggCall()
-          keyword("AS")
-          val as = parseVar()
-          expect(')')
-          items += ItemAgg(func, arg, as, isDistinct, sep)
+          skipWs()
+          val aggNames =
+            Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+          val isAgg = aggNames.exists { k =>
+            text.regionMatches(true, pos, k, 0, k.length) && {
+              val i = pos + k.length
+              i >= text.length || !text.charAt(i).isLetterOrDigit
+            }
+          }
+          if (isAgg) {
+            val (func, arg, isDistinct, sep) = parseAggCall()
+            keyword("AS")
+            val as = parseVar()
+            expect(')')
+            items += ItemAgg(func, arg, as, isDistinct, sep)
+          } else {
+            // `(expr AS ?x)` — projected value expression
+            val e = parseAdditive()
+            keyword("AS")
+            val as = parseVar()
+            expect(')')
+            items += ItemExpr(e, as)
+          }
         } else done = true
       }
       if (items.isEmpty) fail("expected projection variables or aggregates")
@@ -1276,6 +1321,23 @@ object Sparql {
       while (pos < text.length && peek == '?') { vs += parseVar(); skipWs() }
       if (vs.isEmpty) fail("expected at least one ?variable")
       vs.toSeq
+    }
+
+    /** `(?v | ASC(?v) | DESC(?v))+` */
+    private def parseOrderKeys(): Seq[OrderKey] = {
+      val ks = scala.collection.mutable.ArrayBuffer[OrderKey]()
+      var more = true
+      while (more) {
+        skipWs()
+        if (peek == '?') ks += OrderKey(parseVar())
+        else if (tryKeyword("DESC")) {
+          expect('('); ks += OrderKey(parseVar(), descending = true); expect(')')
+        } else if (tryKeyword("ASC")) {
+          expect('('); ks += OrderKey(parseVar()); expect(')')
+        } else more = false
+      }
+      if (ks.isEmpty) fail("expected at least one ORDER BY key")
+      ks.toSeq
     }
 
     private[sparql] def parseGroup(): Pattern = {

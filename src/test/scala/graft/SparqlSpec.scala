@@ -710,6 +710,20 @@ class SparqlSpec extends AnyFunSuite {
       .map(lex(_, 0)).toSet == Set("http://x/a", "http://x/b", "http://x/c"))
   }
 
+  test("SELECT expressions and ORDER BY DESC") {
+    val rows = Sparql.execute(numStore.quads(),
+      """SELECT ?s (?k * 10 AS ?x) { ?s <http://x/k> ?k }
+         ORDER BY DESC(?k) LIMIT 2""").collect()
+    // DESC in VALUE space: 10 before 3 (lexically "10" < "3" — the
+    // value order is what makes this test bite); "banana" has a null
+    // numeric key and sorts last under desc, cut by LIMIT 2
+    assert(rows.length == 2)
+    assert(lex(rows(0), 0) == "http://x/b")
+    assert(rows(0).getStruct(1).getString(1) == "100")
+    assert(lex(rows(1), 0) == "http://x/a")
+    assert(rows(1).getStruct(1).getString(1) == "30")
+  }
+
   test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "01"^^<http://www.w3.org/2001/XMLSchema#integer> .
