@@ -134,6 +134,10 @@ object PipelineQueries {
       val embs = t(s, dir, "embeddings")
       Similarity.ivfRecall(embs, embs.filter(col("vec_id") % 25 === 0))
     },
+    "pl_ann_pq" -> { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.pqRecall(embs, embs.filter(col("vec_id") % 25 === 0))
+    },
     "pl_multimodal" -> { (s, dir) =>
       Multimodal.pipeline(s, t(s, dir, "documents"))
         .groupBy(col("source"))
@@ -265,6 +269,9 @@ object PipelineQueries {
                 true AS mean_recall_ge_09""",
     "pl_ann_ivf" ->
       """SELECT 20::BIGINT AS n_queries, 188::BIGINT AS total_hits,
+                true AS mean_recall_ge_09""",
+    "pl_ann_pq" ->
+      """SELECT 20::BIGINT AS n_queries, 191::BIGINT AS total_hits,
                 true AS mean_recall_ge_09""",
     "pl_ann_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (

@@ -185,7 +185,8 @@ object Sparql {
 
   final case class Query(projection: Projection, pattern: Pattern,
       groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[OrderKey],
-      limit: Option[Int], offset: Option[Int], distinct: Boolean)
+      limit: Option[Int], offset: Option[Int], distinct: Boolean,
+      from: Seq[Term] = Seq.empty, fromNamed: Seq[Term] = Seq.empty)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
     * CONSTRUCT instantiated quads.
@@ -254,7 +255,31 @@ object Sparql {
     * value is whole). The top level keeps raw SQL values — the
     * driver-facing contract of the existing verify entries.
     */
-  private def executeSelectSol(quads: DataFrame, q: Query, asTerms: Boolean): Sol = {
+  /** FROM / FROM NAMED (spec §13.2): with any dataset clause present,
+    * the queried dataset is EXACTLY what the clauses name — the
+    * default graph becomes the set-union merge of the FROM graphs
+    * (re-labelled to the default graph), and only FROM NAMED graphs
+    * remain visible to GRAPH patterns. Pure filters + a union over the
+    * same scan — the graph-constant predicates push to parquet.
+    */
+  private def applyDatasetClause(quads: DataFrame, from: Seq[Term],
+      fromNamed: Seq[Term]): DataFrame =
+    if (from.isEmpty && fromNamed.isEmpty) quads
+    else {
+      val gType = quads.schema("graph").dataType
+      val dflt =
+        if (from.isEmpty) quads.limit(0)
+        else quads.filter(from.map(termEqFields("graph", _)).reduce(_ || _))
+          .withColumn("graph", lit(null).cast(gType))
+          .dropDuplicates() // graph MERGE is a set union
+      val named =
+        if (fromNamed.isEmpty) quads.limit(0)
+        else quads.filter(fromNamed.map(termEqFields("graph", _)).reduce(_ || _))
+      dflt.unionByName(named)
+    }
+
+  private def executeSelectSol(quads0: DataFrame, q: Query, asTerms: Boolean): Sol = {
+    val quads = applyDatasetClause(quads0, q.from, q.fromNamed)
     val boundSol = compileSol(quads, q.pattern)
     val bound = boundSol.df
     def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
@@ -1212,6 +1237,19 @@ object Sparql {
     private def parseSelectTail(): Query = {
       val distinct = tryKeyword("DISTINCT")
       val projection = parseProjection()
+      // DatasetClause* (spec §13.2)
+      val from = scala.collection.mutable.ArrayBuffer[Term]()
+      val fromNamed = scala.collection.mutable.ArrayBuffer[Term]()
+      var moreFrom = true
+      while (moreFrom) {
+        if (tryKeyword("FROM")) {
+          val named = tryKeyword("NAMED")
+          parseNode() match {
+            case Const(t) if t.isIri => if (named) fromNamed += t else from += t
+            case _ => fail("FROM expects an IRI")
+          }
+        } else moreFrom = false
+      }
       tryKeyword("WHERE")
       val pattern = parseGroup()
       val groupBy =
@@ -1250,7 +1288,8 @@ object Sparql {
         else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
         else more = false
       }
-      Query(projection, pattern, groupBy, having, orderBy, limit, offset, distinct)
+      Query(projection, pattern, groupBy, having, orderBy, limit, offset,
+        distinct, from.toSeq, fromNamed.toSeq)
     }
 
     private def parseProjection(): Projection = {

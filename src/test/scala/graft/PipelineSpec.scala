@@ -56,6 +56,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("PQ ANN recall >= 0.9 of exact top-10 on real embeddings") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(embs, queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("IVF ANN recall >= 0.9 of exact top-10 on real embeddings") {
     import spark.implicits._
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -710,6 +710,26 @@ class SparqlSpec extends AnyFunSuite {
       .map(lex(_, 0)).toSet == Set("http://x/a", "http://x/b", "http://x/c"))
   }
 
+  test("FROM and FROM NAMED define the queried dataset exactly") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "dflt" .
+         |<http://x/b> <http://x/p> "g1" <http://g/1> .
+         |<http://x/c> <http://x/p> "g2" <http://g/2> .
+         |<http://x/d> <http://x/p> "g1b" <http://g/1> .
+         |""".stripMargin) -> "application/n-quads")
+    def n(q: String): Long =
+      Sparql.execute(store.quads(), q).collect().head.getLong(0)
+    // FROM merges the named graphs into the default graph; the store's
+    // real default graph is NOT part of the dataset any more
+    assert(n("SELECT (COUNT(*) AS ?C) FROM <http://g/1> { ?s ?p ?o }") == 2L)
+    assert(n("SELECT (COUNT(*) AS ?C) FROM <http://g/1> FROM <http://g/2> { ?s ?p ?o }") == 3L)
+    // with only FROM, GRAPH patterns see no named graphs at all
+    assert(n("SELECT (COUNT(*) AS ?C) FROM <http://g/1> { GRAPH ?g { ?s ?p ?o } }") == 0L)
+    // FROM NAMED restricts GRAPH to the named list; default empty
+    assert(n("SELECT (COUNT(*) AS ?C) FROM NAMED <http://g/2> { GRAPH ?g { ?s ?p ?o } }") == 1L)
+    assert(n("SELECT (COUNT(*) AS ?C) FROM NAMED <http://g/2> { ?s ?p ?o }") == 0L)
+  }
+
   test("SELECT expressions and ORDER BY DESC") {
     val rows = Sparql.execute(numStore.quads(),
       """SELECT ?s (?k * 10 AS ?x) { ?s <http://x/k> ?k }
