@@ -120,6 +120,10 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
             case cl: SparqlUpdate.ClearOp =>
               foldResolved(SparqlUpdate.resolveClear(currentState(), cl, base | oi))
               oi += 1
+            case gm: SparqlUpdate.GraphManageOp =>
+              SparqlUpdate.resolveGraphManage(currentState(), gm, base | oi)
+                .foreach(foldResolved)
+              oi += 2
           }
         case other =>
           throw new ProjectorException(s"unapplied payload kind '$other'")

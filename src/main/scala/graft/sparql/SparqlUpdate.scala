@@ -45,6 +45,14 @@ object SparqlUpdate {
       insertTpl: Seq[TriplePattern], where: Pattern) extends UpdateOp
   /** CLEAR/DROP. `target` ∈ GRAPH | DEFAULT | NAMED | ALL. */
   final case class ClearOp(target: String, graph: Option[Term]) extends UpdateOp
+  /** ADD/COPY/MOVE between graphs (`None` = the default graph), and
+    * CREATE (a no-op in a quad store, which has no empty-graph
+    * existence — same behavior as Jena's TDB). COPY clears the
+    * destination first; MOVE additionally drops the source; a
+    * same-graph operation is a no-op (spec §3.2.3-5).
+    */
+  final case class GraphManageOp(kind: String, src: Option[Term],
+      dst: Option[Term]) extends UpdateOp
 
   /** Parse an update request (one or more `;`-separated operations). */
   def parse(text: String): Seq[UpdateOp] = {
@@ -136,8 +144,37 @@ object SparqlUpdate {
           case _ => throw new RdfParseException("CLEAR GRAPH expects an IRI")
         }
       }
-    } else throw new RdfParseException(
-      "SPARQL update: expected INSERT, DELETE, CLEAR or DROP")
+    } else {
+      val kind =
+        if (p.tryKeyword("ADD")) "ADD"
+        else if (p.tryKeyword("COPY")) "COPY"
+        else if (p.tryKeyword("MOVE")) "MOVE"
+        else if (p.tryKeyword("CREATE")) "CREATE"
+        else throw new RdfParseException(
+          "SPARQL update: expected INSERT, DELETE, CLEAR, DROP, ADD, COPY, MOVE or CREATE")
+      p.tryKeyword("SILENT")
+      if (kind == "CREATE") {
+        p.keyword("GRAPH")
+        p.parseNode() match {
+          case Const(t) if t.isIri => GraphManageOp("CREATE", Some(t), None)
+          case _ => throw new RdfParseException("CREATE GRAPH expects an IRI")
+        }
+      } else {
+        // GraphOrDefault ::= 'DEFAULT' | 'GRAPH'? iri
+        def target(): Option[Term] =
+          if (p.tryKeyword("DEFAULT")) None
+          else {
+            p.tryKeyword("GRAPH")
+            p.parseNode() match {
+              case Const(t) if t.isIri => Some(t)
+              case _ => throw new RdfParseException(s"$kind expects DEFAULT or an IRI")
+            }
+          }
+        val src = target()
+        p.keyword("TO")
+        GraphManageOp(kind, src, target())
+      }
+    }
   }
 
   /** A `{ ... }` of ground quads (GRAPH blocks inline the graph). */
@@ -185,6 +222,35 @@ object SparqlUpdate {
       Sparql.instantiate(sols, m.deleteTpl).map(tag(_, "D", seq)) ++
       Sparql.instantiate(sols, m.insertTpl).map(tag(_, "A", seq + 1))
     parts.reduceOption(_.unionByName(_))
+  }
+
+  /** Resolve ADD/COPY/MOVE to delete + insert rows against `state`
+    * (CREATE and same-graph ops resolve to nothing). The source scan
+    * carries a pushable graph predicate; the re-labelled inserts ride
+    * at `seq + 1` so deletes of the destination land first.
+    */
+  def resolveGraphManage(state: DataFrame, g: GraphManageOp,
+      seq: Long): Option[DataFrame] = {
+    if (g.kind == "CREATE" || g.src == g.dst) return None
+    def scoped(t: Option[Term]) = t match {
+      case None => state.filter(col("graph").isNull)
+      case Some(x) => state.filter(Sparql.termEqFields("graph", x))
+    }
+    val gType = state.schema("graph").dataType
+    def tag(df: DataFrame, op: String, s: Long): DataFrame =
+      df.select(Seq(lit(op).as("op"), lit(s).as("seq")) ++
+        Seq("graph", "subject", "predicate", "obj").map(col): _*)
+    val inserts = tag(scoped(g.src).withColumn("graph", g.dst match {
+      case None => lit(null).cast(gType)
+      case Some(t) => Sparql.termLit(t)
+    }), "A", seq + 1)
+    val deletes = (g.kind match {
+      case "ADD" => Seq.empty[DataFrame]
+      case "COPY" => Seq(scoped(g.dst))
+      case "MOVE" => Seq(scoped(g.dst), scoped(g.src))
+      case other => throw new RdfParseException(s"unexpected graph op $other")
+    }).map(tag(_, "D", seq))
+    Some((deletes :+ inserts).reduce(_.unionByName(_)))
   }
 
   /** Resolve CLEAR/DROP to delete rows: a graph filter over `state`

@@ -165,6 +165,37 @@ class UpdateSpec extends AnyFunSuite {
     assert(bound.length == 1 && bound.head.getStruct(1).getString(1) == "http://x/b")
   }
 
+  test("graph management: ADD, COPY, MOVE, CREATE, same-graph no-op") {
+    val seed =
+      """INSERT DATA {
+        |  <http://x/d> <http://x/p> "dflt" .
+        |  GRAPH <http://g/1> { <http://x/a> <http://x/p> "g1" }
+        |  GRAPH <http://g/2> { <http://x/b> <http://x/p> "g2" }
+        |}""".stripMargin
+    // ADD keeps the source and unions into the destination
+    val add = ingest(s"$seed ;\nADD GRAPH <http://g/1> TO DEFAULT" -> CT_RU)
+    assert(stateNT(add) == Set(
+      (null, "http://x/d", "http://x/p", "dflt"),
+      (null, "http://x/a", "http://x/p", "g1"),
+      ("http://g/1", "http://x/a", "http://x/p", "g1"),
+      ("http://g/2", "http://x/b", "http://x/p", "g2")))
+    // COPY clears the destination first
+    val copy = ingest(s"$seed ;\nCOPY <http://g/1> TO <http://g/2>" -> CT_RU)
+    assert(stateNT(copy) == Set(
+      (null, "http://x/d", "http://x/p", "dflt"),
+      ("http://g/1", "http://x/a", "http://x/p", "g1"),
+      ("http://g/2", "http://x/a", "http://x/p", "g1")))
+    // MOVE also drops the source
+    val move = ingest(s"$seed ;\nMOVE DEFAULT TO GRAPH <http://g/2>" -> CT_RU)
+    assert(stateNT(move) == Set(
+      ("http://g/1", "http://x/a", "http://x/p", "g1"),
+      ("http://g/2", "http://x/d", "http://x/p", "dflt")))
+    // CREATE is a no-op in a quad store; same-graph COPY is a no-op
+    val noop = ingest(
+      s"$seed ;\nCREATE GRAPH <http://g/9> ;\nCOPY <http://g/1> TO <http://g/1>" -> CT_RU)
+    assert(stateNT(noop).size == 3)
+  }
+
   test("SELECT queries also accept PREFIX prologues and pnames") {
     val store = ingest(
       """PREFIX x: <http://x/>
