@@ -172,12 +172,12 @@ object Sparql {
     * undefined; sorting makes the engine deterministic), SAMPLE
     * returns the lexically-least value for the same reason.
     */
-  final case class ItemAgg(func: String, arg: Option[String], as: String,
+  final case class ItemAgg(func: String, arg: Option[VExpr], as: String,
       isDistinct: Boolean = false, separator: String = " ")
     extends SelectItem
 
-  /** One HAVING conjunct: `AGG([DISTINCT] ?v|*) op literal`. */
-  final case class HavingCmp(func: String, arg: Option[String], op: String,
+  /** One HAVING conjunct: `AGG([DISTINCT] expr|*) op literal`. */
+  final case class HavingCmp(func: String, arg: Option[VExpr], op: String,
       value: Term, isDistinct: Boolean = false)
 
   /** One ORDER BY key: `?v`, `ASC(?v)` or `DESC(?v)` (spec §15.1). */
@@ -331,24 +331,31 @@ object Sparql {
         items.collect { case ItemExpr(_, as) => as }.foreach(as =>
           throw new RdfParseException(
             s"expression projection ?$as not supported in aggregate queries"))
-        // raw (SQL-typed) aggregate — also the HAVING form
-        def rawAgg(func: String, arg: Option[String], isDistinct: Boolean,
+        // raw (SQL-typed) aggregate — also the HAVING form. Arguments
+        // are full value expressions (SUM(?a * ?b), MAX(STRLEN(?s)))
+        // compiled against the bound solution's columns.
+        val boundCols = bound.columns.toSet
+        def argCol(e: VExpr): Column = compileExpr(e,
+          n => if (boundCols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT))
+        def argVal(e: VExpr): Column =
+          argCol(e).getField("lex").cast("decimal(28,10)")
+        def rawAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
             separator: String): Column = func match {
           case "COUNT" =>
-            if (isDistinct) count_distinct(col(arg.get))
-            else arg.fold(count(lit(1)))(v => count(col(v)))
+            if (isDistinct) count_distinct(argCol(arg.get))
+            else arg.fold(count(lit(1)))(e => count(argCol(e)))
           case "SUM" =>
-            if (isDistinct) sum_distinct(numVal(arg.get)) else sum(numVal(arg.get))
+            if (isDistinct) sum_distinct(argVal(arg.get)) else sum(argVal(arg.get))
           case "AVG" =>
             if (isDistinct) throw new RdfParseException("AVG(DISTINCT) is not supported")
-            else avg(numVal(arg.get))
-          case "MIN" => min(numVal(arg.get))
-          case "MAX" => max(numVal(arg.get))
+            else avg(argVal(arg.get))
+          case "MIN" => min(argVal(arg.get))
+          case "MAX" => max(argVal(arg.get))
           case "GROUP_CONCAT" =>
-            val lex = col(arg.get).getField("lex")
+            val lex = argCol(arg.get).getField("lex")
             array_join(array_sort(
               if (isDistinct) collect_set(lex) else collect_list(lex)), separator)
-          case "SAMPLE" => min(col(arg.get).getField("lex"))
+          case "SAMPLE" => min(argCol(arg.get).getField("lex"))
           case other => throw new RdfParseException(s"unsupported aggregate $other")
         }
         def strTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
@@ -359,10 +366,10 @@ object Sparql {
             case _ if !asTerms => rawAgg(func, arg, isDistinct, sep)
             case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
             case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
-            case "MIN" => min_by(col(arg.get), numVal(arg.get))
-            case "MAX" => max_by(col(arg.get), numVal(arg.get))
+            case "MIN" => min_by(argCol(arg.get), argVal(arg.get))
+            case "MAX" => max_by(argCol(arg.get), argVal(arg.get))
             case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
-            case "SAMPLE" => min_by(col(arg.get), col(arg.get).getField("lex"))
+            case "SAMPLE" => min_by(argCol(arg.get), argCol(arg.get).getField("lex"))
             case other => throw new RdfParseException(s"unsupported aggregate $other")
           }).as(as)
         }
@@ -1331,10 +1338,11 @@ object Sparql {
       SelectItems(items.toSeq)
     }
 
-    /** `FUNC([DISTINCT] ?v|*) [; SEPARATOR="…"]` — the aggregate call
-      * shared by projection items and HAVING conjuncts.
+    /** `FUNC([DISTINCT] expr|*) [; SEPARATOR="…"]` — the aggregate
+      * call shared by projection items and HAVING conjuncts; the
+      * argument is a full value expression (SUM(?a * ?b)).
       */
-    private def parseAggCall(): (String, Option[String], Boolean, String) = {
+    private def parseAggCall(): (String, Option[VExpr], Boolean, String) = {
       val func = Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
         .find(tryKeyword).getOrElse(fail("expected an aggregate function"))
       expect('(')
@@ -1342,9 +1350,9 @@ object Sparql {
       skipWs()
       val arg =
         if (peek == '*') {
-          if (func != "COUNT") fail(s"$func requires a ?variable argument")
+          if (func != "COUNT") fail(s"$func requires an expression argument")
           pos += 1; None
-        } else Some(parseVar())
+        } else Some(parseAdditive())
       var sep = " "
       if (func == "GROUP_CONCAT") {
         skipWs()

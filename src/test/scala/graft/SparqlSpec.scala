@@ -221,6 +221,16 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("FROM graph predicates reach the parquet scan") {
+    val store = ingest(PATCH1 -> "application/rdf-patch")
+    store.compact()
+    val df = Sparql.execute(store.quads(),
+      "SELECT ?s FROM <http://example/patch> { ?s ?p ?o }")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("graph.lex"),
+      s"missing graph pushdown:\n$scan")
+  }
+
   test("OPTIONAL filter referencing an outer variable is a LeftJoin condition") {
     val store = ingest(
       ("""<http://x/a> <http://x/name> "alice" .
@@ -708,6 +718,23 @@ class SparqlSpec extends AnyFunSuite {
       .map(lex(_, 0)).toSet == Set("http://x/b"))
     assert(rows("SELECT ?s { ?s <http://x/k> ?k FILTER(?k) }")
       .map(lex(_, 0)).toSet == Set("http://x/a", "http://x/b", "http://x/c"))
+  }
+
+  test("aggregates over expressions: SUM(?a * ?b), MAX(STRLEN(?s))") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/q> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/a> <http://x/price> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/q> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/price> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/a> <http://x/name> "longername" .
+         |<http://x/b> <http://x/name> "short" .
+         |""".stripMargin) -> "application/n-quads")
+    val r = Sparql.execute(store.quads(),
+      """SELECT (SUM(?q * ?p) AS ?rev) (MAX(STRLEN(?n)) AS ?maxlen)
+         { ?s <http://x/q> ?q . ?s <http://x/price> ?p . ?s <http://x/name> ?n }""")
+      .collect().head
+    assert(r.getDecimal(0).longValue == 35L) // 2*10 + 3*5
+    assert(r.getDecimal(1).longValue == 10L)
   }
 
   test("FROM and FROM NAMED define the queried dataset exactly") {
