@@ -186,7 +186,10 @@ object Sparql {
   final case class Query(projection: Projection, pattern: Pattern,
       groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int], distinct: Boolean,
-      from: Seq[Term] = Seq.empty, fromNamed: Seq[Term] = Seq.empty)
+      from: Seq[Term] = Seq.empty, fromNamed: Seq[Term] = Seq.empty,
+      // `GROUP BY (expr AS ?x)` keys: bound onto the solution before
+      // aggregation; their aliases also appear in `groupBy`
+      groupExprs: Seq[(VExpr, String)] = Seq.empty)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
     * CONSTRUCT instantiated quads.
@@ -281,7 +284,9 @@ object Sparql {
   private def executeSelectSol(quads0: DataFrame, q: Query, asTerms: Boolean): Sol = {
     val quads = applyDatasetClause(quads0, q.from, q.fromNamed)
     val boundSol = compileSol(quads, q.pattern)
-    val bound = boundSol.df
+    val bound = q.groupExprs.foldLeft(boundSol.df) { case (d, (e, as)) =>
+      d.withColumn(as, compileVExpr(d, TERM_STRUCT, e))
+    }
     def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
     def intTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
       c.cast("string").as("lex"),
@@ -1259,8 +1264,29 @@ object Sparql {
       }
       tryKeyword("WHERE")
       val pattern = parseGroup()
+      // GroupCondition subset: ?v | '(' expr AS ?x ')'
+      val groupExprs = scala.collection.mutable.ArrayBuffer[(VExpr, String)]()
       val groupBy =
-        if (tryKeyword("GROUP")) { keyword("BY"); parseVarList() } else Seq.empty
+        if (tryKeyword("GROUP")) {
+          keyword("BY")
+          val keys = scala.collection.mutable.ArrayBuffer[String]()
+          var moreKeys = true
+          while (moreKeys) {
+            skipWs()
+            if (peek == '?') keys += parseVar()
+            else if (peek == '(') {
+              pos += 1
+              val e = parseAdditive()
+              keyword("AS")
+              val as = parseVar()
+              expect(')')
+              groupExprs += ((e, as))
+              keys += as
+            } else moreKeys = false
+          }
+          if (keys.isEmpty) fail("expected at least one GROUP BY key")
+          keys.toSeq
+        } else Seq.empty
       val having =
         if (tryKeyword("HAVING")) {
           expect('(')
@@ -1296,7 +1322,7 @@ object Sparql {
         else more = false
       }
       Query(projection, pattern, groupBy, having, orderBy, limit, offset,
-        distinct, from.toSeq, fromNamed.toSeq)
+        distinct, from.toSeq, fromNamed.toSeq, groupExprs.toSeq)
     }
 
     private def parseProjection(): Projection = {

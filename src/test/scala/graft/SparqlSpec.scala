@@ -737,6 +737,17 @@ class SparqlSpec extends AnyFunSuite {
     assert(r.getDecimal(1).longValue == 10L)
   }
 
+  test("GROUP BY an expression key: (expr AS ?x)") {
+    val rows = Sparql.execute(numStore.quads(),
+      """SELECT ?bucket (COUNT(*) AS ?n) (SUM(?k) AS ?sum)
+         { ?s <http://x/k> ?k FILTER(isNUMERIC(?k)) }
+         GROUP BY (IF(?k < 5, "lo", "hi") AS ?bucket) ORDER BY ?bucket""")
+      .collect()
+    // keys 3 and 10 split into lo/hi computed-key groups
+    assert(rows.map(r => (lex(r, 0), r.getLong(1), r.getDecimal(2).longValue)).toSeq ==
+      Seq(("hi", 1L, 10L), ("lo", 1L, 3L)))
+  }
+
   test("FROM and FROM NAMED define the queried dataset exactly") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "dflt" .
