@@ -295,6 +295,12 @@ object Similarity {
 
   /** Per-subspace Lloyd training of the PQ codebooks; the model
     * (m × ksub × dsub doubles) is the only thing the driver holds.
+    *
+    * ALL subspaces train in one pass per iteration: sub-vectors ride
+    * an exploded (mi, s) projection, the assignment reads the full
+    * codebook as ONE 3-D literal indexed by mi, and a single
+    * (mi, cell, pos) aggregation updates every codebook — `iters`
+    * jobs total instead of m × iters.
     */
   private def trainCodebooks(e: DataFrame, m: Int, dsub: Int, ksub: Int,
       iters: Int): Array[Array[Array[Double]]] = {
@@ -305,26 +311,33 @@ object Similarity {
       .filter((col("rn") - lit(1)) % stride === 0)
       .orderBy(col("rn")).limit(ksub)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    (0 until m).toArray.map { mi =>
-      val subv = e.select(col("id"), slice(col("v"), mi * dsub + 1, dsub).as("s"))
-      var cb: Array[Array[Double]] =
-        sample.map(_.slice(mi * dsub, mi * dsub + dsub))
-      for (_ <- 0 until iters) {
-        def assignExpr = array_max(array(cb.indices.map { j =>
-          struct((graft.functions.Sketches.dotDouble(col("s"), typedLit(cb(j).toSeq))
-            - lit(cb(j).map(x => x * x).sum / 2)).as("s"), lit(j).as("i"))
-        }: _*)).getField("i")
-        val means = subv.select(assignExpr.as("cell"), posexplode(col("s")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("mn"))
-          .groupBy(col("cell"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("pm"))
-          .select(col("cell"), transform(col("pm"), p => p.getField("mn")).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        cb = cb.indices.map(j => means.getOrElse(j, cb(j))).toArray
-      }
-      cb
+    var books: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map(mi => sample.map(_.slice(mi * dsub, mi * dsub + dsub)))
+    val subs = e.select(
+      posexplode(array((0 until m).map(mi =>
+        slice(col("v"), mi * dsub + 1, dsub)): _*)).as(Seq("mi", "s")))
+    for (_ <- 0 until iters) {
+      val lit3d = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val halfN2 = typedLit(books.map(_.map(c => c.map(x => x * x).sum / 2).toSeq).toSeq)
+      val cell = array_max(array((0 until ksub).map { j =>
+        struct((graft.functions.Sketches.dotDouble(col("s"),
+            element_at(element_at(lit3d, col("mi") + 1), j + 1))
+          - element_at(element_at(halfN2, col("mi") + 1), j + 1)).as("s"),
+          lit(j).as("i"))
+      }: _*)).getField("i")
+      val means = subs.select(col("mi"), cell.as("cell"),
+          posexplode(col("s")).as(Seq("pos", "x")))
+        .groupBy(col("mi"), col("cell"), col("pos"))
+        .agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("mn"))
+        .groupBy(col("mi"), col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("mi"), col("cell"), transform(col("pm"), p => p.getField("mn")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = books.indices.toArray.map(mi =>
+        books(mi).indices.toArray.map(j => means.getOrElse((mi, j), books(mi)(j))))
     }
+    books
   }
 
   /** Gate-checkable PQ recall vs the exact baseline — same contract
