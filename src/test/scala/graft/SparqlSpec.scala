@@ -782,6 +782,27 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(1).getStruct(1).getString(1) == "30")
   }
 
+  test("malformed queries fail with parse errors, not misparses") {
+    val store = ingest(DATA_NQ -> "application/n-quads")
+    def bad(q: String): Unit =
+      intercept[graft.rdf.RdfParseException](
+        Sparql.execute(store.quads(), q).collect())
+    bad("SELECT ?s { ?s ?p ?o")                         // unterminated group
+    bad("SELECT { ?s ?p ?o }")                          // no projection
+    bad("SELECT ?s { ?s ?p ?o } LIMIT x")               // non-numeric LIMIT
+    bad("SELECT ?s { ?s ?p ?o FILTER(?s <) }")          // dangling operator
+    bad("SELECT ?s { ?s ?p ?o FILTER(STRLEN(?s) }")     // unbalanced parens
+    bad("SELECT ?s { ?s ex:p ?o }")                     // undeclared prefix
+    bad("SELECT (SUM(?o) AS ?t) { ?s ?p ?o } HAVING (COUNT(*) >)") // bad HAVING
+    bad("SELECT ?s { ?s ?p ?o } GROUP BY")              // empty GROUP BY
+    bad("SELECT ?s { ?s ?p ?o } ORDER BY DESC ?s")      // DESC needs parens
+    bad("SELECT ?s ?o { ?s !?p ?o }")                   // negated set needs IRIs
+    bad("SELECT ?s FROM { ?s ?p ?o }")                  // FROM needs an IRI
+    bad("SELECT ?x { BIND(?a + AS ?x) }")               // dangling arithmetic
+    // trailing garbage after a complete query is rejected
+    bad("SELECT ?s { ?s ?p ?o } LIMIT 5 garbage")
+  }
+
   test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "01"^^<http://www.w3.org/2001/XMLSchema#integer> .
