@@ -30,6 +30,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.size == 5, s"unexpected extra pairs: $pairs")
   }
 
+  test("ngram-Jaccard candidate join partitions on prefix tokens, not raw text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.nearDupNgramJaccard(docs).queryExecution.executedPlan.toString
+    val exchangeKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty, s"no exchange found in:\n$plan")
+    // the candidate self-join must key on the prefix token, never ship
+    // the document text as a partitioning key
+    assert(exchangeKeys.forall(!_.contains("text#")),
+      s"document text rides an exchange: $exchangeKeys")
+    assert(exchangeKeys.exists(_.contains("tok")),
+      s"no prefix-token exchange: $exchangeKeys")
+  }
+
   test("ngram-Jaccard prefix filtering matches minhash output on real documents") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
