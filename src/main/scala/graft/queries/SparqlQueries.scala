@@ -342,6 +342,31 @@ object SparqlQueries {
           col("aft").getField("lex").as("aft"))
         .orderBy(col("n_name"))
     },
+    // FROM dataset clauses: nation quads split by key parity into two
+    // named graphs; one probe reads a single graph as the default,
+    // another merges both — each checked against the relational truth
+    "sparql_from" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val quads = rows.toSeq.map { case (k, rk) =>
+        graft.rdf.Quad(Term.iri(s"${NS}g/${if (k % 2 == 0) "even" else "odd"}"),
+          Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+          Term.typed(rk.toString, Term.XSD_INTEGER))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqfrom").toString)
+      store.addQuads(0, quads)
+      def probe(label: String, fromClause: String) =
+        Sparql.execute(store.quads(),
+          s"""SELECT ?rk (COUNT(*) AS ?n) $fromClause
+              { ?s <${NS}regionkey> ?rk } GROUP BY ?rk""")
+          .select(lit(label).as("part"),
+            col("rk").getField("lex").cast("int").as("n_regionkey"), col("n"))
+      probe("even", s"FROM <${NS}g/even>")
+        .unionByName(probe("all", s"FROM <${NS}g/even> FROM <${NS}g/odd>"))
+        .orderBy(col("part"), col("n_regionkey"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
@@ -452,6 +477,14 @@ object SparqlQueries {
          FROM nation
          WHERE starts_with(n_name, 'NATION_1') OR contains(n_name, '_2')
          ORDER BY n_name""",
+    "sparql_from" ->
+      """SELECT * FROM (
+           SELECT 'even' AS part, n_regionkey, COUNT(*)::BIGINT AS n
+           FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey
+           UNION ALL
+           SELECT 'all', n_regionkey, COUNT(*)::BIGINT
+           FROM nation GROUP BY n_regionkey)
+         ORDER BY part, n_regionkey""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->
