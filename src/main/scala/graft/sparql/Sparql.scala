@@ -922,6 +922,20 @@ object Sparql {
           when(a(0).isNotNull, struct(lit(Term.IRI).as("termType"),
             lex(0).as("lex"), lit(null).cast("string").as("datatype"),
             lit(null).cast("string").as("lang"))).otherwise(nullTerm)
+        // literal constructors (§17.4.2.8-9): the lexical form must be
+        // a simple literal, the datatype an IRI / the tag a literal
+        case "STRDT" =>
+          when(a(0).getField("termType") === Term.LIT &&
+              a(1).getField("termType") === Term.IRI,
+            struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
+              lex(1).as("datatype"), lit(null).cast("string").as("lang")))
+            .otherwise(nullTerm)
+        case "STRLANG" =>
+          when(a(0).getField("termType") === Term.LIT &&
+              a(1).getField("termType") === Term.LIT && length(lex(1)) > 0,
+            struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
+              lit(null).cast("string").as("datatype"), lex(1).as("lang")))
+            .otherwise(nullTerm)
         case other => throw new RdfParseException(s"unsupported function $other")
       }
   }
@@ -1739,7 +1753,8 @@ object Sparql {
     private val UNARY_FNS =
       Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR", "IRI", "URI")
     private val NARY_FNS =
-      Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER")
+      Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
+        "STRDT", "STRLANG")
 
     private def parsePrimaryV(): VExpr = {
       skipWs()

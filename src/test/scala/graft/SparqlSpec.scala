@@ -782,6 +782,23 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(1).getStruct(1).getString(1) == "30")
   }
 
+  test("STRDT and STRLANG construct typed and tagged literals") {
+    val store = ingest(
+      ("<http://x/a> <http://x/p> \"5\" .\n") -> "application/n-quads")
+    // STRDT result participates in VALUE-space comparison
+    val n = Sparql.execute(store.quads(),
+      s"""SELECT ?s { ?s <http://x/p> ?v
+          FILTER(STRDT(STR(?v), <${Term.XSD_INTEGER}>) = 5) }""").collect()
+    assert(n.length == 1)
+    // STRLANG result matches LANGMATCHES; empty tag is an error
+    val r = Sparql.execute(store.quads(),
+      """SELECT ?t ?bad { ?s <http://x/p> ?v
+         BIND(STRLANG(STR(?v), "en-GB") AS ?t)
+         BIND(STRLANG(STR(?v), "") AS ?bad) }""").collect().head
+    assert(r.getStruct(0).getString(3) == "en-GB")
+    assert(r.getStruct(1) == null)
+  }
+
   test("malformed queries fail with parse errors, not misparses") {
     val store = ingest(DATA_NQ -> "application/n-quads")
     def bad(q: String): Unit =
