@@ -867,6 +867,17 @@ object Sparql {
       }
       func match {
         case "STRLEN" => onLit(0)(intTerm(length(lex(0)).cast("long")))
+        // RFC 3986 percent-encoding of everything but the unreserved
+        // set, UTF-8 bytes uppercase-hex (§17.4.3.4). Pure column ops:
+        // per-character transform, multi-byte chars hex-encoded from
+        // their UTF-8 encoding. (Astral chars split into surrogates by
+        // split('') are out of this subset's scope.)
+        case "ENCODE_FOR_URI" =>
+          onLit(0)(plainStrTerm(array_join(
+            transform(split(lex(0), ""), c =>
+              when(c.rlike("^[A-Za-z0-9\\-_.~]$"), c)
+                .otherwise(regexp_replace(upper(hex(encode(c, "UTF-8"))),
+                  "(..)", "%$1"))), "")))
         case "UCASE" => likeArg(0)(upper(lex(0)))
         case "LCASE" => likeArg(0)(lower(lex(0)))
         case "CONCAT" =>
@@ -1751,7 +1762,8 @@ object Sparql {
     }
 
     private val UNARY_FNS =
-      Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR", "IRI", "URI")
+      Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR",
+        "IRI", "URI", "ENCODE_FOR_URI")
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
         "STRDT", "STRLANG")
@@ -1773,13 +1785,14 @@ object Sparql {
         expect(')')
         VFn(func, a)
       } else if (UNARY_FNS.exists(tryKeyword)) {
-        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9]").last.toUpperCase
+        // keep '_' in the class: ENCODE_FOR_URI must not truncate to URI
+        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9_]").last.toUpperCase
         expect('(')
         val a = parseAdditive()
         expect(')')
         VFnN(func, Seq(a))
       } else if (NARY_FNS.exists(tryKeyword)) {
-        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9]").last.toUpperCase
+        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9_]").last.toUpperCase
         VFnN(func, parseExprList())
       } else if (peek == '?') VVar(parseVar())
       else parseNode() match {

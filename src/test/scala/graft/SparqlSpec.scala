@@ -799,6 +799,16 @@ class SparqlSpec extends AnyFunSuite {
     assert(r.getStruct(1) == null)
   }
 
+  test("ENCODE_FOR_URI percent-encodes everything but the unreserved set") {
+    val store = ingest(
+      ("<http://x/a> <http://x/p> \"caf\\u00E9 ~A_b.c-1/?#\" .\n") -> "application/n-quads")
+    val r = Sparql.execute(store.quads(),
+      """SELECT ?e { ?s <http://x/p> ?v BIND(ENCODE_FOR_URI(?v) AS ?e) }""")
+      .collect().head
+    // é → UTF-8 C3 A9; space → %20; unreserved -_.~ pass through
+    assert(lex(r, 0) == "caf%C3%A9%20~A_b.c-1%2F%3F%23")
+  }
+
   test("malformed queries fail with parse errors, not misparses") {
     val store = ingest(DATA_NQ -> "application/n-quads")
     def bad(q: String): Unit =
