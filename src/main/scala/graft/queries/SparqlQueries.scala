@@ -195,6 +195,61 @@ object SparqlQueries {
           regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
         .orderBy(col("s"), col("o"))
     },
+    // expression projections over aggregates (§18.4) with an aggregate
+    // expression ORDER BY key and COUNT(DISTINCT *): groups are built
+    // as k % 5 so SUM(?a)/SUM(?b) terminates exactly (x.0 / x.5) on
+    // both engines — the division itself runs in exact DECIMAL
+    "sparql_agg_expr" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect()
+      val quads = rows.toSeq.flatMap { k =>
+        val subj = Term.iri(s"${NS}nation/$k")
+        Seq(
+          graft.rdf.Quad(null, subj, Term.iri(s"${NS}grp"),
+            Term.typed((k % 5).toString, Term.XSD_INTEGER)),
+          graft.rdf.Quad(null, subj, Term.iri(s"${NS}a"),
+            Term.typed(k.toString, Term.XSD_INTEGER)),
+          graft.rdf.Quad(null, subj, Term.iri(s"${NS}b"),
+            Term.typed("2", Term.XSD_INTEGER)))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqax").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?g (SUM(?a)/SUM(?b) AS ?r)
+                   ((MAX(?a) - MIN(?a)) * 2 AS ?span2)
+                   (COUNT(DISTINCT *) AS ?nd)
+            { ?s <${NS}grp> ?g . ?s <${NS}a> ?a . ?s <${NS}b> ?b }
+            GROUP BY ?g
+            ORDER BY DESC(SUM(?a) + 1)""")
+      res.select(col("g").getField("lex").cast("int").as("g"),
+          col("r").getField("lex").cast("double").as("r"),
+          col("span2").getField("lex").cast("long").as("span2"),
+          col("nd").cast("long").as("nd"))
+        .orderBy(col("g"))
+    },
+    // property paths under GRAPH ?var: two disjoint chains in two
+    // named graphs; the transitive closure must stay inside each graph
+    // (a cross-graph pair like 11→13 would be a correctness bug)
+    "sparql_path_graph" -> { (s, dir) =>
+      import s.implicits._
+      val keys = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+      val quads = keys.toSeq.filter(_ < keys.max).map { k =>
+        val g = if (k < 12) "a" else "b"
+        graft.rdf.Quad(Term.iri(s"${NS}g/$g"), Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}next"), Term.iri(s"${NS}nation/${k + 1}"))
+      }
+      val store = new QuadStore(s, Files.createTempDirectory("sqpg").toString)
+      store.addQuads(0, quads)
+      val res = Sparql.execute(store.quads(),
+        s"SELECT ?g ?s ?o { GRAPH ?g { ?s <${NS}next>+ ?o } }")
+      res.select(
+          regexp_extract(col("g").getField("lex"), "g/(\\w)$", 1).as("g"),
+          regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("s"),
+          regexp_extract(col("o").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("o"))
+        .orderBy(col("g"), col("s"), col("o"))
+    },
     // HAVING + the set-oriented aggregates: GROUP_CONCAT (sorted-lex
     // join — deterministic where the spec leaves order open), SAMPLE
     // (lexically-least choice), COUNT(DISTINCT). Nations keyed < 13 so
@@ -433,6 +488,32 @@ object SparqlQueries {
            UNION
            SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s)
          SELECT s::INT AS s, o::INT AS o FROM reach ORDER BY s, o""",
+    "sparql_agg_expr" ->
+      """SELECT (n_nationkey % 5)::INT AS g,
+                SUM(n_nationkey)::DOUBLE / SUM(2) AS r,
+                ((MAX(n_nationkey) - MIN(n_nationkey)) * 2)::BIGINT AS span2,
+                COUNT(*)::BIGINT AS nd
+         FROM nation GROUP BY 1 ORDER BY g""",
+    "sparql_path_graph" ->
+      """WITH RECURSIVE
+           ea AS (SELECT n_nationkey AS s, n_nationkey + 1 AS o FROM nation
+                  WHERE n_nationkey < 12),
+           ra(s, o) AS (
+             SELECT s, o FROM ea
+             UNION
+             SELECT r.s, e.o FROM ra r JOIN ea e ON r.o = e.s),
+           eb AS (SELECT n_nationkey AS s, n_nationkey + 1 AS o FROM nation
+                  WHERE n_nationkey >= 12
+                    AND n_nationkey < (SELECT max(n_nationkey) FROM nation)),
+           rb(s, o) AS (
+             SELECT s, o FROM eb
+             UNION
+             SELECT r.s, e.o FROM rb r JOIN eb e ON r.o = e.s)
+         SELECT * FROM (
+           SELECT 'a' AS g, s::INT AS s, o::INT AS o FROM ra
+           UNION ALL
+           SELECT 'b', s::INT, o::INT FROM rb)
+         ORDER BY g, s, o""",
     "sparql_having" ->
       """SELECT n_regionkey,
                 COUNT(*)::BIGINT AS n,

@@ -99,9 +99,10 @@ object Sparql {
     */
   final case class PNeg(fwd: Seq[Term], inv: Seq[Term]) extends PathExpr
 
-  /** A triple whose predicate is a non-trivial path. Restricted to the
-    * default graph and constant GRAPH contexts (a path inside
-    * `GRAPH ?g` would need per-graph closures).
+  /** A triple whose predicate is a non-trivial path. Evaluates against
+    * the default graph, a constant GRAPH context, or `GRAPH ?var`
+    * (per-graph semantics: the pair relation carries the graph column
+    * and every join/closure keys on it).
     */
   final case class PathElem(graph: Option[Node], s: Node, path: PathExpr,
       o: Node) extends GroupElem
@@ -154,6 +155,14 @@ object Sparql {
   final case class VFnN(func: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — an error in `cond` is an error (§17.4.1.2). */
   final case class VIf(cond: FExpr, t: VExpr, e: VExpr) extends VExpr
+  /** An aggregate call inside a value expression — the post-grouping
+    * expression form (`SELECT (SUM(?a)/SUM(?b) AS ?r)`,
+    * `ORDER BY DESC(SUM(?a) + 1)`, spec §18.4: aggregates project into
+    * the expression scope of a grouped query). Compiled as a hidden
+    * term-typed aggregate column the surrounding expression reads.
+    */
+  final case class VAgg(func: String, arg: Option[VExpr],
+      isDistinct: Boolean = false, separator: String = " ") extends VExpr
 
   sealed trait Projection
   case object SelectAll extends Projection
@@ -180,8 +189,11 @@ object Sparql {
   final case class HavingCmp(func: String, arg: Option[VExpr], op: String,
       value: Term, isDistinct: Boolean = false)
 
-  /** One ORDER BY key: `?v`, `ASC(?v)` or `DESC(?v)` (spec §15.1). */
-  final case class OrderKey(v: String, descending: Boolean = false)
+  /** One ORDER BY key (spec §15.1): `?v`, `ASC(expr)`, `DESC(expr)` or
+    * a bracketted expression — in a grouped query the expression may
+    * contain aggregate calls ([[VAgg]]).
+    */
+  final case class OrderKey(expr: VExpr, descending: Boolean = false)
 
   final case class Query(projection: Projection, pattern: Pattern,
       groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[OrderKey],
@@ -301,12 +313,21 @@ object Sparql {
         lit(Term.XSD_DECIMAL).cast("string").as("datatype"),
         lit(null).cast("string").as("lang")))
     var maybe: Set[String] = Set.empty
+    // ORDER BY keys as evaluated against the projected solution; the
+    // aggregate branch rewrites embedded aggregate calls to hidden
+    // '#agg*' columns it carries through the projection
+    var orderKeys: Seq[OrderKey] = q.orderBy
     val projected = q.projection match {
       case SelectAll =>
         maybe = boundSol.maybe
         bound
       case SelectItems(items)
-          if q.groupBy.isEmpty && !items.exists(_.isInstanceOf[ItemAgg]) =>
+          if q.groupBy.isEmpty && q.having.isEmpty &&
+            !items.exists {
+              case _: ItemAgg => true
+              case ItemExpr(e, _) => aggsOfV(e).nonEmpty
+              case _ => false
+            } && !q.orderBy.exists(k => aggsOfV(k.expr).nonEmpty) =>
         val names = items.collect { case ItemVar(n) => n }
         // a projected expression is maybe-unbound unless it cannot error
         val exprMaybe = items.collect {
@@ -326,16 +347,42 @@ object Sparql {
           case ItemExpr(e, as) => compileVExpr(bound, TERM_STRUCT, e).as(as)
           case i => throw new RdfParseException(s"unexpected item $i")
         }
-        bound.select(cols: _*)
+        // ORDER BY evaluates over the PRE-projection solution (§15.1):
+        // a key referencing variables the projection drops is computed
+        // here as a hidden column. DISTINCT queries must order by
+        // projected expressions (§15.3.1), so those stay downstream
+        val projNames = items.collect {
+          case ItemVar(n) => n
+          case ItemExpr(_, as) => as
+        }.toSet
+        val bCols = bound.columns.toSet
+        val preOrd = scala.collection.mutable.ArrayBuffer[Column]()
+        if (!q.distinct) orderKeys = q.orderBy.zipWithIndex.map { case (k, i) =>
+          k.expr match {
+            case VVar(n) if projNames.contains(n) => k
+            case e if varsOfV(e).subsetOf(bCols) =>
+              preOrd += compileExpr(e,
+                n => if (bCols.contains(n)) col(n)
+                     else lit(null).cast(TERM_STRUCT)).as(s"#ord$i")
+              k.copy(expr = VVar(s"#ord$i"))
+            case _ => k // projection-alias expression: post-projection
+          }
+        }
+        bound.select(cols ++ preOrd: _*)
       case SelectItems(items) =>
         // aggregation query: plain projected vars must be GROUP BY keys
-        // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all
+        // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all.
+        // An expression projection may mix aggregate calls and group
+        // keys (`(SUM(?a)/SUM(?b) AS ?r)`, §18.4) — anything else free
+        // in it is an error
         items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
           .foreach(n => throw new RdfParseException(
             s"projected variable ?$n is not in GROUP BY"))
-        items.collect { case ItemExpr(_, as) => as }.foreach(as =>
-          throw new RdfParseException(
-            s"expression projection ?$as not supported in aggregate queries"))
+        items.collect { case ItemExpr(e, as) =>
+          val frees = varsOfV(substAggs(e, _ => VConst(Term.lit(""))))
+          (frees -- q.groupBy).foreach(n => throw new RdfParseException(
+            s"?$n in expression projection ?$as is neither aggregated nor a GROUP BY key"))
+        }
         // raw (SQL-typed) aggregate — also the HAVING form. Arguments
         // are full value expressions (SUM(?a * ?b), MAX(STRLEN(?s)))
         // compiled against the bound solution's columns.
@@ -347,12 +394,20 @@ object Sparql {
         def rawAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
             separator: String): Column = func match {
           case "COUNT" =>
-            if (isDistinct) count_distinct(argCol(arg.get))
+            if (isDistinct) arg.map(e => count_distinct(argCol(e))).getOrElse {
+              // COUNT(DISTINCT *): distinct solution tuples — the
+              // binding columns packed as one (never-null) struct
+              if (bound.columns.isEmpty) count_distinct(lit(1))
+              else count_distinct(struct(bound.columns.toIndexedSeq.map(col): _*))
+            }
             else arg.fold(count(lit(1)))(e => count(argCol(e)))
           case "SUM" =>
             if (isDistinct) sum_distinct(argVal(arg.get)) else sum(argVal(arg.get))
           case "AVG" =>
-            if (isDistinct) throw new RdfParseException("AVG(DISTINCT) is not supported")
+            // AVG(DISTINCT) = SUM(DISTINCT)/COUNT(DISTINCT) over the
+            // numeric values (§18.5.1.5 Avg is Sum/Count over Dx)
+            if (isDistinct)
+              sum_distinct(argVal(arg.get)) / count_distinct(argVal(arg.get))
             else avg(argVal(arg.get))
           case "MIN" => min(argVal(arg.get))
           case "MAX" => max(argVal(arg.get))
@@ -366,32 +421,51 @@ object Sparql {
         def strTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
           c.as("lex"), lit(null).cast("string").as("datatype"),
           lit(null).cast("string").as("lang"))
+        // term-typed aggregate — the sub-SELECT form, and the form
+        // expressions read: MIN/MAX return the ORIGINAL extreme term,
+        // COUNT/SUM/AVG canonical numeric literals
+        def termAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
+            sep: String): Column = func match {
+          case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
+          case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
+          case "MIN" => min_by(argCol(arg.get), argVal(arg.get))
+          case "MAX" => max_by(argCol(arg.get), argVal(arg.get))
+          case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
+          case "SAMPLE" => min_by(argCol(arg.get), argCol(arg.get).getField("lex"))
+          case other => throw new RdfParseException(s"unsupported aggregate $other")
+        }
         val aggCols = items.collect { case ItemAgg(func, arg, as, isDistinct, sep) =>
-          (func match {
-            case _ if !asTerms => rawAgg(func, arg, isDistinct, sep)
-            case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
-            case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
-            case "MIN" => min_by(argCol(arg.get), argVal(arg.get))
-            case "MAX" => max_by(argCol(arg.get), argVal(arg.get))
-            case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
-            case "SAMPLE" => min_by(argCol(arg.get), argCol(arg.get).getField("lex"))
-            case other => throw new RdfParseException(s"unsupported aggregate $other")
-          }).as(as)
+          (if (asTerms) termAgg(func, arg, isDistinct, sep)
+           else rawAgg(func, arg, isDistinct, sep)).as(as)
+        }
+        // aggregate calls embedded in expressions (projection + ORDER
+        // BY) become hidden term-typed columns, deduplicated by call
+        val hidden = scala.collection.mutable.LinkedHashMap[VAgg, String]()
+        def hiddenName(a: VAgg): String =
+          hidden.getOrElseUpdate(a, s"#agg${hidden.size}")
+        (items.collect { case ItemExpr(e, _) => e } ++ q.orderBy.map(_.expr))
+          .foreach(e => aggsOfV(e).foreach(hiddenName))
+        val hiddenCols = hidden.toSeq.map { case (a, n) =>
+          termAgg(a.func, a.arg, a.isDistinct, a.separator).as(n)
         }
         // HAVING conjuncts ride the same aggregation as hidden columns
         val havingCols = q.having.zipWithIndex.map { case (h, i) =>
           rawAgg(h.func, h.arg, h.isDistinct, " ").as(s"_having_$i")
         }
         // a non-COUNT aggregate over no numeric bindings is null ⇒
-        // its alias is maybe-unbound for join compatibility
+        // its alias is maybe-unbound for join compatibility; an
+        // expression projection may evaluate to error likewise
         maybe = (boundSol.maybe intersect q.groupBy.toSet) ++
           items.collect {
             case ItemAgg(func, _, as, _, _)
                 if func != "COUNT" && func != "GROUP_CONCAT" => as
+            case ItemExpr(_, as) => as
           }
-        val allAggs = aggCols ++ havingCols
+        val allAggs = aggCols ++ hiddenCols ++ havingCols
         val grouped =
-          if (q.groupBy.isEmpty) bound.agg(allAggs.head, allAggs.tail: _*)
+          if (allAggs.isEmpty) // pure-key projection over a grouped query
+            bound.select(q.groupBy.map(col): _*).dropDuplicates()
+          else if (q.groupBy.isEmpty) bound.agg(allAggs.head, allAggs.tail: _*)
           else bound.groupBy(q.groupBy.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
         val kept = q.having.zipWithIndex.foldLeft(grouped) { case (d, (h, i)) =>
           val c = col(s"_having_$i")
@@ -406,19 +480,53 @@ object Sparql {
             case other => throw new RdfParseException(s"unsupported HAVING op '$other'")
           })
         }
-        kept.select(items.map {
+        val keptCols = kept.columns.toSet
+        def keptResolve(n: String): Column =
+          if (keptCols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)
+        // ORDER BY aggregate calls read the hidden columns, which must
+        // survive the projection — they are dropped after the sort
+        orderKeys = q.orderBy.map(k =>
+          k.copy(expr = substAggs(k.expr, a => VVar(hiddenName(a)))))
+        val orderHidden = q.orderBy.flatMap(k => aggsOfV(k.expr))
+          .distinct.map(a => col(hiddenName(a)))
+        kept.select((items.map {
           case ItemVar(n) => col(n)
           case ItemAgg(_, _, as, _, _) => col(as)
-          case ItemExpr(_, as) => col(as) // unreachable (rejected above)
-        }: _*)
+          case ItemExpr(e, as) =>
+            compileExpr(substAggs(e, a => VVar(hiddenName(a))), keptResolve).as(as)
+        } ++ orderHidden): _*)
     }
-    val distinct = if (q.distinct) projected.dropDuplicates() else projected
-    val ordered = if (q.orderBy.nonEmpty)
-      distinct.orderBy(q.orderBy.flatMap(k =>
-        sortKeys(k.v).map(c => if (k.descending) c.desc else c.asc)): _*)
-    else distinct
+    // hidden '#'-prefixed sort columns are invisible to DISTINCT and
+    // dropped once the sort is done
+    val visible = projected.columns.filterNot(_.startsWith("#")).toIndexedSeq
+    val distinct =
+      if (!q.distinct) projected
+      else if (visible.length == projected.columns.length) projected.dropDuplicates()
+      else projected.dropDuplicates(visible)
+    var sortInput = distinct
+    val sortCols: Seq[Column] = orderKeys.zipWithIndex.flatMap { case (k, i) =>
+      val keyCols: Seq[Column] = k.expr match {
+        case VVar(n) if sortInput.columns.contains(n) =>
+          sortInput.schema(n).dataType match {
+            case _: org.apache.spark.sql.types.StructType => sortKeys(col(n))
+            case _ => Seq(col(n)) // raw SQL aggregate alias (top level)
+          }
+        case e =>
+          // expression key: materialize as a hidden column so the sort
+          // stays a plain Exchange+Sort over precomputed keys
+          val name = s"#ord$i"
+          val cset = sortInput.columns.toSet
+          sortInput = sortInput.withColumn(name, compileExpr(e,
+            n => if (cset.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
+          sortKeys(col(name))
+      }
+      keyCols.map(c => if (k.descending) c.desc else c.asc)
+    }
+    val ordered = if (sortCols.isEmpty) sortInput else sortInput.orderBy(sortCols: _*)
     val offsetted = q.offset.fold(ordered)(ordered.offset)
-    Sol(q.limit.fold(offsetted)(offsetted.limit), maybe)
+    val limited = q.limit.fold(offsetted)(offsetted.limit)
+    val hiddenLeft = limited.columns.filter(_.startsWith("#")).toIndexedSeq
+    Sol(if (hiddenLeft.isEmpty) limited else limited.drop(hiddenLeft: _*), maybe)
   }
 
   /** ORDER BY keys in VALUE space (spec §15.1): unbound < blank < IRI
@@ -428,14 +536,16 @@ object Sparql {
     * columns, so the sort stays a regular Exchange+Sort (TopK with
     * LIMIT), no custom ordering physical op.
     */
-  private def sortKeys(v: String): Seq[Column] = {
-    val c = col(v)
+  private def sortKeys(c: Column): Seq[Column] = {
     val rank = when(c.isNull, 0)
       .when(c.getField("termType") === Term.BLANK, 1)
       .when(c.getField("termType") === Term.IRI, 2)
       .otherwise(3)
-    val numv = when(isNumericLit(c), c.getField("lex").cast("double"))
-      .otherwise(lit(null).cast("double"))
+    // exact DECIMAL, the same value space the FILTER comparators use —
+    // a double key would sort integers beyond 2^53 wrongly where the
+    // filters compare them correctly
+    val numv = when(isNumericLit(c), c.getField("lex").cast("decimal(38,10)"))
+      .otherwise(lit(null).cast("decimal(38,10)"))
     Seq(rank, numv, c.getField("lex"))
   }
 
@@ -550,13 +660,18 @@ object Sparql {
             case Const(t) => pairs = pairs.filter(col("po") <=> termLit(t))
             case _ => ()
           }
-          (s, o) match {
-            case (Var(a), Var(b)) if a == b =>
-              pairs = pairs.filter(col("ps") <=> col("po"))
-            case _ => ()
+          // endpoint slots plus, under GRAPH ?var, the graph binding;
+          // a repeated variable forces equality and projects once
+          val slots = Seq(s -> "ps", o -> "po") ++
+            graph.collect { case v: Var => (v: Node) -> "pg" }
+          val varSlots = slots.collect { case (Var(n), c) => (n, c) }
+          varSlots.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+            dup.sliding(2).foreach {
+              case Seq((_, c1), (_, c2)) => pairs = pairs.filter(col(c1) <=> col(c2))
+              case _ => ()
+            }
           }
-          val proj = Seq(s -> "ps", o -> "po")
-            .collect { case (Var(n), c) => (n, c) }.toMap // dedups ?x path ?x
+          val proj = varSlots.toMap
           val bound = Sol(
             pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*),
             Set.empty)
@@ -611,67 +726,87 @@ object Sparql {
     }
   }
 
-  /** Evaluate a path expression to a (ps, po) pair relation. */
+  /** The quads a path evaluates over: default graph, one constant
+    * graph, or — for `GRAPH ?var` — every named graph (path semantics
+    * then apply PER GRAPH; the pair relation carries a `pg` column and
+    * every join/closure below adds it to its keys).
+    */
+  private def scopedQuads(quads: DataFrame, graph: Option[Node]): DataFrame =
+    graph match {
+      case None => quads.filter(col("graph").isNull)
+      case Some(Const(g)) => quads.filter(termEqFields("graph", g))
+      case Some(Var(_)) => quads.filter(col("graph").isNotNull)
+    }
+
+  private def pathGrouped(graph: Option[Node]): Boolean =
+    graph.exists(_.isInstanceOf[Var])
+
+  /** Evaluate a path expression to a (ps, po) pair relation — plus a
+    * leading `pg` graph column when evaluating under `GRAPH ?var`.
+    */
   private def pathPairs(quads: DataFrame, graph: Option[Node],
-      p: PathExpr): DataFrame = p match {
-    case PLink(t) =>
-      val scoped = graph match {
-        case None => quads.filter(col("graph").isNull)
-        case Some(Const(g)) => quads.filter(termEqFields("graph", g))
-        case Some(Var(_)) => throw new RdfParseException(
-          "property paths inside GRAPH ?var are not supported")
-      }
-      scoped.filter(termEqFields("predicate", t))
-        .select(col("subject").as("ps"), col("obj").as("po"))
-    case PInv(i) =>
-      pathPairs(quads, graph, i).select(col("po").as("ps"), col("ps").as("po"))
-    case PSeq(l, r) =>
-      val a = pathPairs(quads, graph, l).alias("l")
-      val b = pathPairs(quads, graph, r).alias("r")
-      a.join(b, col("l.po") <=> col("r.ps"))
-        .select(col("l.ps").as("ps"), col("r.po").as("po"))
-    case PAlt(l, r) =>
-      pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r)).distinct()
-    case PPlus(i) => closure(pathPairs(quads, graph, i))
-    case PStar(i) =>
-      closure(pathPairs(quads, graph, i))
-        .unionByName(identityPairs(quads, graph)).distinct()
-    case POpt(i) =>
-      pathPairs(quads, graph, i)
-        .unionByName(identityPairs(quads, graph)).distinct()
-    case PNeg(fwd, inv) =>
-      val scoped = graph match {
-        case None => quads.filter(col("graph").isNull)
-        case Some(Const(g)) => quads.filter(termEqFields("graph", g))
-        case Some(Var(_)) => throw new RdfParseException(
-          "property paths inside GRAPH ?var are not supported")
-      }
-      def excluding(terms: Seq[Term]) =
-        scoped.filter(!terms.map(termEqFields("predicate", _)).reduce(_ || _))
-      val parts =
-        (if (fwd.nonEmpty)
-          Seq(excluding(fwd).select(col("subject").as("ps"), col("obj").as("po")))
-        else Seq.empty) ++
-        (if (inv.nonEmpty)
-          Seq(excluding(inv).select(col("obj").as("ps"), col("subject").as("po")))
-        else Seq.empty)
-      parts.reduce(_.unionByName(_))
+      p: PathExpr): DataFrame = {
+    val grouped = pathGrouped(graph)
+    val pg: Seq[Column] = if (grouped) Seq(col("graph").as("pg")) else Seq.empty
+    p match {
+      case PLink(t) =>
+        scopedQuads(quads, graph).filter(termEqFields("predicate", t))
+          .select(pg ++ Seq(col("subject").as("ps"), col("obj").as("po")): _*)
+      case PInv(i) =>
+        val keep = if (grouped) Seq(col("pg")) else Seq.empty
+        pathPairs(quads, graph, i)
+          .select(keep ++ Seq(col("po").as("ps"), col("ps").as("po")): _*)
+      case PSeq(l, r) =>
+        val a = pathPairs(quads, graph, l).alias("l")
+        val b = pathPairs(quads, graph, r).alias("r")
+        val cond =
+          if (grouped) col("l.po") <=> col("r.ps") && col("l.pg") <=> col("r.pg")
+          else col("l.po") <=> col("r.ps")
+        val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
+          Seq(col("l.ps").as("ps"), col("r.po").as("po"))
+        a.join(b, cond).select(keep: _*)
+      case PAlt(l, r) =>
+        pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r)).distinct()
+      case PPlus(i) => closure(pathPairs(quads, graph, i))
+      case PStar(i) =>
+        closure(pathPairs(quads, graph, i))
+          .unionByName(identityPairs(quads, graph)).distinct()
+      case POpt(i) =>
+        pathPairs(quads, graph, i)
+          .unionByName(identityPairs(quads, graph)).distinct()
+      case PNeg(fwd, inv) =>
+        val scoped = scopedQuads(quads, graph)
+        def excluding(terms: Seq[Term]) =
+          scoped.filter(!terms.map(termEqFields("predicate", _)).reduce(_ || _))
+        val parts =
+          (if (fwd.nonEmpty)
+            Seq(excluding(fwd).select(
+              pg ++ Seq(col("subject").as("ps"), col("obj").as("po")): _*))
+          else Seq.empty) ++
+          (if (inv.nonEmpty)
+            Seq(excluding(inv).select(
+              pg ++ Seq(col("obj").as("ps"), col("subject").as("po")): _*))
+          else Seq.empty)
+        parts.reduce(_.unionByName(_))
+    }
   }
 
   /** Zero-length path: every node of the (scoped) graph to itself
     * (spec: all terms; restricted here to terms occurring as subject
-    * or object, the practically queryable set).
+    * or object, the practically queryable set). Under `GRAPH ?var`
+    * the node set is per graph.
     */
   private def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
-    val scoped = graph match {
-      case None => quads.filter(col("graph").isNull)
-      case Some(Const(g)) => quads.filter(termEqFields("graph", g))
-      case Some(Var(_)) => throw new RdfParseException(
-        "property paths inside GRAPH ?var are not supported")
-    }
-    scoped.select(col("subject").as("n"))
-      .unionByName(scoped.select(col("obj").as("n"))).distinct()
-      .select(col("n").as("ps"), col("n").as("po"))
+    val scoped = scopedQuads(quads, graph)
+    if (pathGrouped(graph))
+      scoped.select(col("graph").as("pg"), col("subject").as("n"))
+        .unionByName(scoped.select(col("graph").as("pg"), col("obj").as("n")))
+        .distinct()
+        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
+    else
+      scoped.select(col("subject").as("n"))
+        .unionByName(scoped.select(col("obj").as("n"))).distinct()
+        .select(col("n").as("ps"), col("n").as("po"))
   }
 
   /** Distributed transitive closure by doubling: each round joins the
@@ -683,13 +818,22 @@ object Sparql {
     * same loop runs with a reliable checkpoint dir.
     */
   private def closure(edges: DataFrame): DataFrame = {
+    // a `pg` column means per-graph closure (GRAPH ?var): the graph
+    // simply joins along, so one fixpoint loop covers every graph in
+    // parallel rather than looping per graph
+    val grouped = edges.columns.contains("pg")
     var cur = edges.distinct().localCheckpoint()
     var size = cur.count()
     var fixed = false
     while (!fixed) {
+      val cond =
+        if (grouped) col("l.po") <=> col("r.ps") && col("l.pg") <=> col("r.pg")
+        else col("l.po") <=> col("r.ps")
+      val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
+        Seq(col("l.ps").as("ps"), col("r.po").as("po"))
       val next = cur.alias("l")
-        .join(cur.alias("r"), col("l.po") <=> col("r.ps"))
-        .select(col("l.ps").as("ps"), col("r.po").as("po"))
+        .join(cur.alias("r"), cond)
+        .select(keep: _*)
         .unionByName(cur).distinct().localCheckpoint()
       val n = next.count()
       if (n == size) fixed = true
@@ -798,6 +942,10 @@ object Sparql {
   private def compileExpr(e: VExpr, resolve: String => Column): Column = e match {
     // an unbound variable is a typed-null term, so COALESCE skips it
     case VVar(n) => resolve(n)
+    // aggregate calls are rewritten to hidden columns by the grouped
+    // projection before compilation ever sees them
+    case _: VAgg => throw new RdfParseException(
+      "aggregate call is only allowed in the projection/ORDER BY of a grouped query")
     case VConst(t) => termLit(t)
     case VCoalesce(args) => coalesce(args.map(compileExpr(_, resolve)): _*)
     case VFn(func, arg) =>
@@ -887,11 +1035,19 @@ object Sparql {
           when(ok, plainStrTerm(concat(args.indices.map(lex): _*)))
             .otherwise(nullTerm)
         case "SUBSTR" =>
-          // XPath 1-based positions; numeric args are value-space
-          val start = numValueOf(a(1)).cast("int")
-          val len = if (args.size > 2) numValueOf(a(2)).cast("int")
-            else lit(Int.MaxValue)
-          likeArg(0)(lex(0).substr(start, len))
+          // XPath fn:substring (§17.4.3.3): keep positions p with
+          // round(start) <= p < round(start) + round(len). A start
+          // before 1 SHORTENS the window — it never wraps to the
+          // string end the way Spark's negative-start substr does
+          def clampPos(c: Column) = greatest(least(floor(c + 0.5),
+            lit(Int.MaxValue.toDouble)), lit(Int.MinValue.toDouble)).cast("long")
+          val s0 = clampPos(numValueOf(a(1)))
+          val l0 = if (args.size > 2) clampPos(numValueOf(a(2)))
+            else lit(Int.MaxValue.toLong)
+          val from = greatest(s0, lit(1L))
+          val len = greatest(s0 + l0 - from, lit(0L))
+          likeArg(0)(lex(0).substr(from.cast("int"),
+            least(len, lit(Int.MaxValue.toLong)).cast("int")))
         case "REPLACE" =>
           (args(1), args(2)) match {
             case (VConst(p), VConst(r)) if p.isLit && r.isLit =>
@@ -981,6 +1137,55 @@ object Sparql {
     case VBin(_, l, r) => varsOfV(l) ++ varsOfV(r)
     case VFnN(_, args) => args.flatMap(varsOfV).toSet
     case VIf(c, t, f) => varsOf(c) ++ varsOfV(t) ++ varsOfV(f)
+    case VAgg(_, arg, _, _) => arg.map(varsOfV).getOrElse(Set.empty)
+  }
+
+  /** Aggregate calls appearing in a value / filter expression. */
+  private def aggsOfV(e: VExpr): Seq[VAgg] = e match {
+    case a: VAgg => Seq(a)
+    case VCoalesce(args) => args.flatMap(aggsOfV)
+    case VFn(_, a) => aggsOfV(a)
+    case VBin(_, l, r) => aggsOfV(l) ++ aggsOfV(r)
+    case VFnN(_, args) => args.flatMap(aggsOfV)
+    case VIf(c, t, f) => aggsOfF(c) ++ aggsOfV(t) ++ aggsOfV(f)
+    case _ => Seq.empty
+  }
+
+  private def aggsOfF(f: FExpr): Seq[VAgg] = f match {
+    case FCmp(l, _, r) => aggsOfV(l) ++ aggsOfV(r)
+    case FAnd(a, b) => aggsOfF(a) ++ aggsOfF(b)
+    case FOr(a, b) => aggsOfF(a) ++ aggsOfF(b)
+    case FNot(e) => aggsOfF(e)
+    case FIn(e, items, _) => (e +: items).flatMap(aggsOfV)
+    case FSameTerm(l, r) => aggsOfV(l) ++ aggsOfV(r)
+    case FLangMatches(t, _) => aggsOfV(t)
+    case FEbv(e) => aggsOfV(e)
+    case _ => Seq.empty
+  }
+
+  /** Replace each aggregate call with what `f` yields — the grouped
+    * projection's hidden-column indirection.
+    */
+  private def substAggs(e: VExpr, f: VAgg => VExpr): VExpr = e match {
+    case a: VAgg => f(a)
+    case VCoalesce(args) => VCoalesce(args.map(substAggs(_, f)))
+    case VFn(fn, a) => VFn(fn, substAggs(a, f))
+    case VBin(op, l, r) => VBin(op, substAggs(l, f), substAggs(r, f))
+    case VFnN(fn, args) => VFnN(fn, args.map(substAggs(_, f)))
+    case VIf(c, t, el) => VIf(substAggsF(c, f), substAggs(t, f), substAggs(el, f))
+    case other => other
+  }
+
+  private def substAggsF(x: FExpr, f: VAgg => VExpr): FExpr = x match {
+    case FCmp(l, op, r) => FCmp(substAggs(l, f), op, substAggs(r, f))
+    case FAnd(a, b) => FAnd(substAggsF(a, f), substAggsF(b, f))
+    case FOr(a, b) => FOr(substAggsF(a, f), substAggsF(b, f))
+    case FNot(e) => FNot(substAggsF(e, f))
+    case FIn(e, items, p) => FIn(substAggs(e, f), items.map(substAggs(_, f)), p)
+    case FSameTerm(l, r) => FSameTerm(substAggs(l, f), substAggs(r, f))
+    case FLangMatches(t, r) => FLangMatches(substAggs(t, f), r)
+    case FEbv(e) => FEbv(substAggs(e, f))
+    case other => other
   }
 
   /** Term struct type (for typed nulls off the quads schema). */
@@ -1038,12 +1243,19 @@ object Sparql {
       // structural identity of the term structs, not value equality
       compileExpr(l, resolve) === compileExpr(r, resolve)
     case FLangMatches(t, range) =>
-      val tag = lower(compileExpr(t, resolve).getField("lex"))
-      if (range == "*") tag.isNotNull && tag =!= ""
-      else {
-        val r = range.toLowerCase
-        tag === r || tag.startsWith(r + "-")
-      }
+      val tc = compileExpr(t, resolve)
+      val tag = lower(tc.getField("lex"))
+      val matched =
+        if (range == "*") tag.isNotNull && tag =!= ""
+        else {
+          val r = range.toLowerCase
+          tag === r || tag.startsWith(r + "-")
+        }
+      // the tag operand must be a literal (§17.4.3.1) — an IRI or
+      // blank node is a TYPE ERROR (row dropped), not a comparison
+      // of its lex as if it were a language tag
+      when(tc.getField("termType") === Term.LIT, matched)
+        .otherwise(lit(null).cast("boolean"))
     case FEbv(e) =>
       val c = compileExpr(e, resolve)
       when(c.getField("termType") === Term.LIT &&
@@ -1359,30 +1571,19 @@ object Sparql {
         skipWs()
         if (peek == '?') items += ItemVar(parseVar())
         else if (peek == '(') {
+          // `(expr AS ?x)`: a bare aggregate call keeps the dedicated
+          // ItemAgg form (raw SQL output at the top level); any other
+          // expression — possibly containing aggregate calls — is an
+          // expression projection
           pos += 1
-          skipWs()
-          val aggNames =
-            Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
-          val isAgg = aggNames.exists { k =>
-            text.regionMatches(true, pos, k, 0, k.length) && {
-              val i = pos + k.length
-              i >= text.length || !text.charAt(i).isLetterOrDigit
-            }
-          }
-          if (isAgg) {
-            val (func, arg, isDistinct, sep) = parseAggCall()
-            keyword("AS")
-            val as = parseVar()
-            expect(')')
-            items += ItemAgg(func, arg, as, isDistinct, sep)
-          } else {
-            // `(expr AS ?x)` — projected value expression
-            val e = parseAdditive()
-            keyword("AS")
-            val as = parseVar()
-            expect(')')
-            items += ItemExpr(e, as)
-          }
+          val e = parseAdditive()
+          keyword("AS")
+          val as = parseVar()
+          expect(')')
+          items += (e match {
+            case VAgg(func, arg, isDistinct, sep) => ItemAgg(func, arg, as, isDistinct, sep)
+            case other => ItemExpr(other, as)
+          })
         } else done = true
       }
       if (items.isEmpty) fail("expected projection variables or aggregates")
@@ -1421,17 +1622,21 @@ object Sparql {
       vs.toSeq
     }
 
-    /** `(?v | ASC(?v) | DESC(?v))+` */
+    /** `(?v | ASC(expr) | DESC(expr) | (expr))+` — expression keys may
+      * contain aggregate calls in a grouped query.
+      */
     private def parseOrderKeys(): Seq[OrderKey] = {
       val ks = scala.collection.mutable.ArrayBuffer[OrderKey]()
       var more = true
       while (more) {
         skipWs()
-        if (peek == '?') ks += OrderKey(parseVar())
+        if (peek == '?') ks += OrderKey(VVar(parseVar()))
         else if (tryKeyword("DESC")) {
-          expect('('); ks += OrderKey(parseVar(), descending = true); expect(')')
+          expect('('); ks += OrderKey(parseAdditive(), descending = true); expect(')')
         } else if (tryKeyword("ASC")) {
-          expect('('); ks += OrderKey(parseVar()); expect(')')
+          expect('('); ks += OrderKey(parseAdditive()); expect(')')
+        } else if (peek == '(') {
+          pos += 1; ks += OrderKey(parseAdditive()); expect(')')
         } else more = false
       }
       if (ks.isEmpty) fail("expected at least one ORDER BY key")
@@ -1767,10 +1972,26 @@ object Sparql {
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
         "STRDT", "STRLANG")
+    private val AGG_FNS =
+      Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+
+    /** Next token is an aggregate keyword (no consumption; tryKeyword's
+      * prefixed-name lookahead applies, so `sum:x` stays a pname).
+      */
+    private def peekAgg(): Boolean = {
+      val save = pos
+      val hit = AGG_FNS.exists(tryKeyword)
+      pos = save
+      hit
+    }
 
     private def parsePrimaryV(): VExpr = {
       skipWs()
       if (peek == '(') { pos += 1; val e = parseAdditive(); expect(')'); e }
+      else if (peekAgg()) {
+        val (func, arg, isDistinct, sep) = parseAggCall()
+        VAgg(func, arg, isDistinct, sep)
+      }
       else if (tryKeyword("IF")) {
         expect('('); val c = parseFilterOr(); expect(',')
         val t = parseAdditive(); expect(',')

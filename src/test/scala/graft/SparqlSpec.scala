@@ -859,4 +859,126 @@ class SparqlSpec extends AnyFunSuite {
       """SELECT ?s { ?s <http://x/p> ?v FILTER(isNUMERIC(?v)) }""") ==
       Set("http://x/a", "http://x/b"))
   }
+
+  test("LANGMATCHES on a non-literal operand is a type error, not a tag match") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> <http://x/iri> .
+         |<http://x/b> <http://x/p> "en" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ?o FILTER(LANGMATCHES(?o, "*")) }""")
+      .collect().map(lex(_, 0)).toSet
+    // the IRI's lex is non-empty, but an IRI is not a language tag
+    assert(rows == Set("http://x/b"))
+  }
+
+  test("SUBSTR uses XPath semantics: a start before 1 shortens, never wraps") {
+    val store = ingest(
+      ("<http://x/a> <http://x/p> \"hello\" .\n") -> "application/n-quads")
+    def sub(args: String): String =
+      Sparql.execute(store.quads(),
+        s"SELECT ?v { ?s <http://x/p> ?o BIND(SUBSTR(?o, $args) AS ?v) }")
+        .collect().head.getStruct(0).getString(1)
+    assert(sub("2, 3") == "ell")
+    // window [0, 3) ∩ [1, ∞) = positions 1..2
+    assert(sub("0, 3") == "he")
+    // window [-2, 2) = position 1 only — Spark's raw substr(-2, 4)
+    // would wrap to the string end and yield "lo"
+    assert(sub("-2, 4") == "h")
+    assert(sub("3") == "llo")
+  }
+
+  // ---- expression projections & ORDER BY expressions in grouped queries ----
+
+  private def groupedStore = ingest(
+    ("""<http://x/a> <http://x/g> <http://x/grp1> .
+       |<http://x/a> <http://x/k> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+       |<http://x/b> <http://x/g> <http://x/grp1> .
+       |<http://x/b> <http://x/k> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+       |<http://x/c> <http://x/g> <http://x/grp2> .
+       |<http://x/c> <http://x/k> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .
+       |""".stripMargin) -> "application/n-quads")
+
+  test("expression projection over aggregates: SUM/COUNT ratio per group") {
+    val rows = Sparql.execute(groupedStore.quads(),
+      """SELECT ?g (SUM(?k)/COUNT(?k) AS ?avg) ((SUM(?k) + 1) * 2 AS ?x)
+         { ?s <http://x/g> ?g . ?s <http://x/k> ?k }
+         GROUP BY ?g ORDER BY DESC(SUM(?k) + 1)""")
+      .collect()
+    assert(rows.length == 2)
+    // ORDER BY DESC(SUM + 1): grp2 (10) before grp1 (8)
+    assert(lex(rows(0), 0) == "http://x/grp2")
+    assert(rows(0).getStruct(1).getString(1) == "9")    // 9/1
+    assert(rows(0).getStruct(2).getString(1) == "20")   // (9+1)*2
+    assert(lex(rows(1), 0) == "http://x/grp1")
+    assert(rows(1).getStruct(1).getString(1) == "3.5")  // 7/2
+    assert(rows(1).getStruct(2).getString(1) == "16")   // (7+1)*2
+    // a variable that is neither aggregated nor a group key is an error
+    assertThrows[graft.rdf.RdfParseException] {
+      Sparql.execute(groupedStore.quads(),
+        """SELECT ?g (SUM(?k) + ?k AS ?bad)
+           { ?s <http://x/g> ?g . ?s <http://x/k> ?k } GROUP BY ?g""")
+    }
+  }
+
+  test("COUNT(DISTINCT *) and AVG(DISTINCT)") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/k> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/k> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/k> "4"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    // the UNION duplicates every solution: COUNT(*) sees 6,
+    // COUNT(DISTINCT *) the 3 distinct binding tuples
+    val counts = Sparql.execute(store.quads(),
+      """SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT *) AS ?nd)
+         { { ?s <http://x/k> ?k } UNION { ?s <http://x/k> ?k } }""")
+      .collect().head
+    assert(counts.getLong(0) == 6L)
+    assert(counts.getLong(1) == 3L)
+    // AVG over values 2,2,4 is 8/3; AVG(DISTINCT) over {2,4} is 3
+    val avgs = Sparql.execute(store.quads(),
+      """SELECT (AVG(DISTINCT ?k) AS ?ad) { ?s <http://x/k> ?k }""")
+      .collect().head
+    assert(avgs.getDecimal(0).doubleValue == 3.0)
+  }
+
+  test("expression ORDER BY key in a non-aggregate query") {
+    val rows = Sparql.execute(groupedStore.quads(),
+      "SELECT ?s ?k { ?s <http://x/k> ?k } ORDER BY DESC(?k * 2)")
+      .collect().map(r => lex(r, 0))
+    assert(rows.toSeq == Seq("http://x/c", "http://x/b", "http://x/a"))
+  }
+
+  test("ORDER BY compares integers beyond 2^53 exactly (decimal, not double)") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/k> "9007199254740993"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/b> <http://x/k> "9007199254740992"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<http://x/c> <http://x/k> "9007199254740994"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    // as doubles all three collapse to 2^53 and the order is arbitrary
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?s { ?s <http://x/k> ?k } ORDER BY ?k").collect().map(lex(_, 0))
+    assert(rows.toSeq == Seq("http://x/b", "http://x/a", "http://x/c"))
+  }
+
+  test("property paths inside GRAPH ?var close per graph") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/next> <http://x/b> <http://x/g1> .
+         |<http://x/b> <http://x/next> <http://x/c> <http://x/g1> .
+         |<http://x/a> <http://x/next> <http://x/d> <http://x/g2> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?g ?s ?o { GRAPH ?g { ?s <http://x/next>+ ?o } }")
+      .collect().map(r => (lex(r, 0), lex(r, 1), lex(r, 2))).toSet
+    assert(rows == Set(
+      ("http://x/g1", "http://x/a", "http://x/b"),
+      ("http://x/g1", "http://x/b", "http://x/c"),
+      ("http://x/g1", "http://x/a", "http://x/c"), // closure stays in g1
+      ("http://x/g2", "http://x/a", "http://x/d")))
+    // a sequence path under GRAPH ?var joins within the graph only
+    val seqRows = Sparql.execute(store.quads(),
+      "SELECT ?g ?s ?o { GRAPH ?g { ?s <http://x/next>/<http://x/next> ?o } }")
+      .collect().map(r => (lex(r, 0), lex(r, 1), lex(r, 2))).toSet
+    assert(seqRows == Set(("http://x/g1", "http://x/a", "http://x/c")))
+  }
 }
