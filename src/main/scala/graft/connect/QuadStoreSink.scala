@@ -72,17 +72,26 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       }
       state
     }
-    def foldResolved(df0: DataFrame): Unit = {
-      // materialize NOW (executor storage): the resolved plan reads
-      // store.quads(), and a replayed batchId overwrites the very
-      // segment that plan would lazily re-read during the commit write
-      // — eager materialization also keeps currentState() folds from
-      // re-running earlier resolutions
-      val df = df0.localCheckpoint()
+    var foldsSinceCut = 0
+    def foldResolved(df: DataFrame): Unit = {
+      // stays LAZY: the resolved plan runs ONCE, inside the single
+      // commitOps write — replay is safe because commitOps never
+      // overwrites a segment in place (copy-on-write replay), so a
+      // plan resolved against the pre-replay state keeps reading a
+      // consistent snapshot. Earlier resolutions recur inside later
+      // ops' state folds, but they share exchanges (ReusedExchange)
+      // within the one job; every 8 WHERE-driven ops the fold chain is
+      // cut with a lazy checkpoint so plan DEPTH stays bounded for
+      // long update scripts without materializing per-op
       resolved += df
       val touched = df.select(QUAD_COLS.map(col): _*)
       val adds = df.filter(col("op") === "A").select(QUAD_COLS.map(col): _*)
       state = applyDelta(currentState(), touched, adds)
+      foldsSinceCut += 1
+      if (foldsSinceCut >= 8) {
+        state = state.localCheckpoint(false)
+        foldsSinceCut = 0
+      }
     }
 
     events.zipWithIndex.foreach { case (m, ei) =>

@@ -116,14 +116,32 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
   def commitOps(batchId: Long, ops: DataFrame): Unit = {
     val v = readVersion()
     if (batchId <= v.highWater) return // already compacted into base
+    // COPY-ON-WRITE replay: a replayed epoch writes a FRESH directory
+    // (same ord, bumped -g generation) and the pointer swap retires the
+    // old one. Never overwriting in place means a lazy plan that still
+    // reads the old segment — e.g. a WHERE-driven update op resolved
+    // against the pre-replay state and only executed by THIS write —
+    // keeps reading a consistent snapshot while the write runs. The
+    // retired directory lingers (never read) until [[gc]].
     val existing = v.segments.find(_.batchId.contains(batchId))
-    val ref = existing.getOrElse {
-      val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
-      SegRef(f"s$nextOrd%08d-b$batchId", nextOrd, Some(batchId))
+    val ref = existing match {
+      case None =>
+        val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
+        SegRef(f"s$nextOrd%08d-b$batchId", nextOrd, Some(batchId))
+      case Some(old) =>
+        val gen = "-g(\\d+)$".r.findFirstMatchIn(old.name)
+          .map(_.group(1).toInt + 1).getOrElse(1)
+        SegRef(s"${old.name.replaceAll("-g\\d+$", "")}-g$gen",
+          old.ord, Some(batchId))
     }
     ops.select(OP_COLUMNS.map(col): _*)
       .write.mode("overwrite").parquet(dir.resolve(ref.name).toString)
-    if (existing.isEmpty) writeVersion(v.copy(segments = v.segments :+ ref))
+    val segs = existing match {
+      case None => v.segments :+ ref
+      // the replayed epoch keeps its ORIGINAL log position (same ord)
+      case Some(old) => v.segments.map(s => if (s.name == old.name) ref else s)
+    }
+    writeVersion(v.copy(segments = segs))
   }
 
   /** Convenience: commit a dataset payload (adds only). */
@@ -397,7 +415,8 @@ object QuadStore {
   val QUAD_COLUMNS: Seq[String] = Seq("graph", "subject", "predicate", "obj")
   val OP_COLUMNS: Seq[String] = Seq("op", "seq") ++ QUAD_COLUMNS
 
-  /** A committed segment: `s<ord>-b<batchId>` (epoch segment),
+  /** A committed segment: `s<ord>-b<batchId>` (epoch segment;
+    * `-g<n>` suffix = nth copy-on-write replay of that epoch),
     * `s<ord>-base` (compacted base owning ALL buckets), or
     * `s<ord>-base-k3_7` (partial base owning only the listed buckets —
     * written by a re-compaction that touched just those).
@@ -407,7 +426,7 @@ object QuadStore {
     def isBase: Boolean = batchId.isEmpty
   }
   object SegRef {
-    private val BatchPat = """s(\d+)-b(-?\d+)""".r
+    private val BatchPat = """s(\d+)-b(-?\d+)(?:-g\d+)?""".r
     private val BasePat = """s(\d+)-base(?:-k([\d_]+))?""".r
     def parse(name: String): SegRef = name match {
       case BatchPat(ord, b) => SegRef(name, ord.toLong, Some(b.toLong))

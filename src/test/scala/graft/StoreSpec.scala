@@ -66,6 +66,30 @@ class StoreSpec extends AnyFunSuite {
     assert(store.count() == 2)
   }
 
+  test("copy-on-write replay: a plan reading the old segment survives the replayed commit") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1")))
+    // a LAZY plan over the current state — the shape of a WHERE-driven
+    // update op resolved before a replay lands and executed after
+    val preReplay = store.quads()
+    // replay epoch 0 with different content (crash-recovery rewrite)
+    store.addQuads(0, Seq(q("a", "1"), q("c", "1")))
+    // the pre-replay plan keeps reading its consistent snapshot: the
+    // retired directory is untouched until gc(); an in-place overwrite
+    // would have deleted the files under this plan mid-read
+    val old = preReplay.collect().map(_.getStruct(1).getString(1)).toSet
+    assert(old == Set("http://x/a", "http://x/b"))
+    // the store state is the replayed content, at the ORIGINAL log position
+    val now = store.quads().collect().map(_.getStruct(1).getString(1)).toSet
+    assert(now == Set("http://x/a", "http://x/c"))
+    assert(store.committedSegments().size == 1)
+    assert(store.committedSegments().head.endsWith("-g1"))
+    // gc removes the retired directory once no plan needs it
+    assert(store.gc() >= 1)
+    val after = store.quads().collect().map(_.getStruct(1).getString(1)).toSet
+    assert(after == Set("http://x/a", "http://x/c"))
+  }
+
   test("compaction writes hash-bucket partitions; recompaction rewrites only touched buckets") {
     val dir = Files.createTempDirectory("qsbuckets")
     val store = new QuadStore(spark, dir.toString, numBuckets = 4)
