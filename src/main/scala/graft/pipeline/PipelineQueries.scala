@@ -267,11 +267,14 @@ object PipelineQueries {
     "pl_ann_lsh" ->
       """SELECT 20::BIGINT AS n_queries, 191::BIGINT AS total_hits,
                 true AS mean_recall_ge_09""",
+    // IVF/PQ hit counts moved 188→190 / 191→196 when the round-6
+    // hash-sampled init replaced the global-window stride init (spread
+    // sample, slightly better codebooks) — still deterministic facts
     "pl_ann_ivf" ->
-      """SELECT 20::BIGINT AS n_queries, 188::BIGINT AS total_hits,
+      """SELECT 20::BIGINT AS n_queries, 190::BIGINT AS total_hits,
                 true AS mean_recall_ge_09""",
     "pl_ann_pq" ->
-      """SELECT 20::BIGINT AS n_queries, 191::BIGINT AS total_hits,
+      """SELECT 20::BIGINT AS n_queries, 196::BIGINT AS total_hits,
                 true AS mean_recall_ge_09""",
     "pl_ann_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (

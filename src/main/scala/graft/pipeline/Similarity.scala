@@ -169,6 +169,30 @@ object Similarity {
     if (n == 0) v else v.map(_ / n)
   }
 
+  /** Deterministic spread sample for quantizer init, as a plan:
+    * hash-select ~2×`count` ids (`pmod(xxhash64(id), ·)` — a pure
+    * filter, fully parallel), then the `count` smallest by id
+    * (TakeOrdered: per-partition top-k merged at the driver). The
+    * row_number-over-global-Window form this replaces funneled the
+    * ENTIRE embeddings table through one task — a scale-killer shape
+    * at 100 TB even when it only runs at training time.
+    */
+  private[graft] def strideSampleDf(e: DataFrame, count: Int, n: Long): DataFrame = {
+    val mod = math.max(1L, n / (2L * count))
+    e.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
+      .orderBy(col("id")).limit(count).select(col("v"))
+  }
+
+  /** [[strideSampleDf]] collected, falling back to the first `count`
+    * ids when the hash sample under-fills (tiny corpora).
+    */
+  private def strideSample(e: DataFrame, count: Int, n: Long): Array[Array[Double]] = {
+    var rows = strideSampleDf(e, count, n).collect()
+    if (rows.length < count && n > rows.length)
+      rows = e.orderBy(col("id")).limit(count).select(col("v")).collect()
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
   private def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
     // fail fast on non-finite components: the decimal-mean cast would
     // turn NaN/Inf into NULL and avg() would silently skip them,
@@ -177,16 +201,8 @@ object Similarity {
       x => isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity))
       .limit(1).count()
     require(poisoned == 0, "ivfTopK: embeddings contain NaN/Infinity components")
-    // deterministic stride init over id order (the window produces a
-    // tiny result and runs once — training-time only)
     val n = e.count()
-    val stride = math.max(1L, n / nlist)
-    val w = Window.orderBy(col("id"))
-    var centroids = e.withColumn("rn", row_number().over(w))
-      .filter((col("rn") - lit(1)) % stride === 0)
-      .orderBy(col("rn")).limit(nlist)
-      .select(col("v")).collect()
-      .map(r => unit(r.getSeq[Double](0).toArray))
+    var centroids = strideSample(e, nlist, n).map(unit)
     for (_ <- 0 until iters) {
       val means = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -220,9 +236,10 @@ object Similarity {
     * distortion. In a production system this composes with IVF
     * (IVF-PQ: probe cells, ADC within them).
     *
-    * Deterministic: stride init by id order, fixed Lloyd rounds with
-    * exact DECIMAL means (same rationale as [[ivfTopK]]), ties to the
-    * larger code index — so the recall entry can assert a literal row.
+    * Deterministic: hash-sampled init over ids ([[strideSampleDf]]),
+    * fixed Lloyd rounds with exact DECIMAL means (same rationale as
+    * [[ivfTopK]]), ties to the larger code index — so the recall
+    * entry can assert a literal row.
     */
   def pqTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -305,12 +322,7 @@ object Similarity {
   private def trainCodebooks(e: DataFrame, m: Int, dsub: Int, ksub: Int,
       iters: Int): Array[Array[Array[Double]]] = {
     val n = e.count()
-    val stride = math.max(1L, n / ksub)
-    val w = Window.orderBy(col("id"))
-    val sample = e.withColumn("rn", row_number().over(w))
-      .filter((col("rn") - lit(1)) % stride === 0)
-      .orderBy(col("rn")).limit(ksub)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val sample = strideSample(e, ksub, n)
     var books: Array[Array[Array[Double]]] =
       (0 until m).toArray.map(mi => sample.map(_.slice(mi * dsub, mi * dsub + dsub)))
     val subs = e.select(

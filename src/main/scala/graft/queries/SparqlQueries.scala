@@ -124,19 +124,23 @@ object SparqlQueries {
     // SPARQL Update payloads (`application/sparql-update`, the `.ru`
     // content type, FKLib.java:55-69) through the projector: INSERT
     // DATA, a DELETE/INSERT WHERE rewrite resolved against the
-    // sequential in-batch state, DELETE DATA, and CLEAR GRAPH — the
-    // final store state is the checked result
+    // sequential in-batch state, DELETE DATA, CLEAR GRAPH, and a
+    // USING-scoped INSERT WHERE — the final store state is the
+    // checked result
     "sparql_update" -> { (s, _) =>
       val store = new QuadStore(s, Files.createTempDirectory("squpd").toString)
       val events = Seq(
         ("<http://x/a> <http://x/p> \"keep\" .\n" +
          "<http://x/a> <http://x/old> \"1\" .\n" +
-         "<http://x/b> <http://x/old> \"2\" .\n", "application/n-quads"),
+         "<http://x/b> <http://x/old> \"2\" .\n" +
+         "<http://x/u1> <http://x/q> \"u\" <http://x/gu> .\n", "application/n-quads"),
         ("""PREFIX x: <http://x/>
            |INSERT DATA { x:c x:old "3" . GRAPH x:g { x:d x:p "g1" } } ;
            |DELETE { ?s x:old ?o } INSERT { ?s x:new ?o } WHERE { ?s x:old ?o } ;
            |DELETE DATA { x:b x:new "2" } ;
-           |CLEAR GRAPH x:g""".stripMargin, "application/sparql-update")
+           |CLEAR GRAPH x:g ;
+           |INSERT { ?s x:fromgu ?o } USING x:gu WHERE { ?s x:q ?o }""".stripMargin,
+          "application/sparql-update")
       ).zipWithIndex.map { case ((body, ct), i) =>
         Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
           Map("Content-Type" -> ct))
@@ -471,7 +475,9 @@ object SparqlQueries {
       """SELECT * FROM (VALUES
            ('http://x/a', 'http://x/new', '1'),
            ('http://x/a', 'http://x/p', 'keep'),
-           ('http://x/c', 'http://x/new', '3')) t(s, p, o)
+           ('http://x/c', 'http://x/new', '3'),
+           ('http://x/u1', 'http://x/fromgu', 'u'),
+           ('http://x/u1', 'http://x/q', 'u')) t(s, p, o)
          ORDER BY s, p, o""",
     "sparql_agg_funcs" ->
       """SELECT n_regionkey,

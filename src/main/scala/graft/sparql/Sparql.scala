@@ -277,7 +277,7 @@ object Sparql {
     * remain visible to GRAPH patterns. Pure filters + a union over the
     * same scan — the graph-constant predicates push to parquet.
     */
-  private def applyDatasetClause(quads: DataFrame, from: Seq[Term],
+  private[sparql] def applyDatasetClause(quads: DataFrame, from: Seq[Term],
       fromNamed: Seq[Term]): DataFrame =
     if (from.isEmpty && fromNamed.isEmpty) quads
     else {

@@ -14,11 +14,15 @@ import graft.rdf.{Quad, RdfParseException, Term}
   *  - `INSERT DATA { quads }` / `DELETE DATA { quads }` (GRAPH blocks
   *    allowed; DELETE DATA rejects blank nodes per spec §3.1.2)
   *  - `DELETE WHERE { pattern }`
-  *  - `[WITH <g>] DELETE { tpl } INSERT { tpl } WHERE { pattern }`
-  *    (either template optional; WITH sets the default graph for
-  *    templates and un-GRAPHed WHERE patterns, spec §3.1.3)
+  *  - `[WITH <g>] DELETE { tpl } INSERT { tpl } [USING [NAMED] <g>]*
+  *    WHERE { pattern }` (either template optional; WITH sets the
+  *    default graph for templates and un-GRAPHed WHERE patterns;
+  *    USING/USING NAMED define the WHERE-side dataset like FROM/FROM
+  *    NAMED and suppress WITH for the WHERE, spec §3.1.3)
   *  - `CLEAR [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)`; `DROP` is
   *    an alias (the store has no empty-graph existence, spec note)
+  *  - `LOAD` is rejected with a clear parse error: document ingest
+  *    goes through the event-source path, not URL dereference
   *
   * Execution model is Spark-first and fully distributed: data ops are
   * driver-local rows (they came off one event), while WHERE-driven
@@ -39,10 +43,15 @@ object SparqlUpdate {
   final case class QuadDataOp(op: String, quads: Seq[Quad]) extends UpdateOp
   /** DELETE/INSERT ... WHERE (DELETE WHERE sets both templates from
     * the pattern). Delete instantiations apply before inserts from the
-    * same solutions (spec §3.1.3).
+    * same solutions (spec §3.1.3). `using`/`usingNamed` are the
+    * update-side FROM/FROM NAMED: they define the dataset the WHERE
+    * sees (templates still instantiate into the REAL dataset), and
+    * when present WITH is ignored for the WHERE (spec §3.1.3).
     */
   final case class ModifyOp(deleteTpl: Seq[TriplePattern],
-      insertTpl: Seq[TriplePattern], where: Pattern) extends UpdateOp
+      insertTpl: Seq[TriplePattern], where: Pattern,
+      using: Seq[Term] = Seq.empty, usingNamed: Seq[Term] = Seq.empty)
+    extends UpdateOp
   /** CLEAR/DROP. `target` ∈ GRAPH | DEFAULT | NAMED | ALL. */
   final case class ClearOp(target: String, graph: Option[Term]) extends UpdateOp
   /** ADD/COPY/MOVE between graphs (`None` = the default graph), and
@@ -104,6 +113,22 @@ object SparqlUpdate {
         case Union(bs) => Union(bs.map(gp))
       }
     }
+    // UsingClause* (spec §3.1.3): the WHERE-side dataset clause
+    def parseUsing(): (Seq[Term], Seq[Term]) = {
+      val u = scala.collection.mutable.ArrayBuffer[Term]()
+      val un = scala.collection.mutable.ArrayBuffer[Term]()
+      while (p.tryKeyword("USING")) {
+        val named = p.tryKeyword("NAMED")
+        p.parseNode() match {
+          case Const(t) if t.isIri => if (named) un += t else u += t
+          case _ => throw new RdfParseException("USING expects an IRI")
+        }
+      }
+      (u.toSeq, un.toSeq)
+    }
+    // with a USING clause present, WITH no longer scopes the WHERE
+    def scopeWhere(pat: Pattern, u: Seq[Term], un: Seq[Term]): Pattern =
+      if (u.isEmpty && un.isEmpty) gp(pat) else pat
     val isInsert = p.tryKeyword("INSERT")
     val isDelete = !isInsert && p.tryKeyword("DELETE")
     if (withGraph.isDefined && !isInsert && !isDelete)
@@ -115,8 +140,9 @@ object SparqlUpdate {
         QuadDataOp("A", parseQuadData(p, allowBlank = true))
       } else {
         val tpl = parseTemplate(p)
+        val (u, un) = parseUsing()
         p.keyword("WHERE")
-        ModifyOp(Seq.empty, g(tpl), gp(p.parseGroup()))
+        ModifyOp(Seq.empty, g(tpl), scopeWhere(p.parseGroup(), u, un), u, un)
       }
     } else if (isDelete) {
       if (p.tryKeyword("DATA")) {
@@ -129,9 +155,16 @@ object SparqlUpdate {
       } else {
         val del = parseTemplate(p)
         val ins = if (p.tryKeyword("INSERT")) parseTemplate(p) else Seq.empty
+        val (u, un) = parseUsing()
         p.keyword("WHERE")
-        ModifyOp(g(del), g(ins), gp(p.parseGroup()))
+        ModifyOp(g(del), g(ins), scopeWhere(p.parseGroup(), u, un), u, un)
       }
+    } else if (p.tryKeyword("LOAD")) {
+      // LOAD dereferences a document URL into a graph — this engine
+      // ingests documents through the event path (Kafka/file), so the
+      // operation is rejected with a clear error instead of a misparse
+      throw new RdfParseException(
+        "LOAD is not supported: ingest documents via the event source path")
     } else if (p.tryKeyword("CLEAR") || p.tryKeyword("DROP")) {
       p.tryKeyword("SILENT")
       if (p.tryKeyword("DEFAULT")) ClearOp("DEFAULT", None)
@@ -214,7 +247,10 @@ object SparqlUpdate {
     * paying a dedup shuffle here.
     */
   def resolveModify(state: DataFrame, m: ModifyOp, seq: Long): Option[DataFrame] = {
-    val sols = Sparql.solve(state, m.where)
+    // USING/USING NAMED scope only what the WHERE sees; the templates
+    // below instantiate into the real dataset (spec §3.1.3)
+    val sols = Sparql.solve(
+      Sparql.applyDatasetClause(state, m.using, m.usingNamed), m.where)
     def tag(df: DataFrame, op: String, s: Long): DataFrame =
       df.select(Seq(lit(op).as("op"), lit(s).as("seq")) ++
         Seq("graph", "subject", "predicate", "obj").map(col): _*)

@@ -44,6 +44,24 @@ class PipelineSpec extends AnyFunSuite {
       s"no prefix-token exchange: $exchangeKeys")
   }
 
+  test("ANN training init is a hash sample, not a single-partition window") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val n = embs.count()
+    val df = Similarity.strideSampleDf(embs, 16, n)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old row_number-over-global-Window init pulled every row into
+    // ONE task; the hash sample is a pure filter + distributed top-k
+    assert(!plan.contains("Window"), s"global window in init plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no distributed top-k:\n$plan")
+    assert(df.count() == 16)
+    // deterministic: same sample twice
+    val a = df.collect().map(_.getSeq[Double](0)).toSeq
+    val b = Similarity.strideSampleDf(embs, 16, n).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    assert(a == b)
+  }
+
   test("ngram-Jaccard prefix filtering matches minhash output on real documents") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

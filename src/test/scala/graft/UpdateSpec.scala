@@ -149,6 +149,57 @@ class UpdateSpec extends AnyFunSuite {
     assert(dlq.events.size == 1)
   }
 
+  test("USING scopes the WHERE like FROM; templates hit the real dataset") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" <http://x/g1> .
+         |""".stripMargin) -> CT_NQ,
+      """INSERT { ?s <http://x/new> ?o }
+        |USING <http://x/g1>
+        |WHERE { ?s <http://x/p> ?o }""".stripMargin -> CT_RU)
+    // WHERE's default graph is g1's content — the store's real default
+    // graph (a p 1) is NOT visible; the insert lands in the real
+    // default graph
+    assert(stateNT(store) == Set(
+      (null, "http://x/a", "http://x/p", "1"),
+      (null, "http://x/b", "http://x/new", "2"),
+      ("http://x/g1", "http://x/b", "http://x/p", "2")))
+  }
+
+  test("USING NAMED restricts GRAPH patterns in the WHERE") {
+    val store = ingest(
+      ("""<http://x/b> <http://x/p> "2" <http://x/g1> .
+         |<http://x/c> <http://x/p> "3" <http://x/g2> .
+         |""".stripMargin) -> CT_NQ,
+      """INSERT { ?s <http://x/seen> ?o }
+        |USING NAMED <http://x/g2>
+        |WHERE { GRAPH ?g { ?s <http://x/p> ?o } }""".stripMargin -> CT_RU)
+    val inserted = stateNT(store).filter(_._3 == "http://x/seen")
+    assert(inserted == Set((null, "http://x/c", "http://x/seen", "3")))
+  }
+
+  test("USING suppresses WITH for the WHERE but not for the templates") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/b> <http://x/p> "2" <http://x/g1> .
+         |""".stripMargin) -> CT_NQ,
+      """WITH <http://x/tgt>
+        |INSERT { ?s <http://x/new> ?o }
+        |USING <http://x/g1>
+        |WHERE { ?s <http://x/p> ?o }""".stripMargin -> CT_RU)
+    // WHERE reads the USING dataset (g1 only, ignoring WITH); the
+    // un-GRAPHed insert template still lands in the WITH graph
+    val inserted = stateNT(store).filter(_._3 == "http://x/new")
+    assert(inserted == Set(("http://x/tgt", "http://x/b", "http://x/new", "2")))
+  }
+
+  test("LOAD is rejected with a clear parse error") {
+    val e = intercept[RdfParseException] {
+      SparqlUpdate.parse("LOAD <http://example/doc.nt> INTO GRAPH <http://x/g>")
+    }
+    assert(e.getMessage.contains("LOAD is not supported"))
+  }
+
   test("WITH <g> scopes templates and WHERE to the graph; INSERT-only WHERE works") {
     val store = ingest(
       """PREFIX x: <http://x/>
