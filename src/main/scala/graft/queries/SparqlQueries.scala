@@ -18,6 +18,24 @@ object SparqlQueries {
 
   private val NS = "http://graft.example/"
 
+  /** Fixture stores built ONCE per JVM per (name, sfDir): in these
+    * entries the operator under test is the QUERY, so the bench should
+    * time the query, not a per-rep store rebuild (round-5 verdict,
+    * "bench fixture/query separation"). The projector-driven entries
+    * (sparql_count, sparql_update) still build per call — there the
+    * ingest/update machinery IS the measured operator.
+    */
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), QuadStore]()
+
+  private def fixture(name: String, dir: String, s: SparkSession)(
+      build: QuadStore => Unit): QuadStore =
+    fixtures.computeIfAbsent((name, dir), { _ =>
+      val store = new QuadStore(s, Files.createTempDirectory(name).toString)
+      build(store)
+      store
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the DockerTestConfigFK golden-count scenario end-to-end: turtle +
     // nquads + patch events through the projector, counted with the
@@ -44,17 +62,18 @@ object SparqlQueries {
     // nation table; the oracle is the relational truth
     "sparql_bgp" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
-        .as[(Long, String, Long)].collect()
-      val quads = rows.toSeq.flatMap { case (k, name, rk) =>
-        Seq(
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      val store = fixture("sqbgp", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        val quads = rows.toSeq.flatMap { case (k, name, rk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)))
+        }
+        st.addQuads(0, quads)
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqbgp").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"SELECT ?s ?name ?rk { ?s <${NS}name> ?name . ?s <${NS}regionkey> ?rk } ORDER BY ?s")
       res.select(
@@ -67,14 +86,14 @@ object SparqlQueries {
     // rows); lexicographic order would keep only {"0","1"}
     "sparql_filter_numeric" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect()
-      val quads = rows.toSeq.map { k =>
-        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
-          Term.typed(k.toString, Term.XSD_INTEGER))
+      val store = fixture("sqfn", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect()
+        st.addQuads(0, rows.toSeq.map { k =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+            Term.typed(k.toString, Term.XSD_INTEGER))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqfn").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?k { ?s <${NS}key> ?k FILTER (?k < "10"^^<${Term.XSD_INTEGER}>) }""")
       res.select(col("k").getField("lex").cast("int").as("n_nationkey"))
@@ -84,12 +103,12 @@ object SparqlQueries {
     // (KafkaConnectorAssembler.java:380-411): OPTIONAL that may not
     // match + BIND(COALESCE(?N1, ?N2, '')) with ?N2 never bound —
     // always exactly one row per probed node
-    "sparql_optional_bind" -> { (s, _) =>
-      val quads = Seq(
-        graft.rdf.Quad(null, Term.iri(s"${NS}conn1"), Term.iri(s"${NS}serviceName"),
-          Term.lit("/ds1")))
-      val store = new QuadStore(s, Files.createTempDirectory("sqob").toString)
-      store.addQuads(0, quads)
+    "sparql_optional_bind" -> { (s, dir) =>
+      val store = fixture("sqob", dir, s) { st =>
+        st.addQuads(0, Seq(
+          graft.rdf.Quad(null, Term.iri(s"${NS}conn1"), Term.iri(s"${NS}serviceName"),
+            Term.lit("/ds1"))))
+      }
       def probe(node: String) = Sparql.execute(store.quads(),
         s"""SELECT ?n { OPTIONAL { <$node> <${NS}serviceName> ?N1 } BIND(COALESCE(?N1, ?N2, '') AS ?n) }""")
       probe(s"${NS}conn1").unionByName(probe(s"${NS}conn2"))
@@ -100,19 +119,19 @@ object SparqlQueries {
     // region, counting comments only for keys < 10 (bound solutions)
     "sparql_group_by" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
-        .as[(Long, Long)].collect()
-      val quads = rows.toSeq.flatMap { case (k, rk) =>
-        val base = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
-          Term.iri(s"${NS}regionkey"), Term.typed(rk.toString, Term.XSD_INTEGER))
-        if (k < 10)
-          Seq(base, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
-            Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
-        else Seq(base)
+      val store = fixture("sqgb", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as[(Long, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, rk) =>
+          val base = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}regionkey"), Term.typed(rk.toString, Term.XSD_INTEGER))
+          if (k < 10)
+            Seq(base, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+              Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
+          else Seq(base)
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqgb").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?rk (COUNT(*) AS ?n) (COUNT(?c) AS ?nc)
             { ?s <${NS}regionkey> ?rk OPTIONAL { ?s <${NS}comment> ?c } }
@@ -158,18 +177,18 @@ object SparqlQueries {
     // AVG covered in SparqlSpec where division exactness is controlled)
     "sparql_agg_funcs" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
-        .as[(Long, Long)].collect()
-      val quads = rows.toSeq.flatMap { case (k, rk) =>
-        Seq(
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-            Term.typed(rk.toString, Term.XSD_INTEGER)),
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
-            Term.typed(k.toString, Term.XSD_INTEGER)))
+      val store = fixture("sqagg", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as[(Long, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, rk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+              Term.typed(k.toString, Term.XSD_INTEGER)))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqagg").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?rk (SUM(?k) AS ?sum_k) (MIN(?k) AS ?min_k) (MAX(?k) AS ?max_k)
             { ?s <${NS}regionkey> ?rk . ?s <${NS}key> ?k }
@@ -184,14 +203,14 @@ object SparqlQueries {
     // (k → k+1); the oracle replays it with a recursive CTE
     "sparql_path" -> { (s, dir) =>
       import s.implicits._
-      val keys = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
-      val quads = keys.toSeq.filter(_ < keys.max).map { k =>
-        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}next"),
-          Term.iri(s"${NS}nation/${k + 1}"))
+      val store = fixture("sqpath", dir, s) { st =>
+        val keys = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+        st.addQuads(0, keys.toSeq.filter(_ < keys.max).map { k =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}next"),
+            Term.iri(s"${NS}nation/${k + 1}"))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqpath").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"SELECT ?s ?o { ?s <${NS}next>+ ?o }")
       res.select(
@@ -205,20 +224,20 @@ object SparqlQueries {
     // both engines — the division itself runs in exact DECIMAL
     "sparql_agg_expr" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect()
-      val quads = rows.toSeq.flatMap { k =>
-        val subj = Term.iri(s"${NS}nation/$k")
-        Seq(
-          graft.rdf.Quad(null, subj, Term.iri(s"${NS}grp"),
-            Term.typed((k % 5).toString, Term.XSD_INTEGER)),
-          graft.rdf.Quad(null, subj, Term.iri(s"${NS}a"),
-            Term.typed(k.toString, Term.XSD_INTEGER)),
-          graft.rdf.Quad(null, subj, Term.iri(s"${NS}b"),
-            Term.typed("2", Term.XSD_INTEGER)))
+      val store = fixture("sqax", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect()
+        st.addQuads(0, rows.toSeq.flatMap { k =>
+          val subj = Term.iri(s"${NS}nation/$k")
+          Seq(
+            graft.rdf.Quad(null, subj, Term.iri(s"${NS}grp"),
+              Term.typed((k % 5).toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, subj, Term.iri(s"${NS}a"),
+              Term.typed(k.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, subj, Term.iri(s"${NS}b"),
+              Term.typed("2", Term.XSD_INTEGER)))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqax").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?g (SUM(?a)/SUM(?b) AS ?r)
                    ((MAX(?a) - MIN(?a)) * 2 AS ?span2)
@@ -237,15 +256,15 @@ object SparqlQueries {
     // (a cross-graph pair like 11→13 would be a correctness bug)
     "sparql_path_graph" -> { (s, dir) =>
       import s.implicits._
-      val keys = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
-      val quads = keys.toSeq.filter(_ < keys.max).map { k =>
-        val g = if (k < 12) "a" else "b"
-        graft.rdf.Quad(Term.iri(s"${NS}g/$g"), Term.iri(s"${NS}nation/$k"),
-          Term.iri(s"${NS}next"), Term.iri(s"${NS}nation/${k + 1}"))
+      val store = fixture("sqpg", dir, s) { st =>
+        val keys = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+        st.addQuads(0, keys.toSeq.filter(_ < keys.max).map { k =>
+          val g = if (k < 12) "a" else "b"
+          graft.rdf.Quad(Term.iri(s"${NS}g/$g"), Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}next"), Term.iri(s"${NS}nation/${k + 1}"))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqpg").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"SELECT ?g ?s ?o { GRAPH ?g { ?s <${NS}next>+ ?o } }")
       res.select(
@@ -260,18 +279,18 @@ object SparqlQueries {
     // region group sizes differ and HAVING actually cuts
     "sparql_having" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
-        .as[(Long, String, Long)].collect()
-      val quads = rows.toSeq.filter(_._1 < 13).flatMap { case (k, name, rk) =>
-        Seq(
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"),
-            Term.lit(name)),
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      val store = fixture("sqhav", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        st.addQuads(0, rows.toSeq.filter(_._1 < 13).flatMap { case (k, name, rk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"),
+              Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqhav").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?rk (COUNT(*) AS ?n) (GROUP_CONCAT(?name; SEPARATOR=",") AS ?names)
                    (SAMPLE(?name) AS ?one) (COUNT(DISTINCT ?name) AS ?nd)
@@ -288,18 +307,18 @@ object SparqlQueries {
     // the ORIGINAL term, so the join with outer bindings is structural
     "sparql_subquery" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
-        .as[(Long, Long)].collect()
-      val quads = rows.toSeq.flatMap { case (k, rk) =>
-        Seq(
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
-            Term.typed(k.toString, Term.XSD_INTEGER)),
-          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-            Term.typed(rk.toString, Term.XSD_INTEGER)))
+      val store = fixture("sqsub", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as[(Long, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, rk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+              Term.typed(k.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqsub").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?rk ?s {
               ?s <${NS}key> ?m . ?s <${NS}regionkey> ?rk .
@@ -317,18 +336,18 @@ object SparqlQueries {
     // NOT EXISTS over the same non-empty pattern removes everything
     "sparql_negation" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect()
-      val quads = rows.toSeq.flatMap { k =>
-        val key = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
-          Term.iri(s"${NS}key"), Term.typed(k.toString, Term.XSD_INTEGER))
-        if (k < 10)
-          Seq(key, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
-            Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
-        else Seq(key)
+      val store = fixture("sqneg", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect()
+        st.addQuads(0, rows.toSeq.flatMap { k =>
+          val key = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}key"), Term.typed(k.toString, Term.XSD_INTEGER))
+          if (k < 10)
+            Seq(key, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+              Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
+          else Seq(key)
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqneg").toString)
-      store.addQuads(0, quads)
       def run(label: String, q: String) =
         Sparql.execute(store.quads(), q).select(lit(label).as("method"),
           regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1)
@@ -349,14 +368,14 @@ object SparqlQueries {
     // typed-literal values with bare-numeric literals in the query
     "sparql_expr_arith" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long")).as[Long].collect()
-      val quads = rows.toSeq.map { k =>
-        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
-          Term.typed(k.toString, Term.XSD_INTEGER))
+      val store = fixture("sqea", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect()
+        st.addQuads(0, rows.toSeq.map { k =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}key"),
+            Term.typed(k.toString, Term.XSD_INTEGER))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqea").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?k ?dbl ?q ?cls {
               ?s <${NS}key> ?k
@@ -375,14 +394,14 @@ object SparqlQueries {
     // relational truth computed by DuckDB's own string functions
     "sparql_expr_str" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_name")).as[String].collect()
-      val quads = rows.toSeq.map { n =>
-        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$n"), Term.iri(s"${NS}name"),
-          Term.lit(n))
+      val store = fixture("sqes", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_name")).as[String].collect()
+        st.addQuads(0, rows.toSeq.map { n =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$n"), Term.iri(s"${NS}name"),
+            Term.lit(n))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqes").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"""SELECT ?name ?len ?lc ?cat ?pre ?aft {
               ?s <${NS}name> ?name
@@ -406,16 +425,16 @@ object SparqlQueries {
     // another merges both — each checked against the relational truth
     "sparql_from" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
-        .as[(Long, Long)].collect()
-      val quads = rows.toSeq.map { case (k, rk) =>
-        graft.rdf.Quad(Term.iri(s"${NS}g/${if (k % 2 == 0) "even" else "odd"}"),
-          Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-          Term.typed(rk.toString, Term.XSD_INTEGER))
+      val store = fixture("sqfrom", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as[(Long, Long)].collect()
+        st.addQuads(0, rows.toSeq.map { case (k, rk) =>
+          graft.rdf.Quad(Term.iri(s"${NS}g/${if (k % 2 == 0) "even" else "odd"}"),
+            Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqfrom").toString)
-      store.addQuads(0, quads)
       def probe(label: String, fromClause: String) =
         Sparql.execute(store.quads(),
           s"""SELECT ?rk (COUNT(*) AS ?n) $fromClause
@@ -427,10 +446,11 @@ object SparqlQueries {
         .orderBy(col("part"), col("n_regionkey"))
     },
     // ASK existence checks: a matching and a non-matching pattern
-    "sparql_ask" -> { (s, _) =>
-      val store = new QuadStore(s, Files.createTempDirectory("sqask").toString)
-      store.addQuads(0, Seq(graft.rdf.Quad(null, Term.iri(s"${NS}x"),
-        Term.iri(s"${NS}p"), Term.lit("v"))))
+    "sparql_ask" -> { (s, dir) =>
+      val store = fixture("sqask", dir, s) { st =>
+        st.addQuads(0, Seq(graft.rdf.Quad(null, Term.iri(s"${NS}x"),
+          Term.iri(s"${NS}p"), Term.lit("v"))))
+      }
       Sparql.execute(store.quads(), s"ASK { <${NS}x> ?p ?o }")
         .unionByName(Sparql.execute(store.quads(), s"ASK { <${NS}missing> ?p ?o }"))
         .orderBy(col("ask"))
@@ -439,15 +459,15 @@ object SparqlQueries {
     // relational truth
     "sparql_construct" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
-        .as[(Long, Long)].collect()
-      val quads = rows.toSeq.map { case (k, rk) =>
-        graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
-          Term.typed(rk.toString, Term.XSD_INTEGER))
+      val store = fixture("sqcons", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as[(Long, Long)].collect()
+        st.addQuads(0, rows.toSeq.map { case (k, rk) =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+            Term.typed(rk.toString, Term.XSD_INTEGER))
+        })
       }
-      val store = new QuadStore(s, Files.createTempDirectory("sqcons").toString)
-      store.addQuads(0, quads)
       val res = Sparql.execute(store.quads(),
         s"CONSTRUCT { ?s <${NS}region> ?rk } WHERE { ?s <${NS}regionkey> ?rk }")
       res.select(
