@@ -58,8 +58,9 @@ final class JsonLdParser {
     else if (root.isObject) {
       readContext(root)
       if (root.has("@graph")) {
-        // named graph when the wrapper itself has an @id
-        val g = if (root.has("@id")) expandIri(root.get("@id").asText()) else null
+        // named graph when the wrapper itself has an @id — a blank
+        // node label stays a BLANK graph name, never an IRI
+        val g = if (root.has("@id")) subjectOf(root) else null
         val items = root.get("@graph")
         if (!items.isArray)
           throw new RdfParseException("json-ld: @graph must be an array")
@@ -112,37 +113,47 @@ final class JsonLdParser {
       if (id.startsWith("_:")) Term.blank(id.substring(2)) else Term.iri(expandIri(id))
     } else freshBlank()
 
-  /** Emit the triples of one node object; returns its subject. */
-  private def parseNode(node: JsonNode, graphIri: String): Term = {
+  /** Emit the triples of one node object; returns its subject.
+    * `g` is the enclosing graph name as a TERM (IRI or blank; null =
+    * default graph), so blank-node graph labels survive as blanks.
+    */
+  private def parseNode(node: JsonNode, g: Term): Term = {
     if (!node.isObject)
       throw new RdfParseException("json-ld: node must be a JSON object")
-    readContext(node)
-    val g = if (graphIri == null) null else Term.iri(graphIri)
-    val subject = subjectOf(node)
-    node.properties().asScala.foreach { e =>
-      val key = e.getKey
-      val v = e.getValue
-      key match {
-        case "@context" | "@id" => ()
-        case "@type" =>
-          val types = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
-          types.foreach(t => quads += Quad(g, subject,
-            Term.iri(Term.RDF_TYPE), Term.iri(expandIri(t.asText()))))
-        case "@graph" =>
-          // nested named graph: this node's @id scopes the contents
-          val inner = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
-          val gname = subject.lex
-          inner.foreach(parseNode(_, gname))
-        case k if k.startsWith("@") =>
-          throw new RdfParseException(s"json-ld: keyword '$k' not supported")
-        case term =>
-          val pred = Term.iri(expandIri(term))
-          val values = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
-          values.foreach(value =>
-            quads += Quad(g, subject, pred, objectOf(term, value, g)))
+    // a @context scopes to its SUBTREE (JSON-LD §3.1): save the outer
+    // mappings and restore them afterwards, so a nested node's terms
+    // don't silently re-expand later siblings with the wrong IRIs
+    val (m0, c0, v0) = (mappings, coercions, vocab)
+    try {
+      readContext(node)
+      val subject = subjectOf(node)
+      node.properties().asScala.foreach { e =>
+        val key = e.getKey
+        val v = e.getValue
+        key match {
+          case "@context" | "@id" => ()
+          case "@type" =>
+            val types = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+            types.foreach(t => quads += Quad(g, subject,
+              Term.iri(Term.RDF_TYPE), Term.iri(expandIri(t.asText()))))
+          case "@graph" =>
+            // nested named graph: this node's @id (IRI or blank)
+            // scopes the contents
+            val inner = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+            inner.foreach(parseNode(_, subject))
+          case k if k.startsWith("@") =>
+            throw new RdfParseException(s"json-ld: keyword '$k' not supported")
+          case term =>
+            val pred = Term.iri(expandIri(term))
+            val values = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+            values.foreach(value =>
+              quads += Quad(g, subject, pred, objectOf(term, value, g)))
+        }
       }
+      subject
+    } finally {
+      mappings = m0; coercions = c0; vocab = v0
     }
-    subject
   }
 
   private def objectOf(term: String, v: JsonNode, g: Term): Term = {
@@ -175,7 +186,7 @@ final class JsonLdParser {
             else if (v.get("@value").isBoolean) Term.typed(lex, XSD + "boolean")
             else Term.lit(lex)
         }
-      } else parseNode(v, if (g == null) null else g.lex) // nested node object
+      } else parseNode(v, g) // nested node object
     } else throw new RdfParseException(s"json-ld: unsupported value $v")
   }
 }

@@ -12,8 +12,11 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *   - `rdf:RDF` root, or a single node element as the document root
   *   - node elements: `rdf:Description` or a typed node element
   *     (element QName becomes an `rdf:type` triple)
-  *   - node identification: `rdf:about`, `rdf:nodeID`, `rdf:ID`
-  *     (fragment against an optional base), or anonymous blank
+  *   - node identification: `rdf:about` (resolved against the base
+  *     when one is set), `rdf:nodeID`, `rdf:ID` (fragment against the
+  *     base — `xml:base` on the root element or the parse-time `base`
+  *     argument; a parse error when neither is set), or anonymous
+  *     blank
   *   - property attributes on node elements (non-rdf attributes)
   *   - property elements with `rdf:resource` / `rdf:nodeID` object,
   *     `rdf:datatype` typed text, `xml:lang` (inherited) language
@@ -32,15 +35,42 @@ object RdfXmlParser {
   val RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val XML_NS = "http://www.w3.org/XML/1998/namespace"
 
-  def parse(doc: String): Seq[Quad] = new RdfXmlParser(doc).parse()
+  def parse(doc: String, base: String = null): Seq[Quad] =
+    new RdfXmlParser(doc, base).parse()
 }
 
-final class RdfXmlParser(doc: String) {
+final class RdfXmlParser(doc: String, base0: String = null) {
   import RdfXmlParser._
 
   private val quads = scala.collection.mutable.ArrayBuffer[Quad]()
   private var genid = 0
   private def freshBlank(): Term = { genid += 1; Term.blank(s"genid$genid") }
+
+  // parse-time base, overridden by xml:base on the root element
+  private var base: String = base0
+
+  /** Resolve a (possibly relative) IRI reference against the base;
+    * without a base the reference passes through unchanged (absolute
+    * IRIs dominate event payloads, which have no document URL).
+    */
+  private def resolve(ref: String): String =
+    if (base == null) ref
+    else try java.net.URI.create(base).resolve(ref).toString
+    catch {
+      case _: IllegalArgumentException => throw new RdfParseException(
+        s"rdf/xml: cannot resolve '$ref' against base '$base'")
+    }
+
+  /** Pick up `xml:base` from the current (root) element. */
+  private def readXmlBase(): Unit = {
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      if (reader.getAttributeLocalName(i) == "base" &&
+          reader.getAttributeNamespace(i) == XML_NS)
+        base = reader.getAttributeValue(i)
+      i += 1
+    }
+  }
 
   private val reader: XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
@@ -64,6 +94,7 @@ final class RdfXmlParser(doc: String) {
     while (reader.hasNext) {
       reader.next() match {
         case XMLStreamConstants.START_ELEMENT =>
+          readXmlBase()
           if (reader.getNamespaceURI == RDF_NS && reader.getLocalName == "RDF") {
             val lang = xmlLang(null)
             // children are node elements until </rdf:RDF>
@@ -99,9 +130,13 @@ final class RdfXmlParser(doc: String) {
       val aln = reader.getAttributeLocalName(i)
       val v = reader.getAttributeValue(i)
       if (ans == RDF_NS) aln match {
-        case "about" => subject = Term.iri(v)
+        case "about" => subject = Term.iri(resolve(v))
         case "nodeID" => subject = Term.blank(v)
-        case "ID" => subject = Term.iri("#" + v)
+        case "ID" =>
+          // a fragment is only meaningful against a base document IRI
+          if (base == null) throw new RdfParseException(
+            "rdf/xml: rdf:ID needs a base IRI (xml:base or a parse-time base)")
+          subject = Term.iri(resolve("#" + v))
         case other => throw new RdfParseException(
           s"rdf/xml: unsupported node attribute rdf:$other")
       } else if (ans == XML_NS || aln == "lang") () // handled via xmlLang
@@ -162,7 +197,7 @@ final class RdfXmlParser(doc: String) {
       throw new RdfParseException(s"rdf/xml: parseType='$parseType' not supported")
 
     if (resource != null || nodeId != null) {
-      val obj = if (resource != null) Term.iri(resource) else Term.blank(nodeId)
+      val obj = if (resource != null) Term.iri(resolve(resource)) else Term.blank(nodeId)
       quads += Quad(null, subject, pred, obj)
       skipToEnd()
     } else if (parseType == "Resource") {

@@ -154,6 +154,70 @@ class RdfParserSpec extends AnyFunSuite {
     intercept[RdfParseException](JsonLdParser.parse("{not json"))
   }
 
+  test("json-ld: a nested @context scopes to its subtree, not later siblings") {
+    // the nested node remaps "name" to /nick; the later sibling and
+    // the outer node must keep the outer mapping
+    val qs = JsonLdParser.parse(
+      """{"@context": {"name": "http://example/name"},
+        | "@id": "http://example/a",
+        | "http://example/friend": [
+        |   {"@context": {"name": "http://example/nick"},
+        |    "@id": "http://example/b", "name": "Bee"},
+        |   {"@id": "http://example/c", "name": "Cee"}],
+        | "name": "Aye"}""".stripMargin)
+    assert(qs.contains(Quad(null, Term.iri("http://example/b"),
+      Term.iri("http://example/nick"), Term.lit("Bee"))))
+    assert(qs.contains(Quad(null, Term.iri("http://example/c"),
+      Term.iri("http://example/name"), Term.lit("Cee"))))
+    assert(qs.contains(Quad(null, Term.iri("http://example/a"),
+      Term.iri("http://example/name"), Term.lit("Aye"))))
+  }
+
+  test("json-ld: a blank-node @graph label stays a blank node") {
+    val qs = JsonLdParser.parse(
+      """{"@id": "_:g1",
+        | "@graph": [{"@id": "http://example/s", "http://example/p": "v"}]}""".stripMargin)
+    assert(qs == Seq(Quad(Term.blank("g1"), Term.iri("http://example/s"),
+      Term.iri("http://example/p"), Term.lit("v"))))
+    // nested @graph under an anonymous node: generated blank label
+    val nested = JsonLdParser.parse(
+      """{"@id": "http://example/outer",
+        | "http://example/p": {"@graph": [
+        |   {"@id": "http://example/s2", "http://example/q": "w"}]}}""".stripMargin)
+    val inner = nested.find(_.predicate == Term.iri("http://example/q")).get
+    assert(inner.graph.isBlank)
+  }
+
+  test("rdf/xml: xml:base resolves rdf:ID and relative references") {
+    val doc =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/" xml:base="http://example/doc">
+        |  <rdf:Description rdf:ID="frag">
+        |    <ex:rel rdf:resource="other"/>
+        |    <ex:abs rdf:resource="http://example/m1"/>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:about="relative"><ex:p>v</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val qs = RdfXmlParser.parse(doc)
+    assert(qs.contains(Quad(null, Term.iri("http://example/doc#frag"),
+      Term.iri("http://example/rel"), Term.iri("http://example/other"))))
+    assert(qs.contains(Quad(null, Term.iri("http://example/doc#frag"),
+      Term.iri("http://example/abs"), Term.iri("http://example/m1"))))
+    assert(qs.exists(_.subject == Term.iri("http://example/relative")))
+    // a parse-time base works the same; rdf:ID without ANY base errors
+    val viaArg = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:ID="n"><ex:p>v</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin, base = "http://example/base")
+    assert(viaArg.head.subject == Term.iri("http://example/base#n"))
+    intercept[RdfParseException](RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:ID="n"><ex:p>v</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin))
+  }
+
   test("rdf/xml and json-ld round-trip through decode with blank scoping") {
     val xml =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
