@@ -22,8 +22,10 @@ import scala.jdk.CollectionConverters._
   *     link via their `@id` / fresh blank and recurse
   *   - `@graph`: top-level `{"@graph": […]}` (default graph), or with
   *     a sibling `@id` → that NAMED graph (quads)
-  * Out of scope (parse error → DLQ): remote/array contexts, `@list`,
-  *   `@set`, `@reverse`, `@index`, `@included`, IRI-keyed id maps.
+  *   - `@list` value objects → rdf:first/rdf:rest cons chains ending
+  *     in rdf:nil (empty list → rdf:nil directly; lists nest)
+  * Out of scope (parse error → DLQ): remote/array contexts, `@set`,
+  *   `@reverse`, `@index`, `@included`, IRI-keyed id maps.
   */
 object JsonLdParser {
 
@@ -170,7 +172,12 @@ final class JsonLdParser {
     else if (v.isNumber) Term.typed(v.asText(), XSD + "double")
     else if (v.isBoolean) Term.typed(v.asText(), XSD + "boolean")
     else if (v.isObject) {
-      if (v.has("@value")) {
+      if (v.has("@list")) {
+        val arr = v.get("@list")
+        if (!arr.isArray)
+          throw new RdfParseException("json-ld: @list must be an array")
+        listChain(arr.elements().asScala.toSeq.map(objectOf(term, _, g)), g)
+      } else if (v.has("@value")) {
         val lex = v.get("@value") match {
           case n if n.isTextual || n.isNumber || n.isBoolean => n.asText()
           case _ => throw new RdfParseException("json-ld: bad @value")
@@ -189,4 +196,19 @@ final class JsonLdParser {
       } else parseNode(v, g) // nested node object
     } else throw new RdfParseException(s"json-ld: unsupported value $v")
   }
+
+  /** Emit the rdf:first/rdf:rest cons cells of a @list in graph `g`;
+    * returns the list head (rdf:nil for an empty list).
+    */
+  private def listChain(items: Seq[Term], g: Term): Term =
+    if (items.isEmpty) Term.iri(Term.RDF_NIL)
+    else {
+      val cells = items.map(_ => freshBlank())
+      cells.zip(items).zipWithIndex.foreach { case ((cell, item), i) =>
+        quads += Quad(g, cell, Term.iri(Term.RDF_FIRST), item)
+        quads += Quad(g, cell, Term.iri(Term.RDF_REST),
+          if (i == items.size - 1) Term.iri(Term.RDF_NIL) else cells(i + 1))
+      }
+      cells.head
+    }
 }

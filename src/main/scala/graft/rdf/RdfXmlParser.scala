@@ -20,12 +20,14 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *   - property attributes on node elements (non-rdf attributes)
   *   - property elements with `rdf:resource` / `rdf:nodeID` object,
   *     `rdf:datatype` typed text, `xml:lang` (inherited) language
-  *     text, plain text, a nested node element, or
+  *     text, plain text, a nested node element,
   *     `rdf:parseType="Resource"` (anonymous blank with nested
-  *     property elements)
+  *     property elements), or `rdf:parseType="Collection"` (nested
+  *     node elements chained as an rdf:first/rdf:rest list ending in
+  *     rdf:nil; empty → rdf:nil directly)
   * Out of scope (rejected with a parse error, routed to the DLQ):
-  *   `rdf:parseType="Literal"/"Collection"`, containers (`rdf:li`),
-  *   reification attributes.
+  *   `rdf:parseType="Literal"`, containers (`rdf:li`), reification
+  *   attributes.
   *
   * RDF/XML carries no named graphs: every quad lands in the default
   * graph (graph = null).
@@ -193,13 +195,28 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       i += 1
     }
 
-    if (parseType != null && parseType != "Resource")
+    if (parseType != null && parseType != "Resource" && parseType != "Collection")
       throw new RdfParseException(s"rdf/xml: parseType='$parseType' not supported")
 
     if (resource != null || nodeId != null) {
       val obj = if (resource != null) Term.iri(resolve(resource)) else Term.blank(nodeId)
       quads += Quad(null, subject, pred, obj)
       skipToEnd()
+    } else if (parseType == "Collection") {
+      // nested node elements become an rdf:first/rdf:rest cons chain
+      val items = scala.collection.mutable.ArrayBuffer[Term]()
+      var done = false
+      while (!done && reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT => items += parseNodeElement(lang)
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case XMLStreamConstants.CHARACTERS =>
+            if (reader.getText.trim.nonEmpty) throw new RdfParseException(
+              "rdf/xml: text content inside parseType='Collection'")
+          case _ => ()
+        }
+      }
+      quads += Quad(null, subject, pred, listChain(items.toSeq))
     } else if (parseType == "Resource") {
       // anonymous node whose property elements follow inline
       val b = freshBlank()
@@ -243,6 +260,21 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       }
     }
   }
+
+  /** Emit the rdf:first/rdf:rest cons cells of a collection; returns
+    * the list head (rdf:nil for an empty collection).
+    */
+  private def listChain(items: Seq[Term]): Term =
+    if (items.isEmpty) Term.iri(Term.RDF_NIL)
+    else {
+      val cells = items.map(_ => freshBlank())
+      cells.zip(items).zipWithIndex.foreach { case ((cell, item), i) =>
+        quads += Quad(null, cell, Term.iri(Term.RDF_FIRST), item)
+        quads += Quad(null, cell, Term.iri(Term.RDF_REST),
+          if (i == items.size - 1) Term.iri(Term.RDF_NIL) else cells(i + 1))
+      }
+      cells.head
+    }
 
   /** Consume to the current element's END_ELEMENT, requiring no child
     * elements and only whitespace text.

@@ -218,6 +218,51 @@ class RdfParserSpec extends AnyFunSuite {
         |</rdf:RDF>""".stripMargin))
   }
 
+  test("rdf/xml: parseType='Collection' builds an rdf:first/rdf:rest chain") {
+    val qs = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:about="http://example/s">
+        |    <ex:parts rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="http://example/p1"/>
+        |      <rdf:Description rdf:about="http://example/p2"/>
+        |    </ex:parts>
+        |    <ex:none rdf:parseType="Collection"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    val first = Term.iri(Term.RDF_FIRST)
+    val rest = Term.iri(Term.RDF_REST)
+    val nil = Term.iri(Term.RDF_NIL)
+    val head = qs.find(_.predicate == Term.iri("http://example/parts")).get.obj
+    assert(head.isBlank)
+    assert(qs.contains(Quad(null, head, first, Term.iri("http://example/p1"))))
+    val cell2 = qs.find(q => q.subject == head && q.predicate == rest).get.obj
+    assert(cell2.isBlank)
+    assert(qs.contains(Quad(null, cell2, first, Term.iri("http://example/p2"))))
+    assert(qs.contains(Quad(null, cell2, rest, nil)))
+    // empty collection links straight to rdf:nil
+    assert(qs.contains(Quad(null, Term.iri("http://example/s"),
+      Term.iri("http://example/none"), nil)))
+    assert(qs.size == 6)
+  }
+
+  test("json-ld: @list builds an rdf:first/rdf:rest chain (lists nest)") {
+    val qs = JsonLdParser.parse(
+      """{"@id": "http://example/s",
+        | "http://example/order": {"@list": ["a", {"@list": []}]}}""".stripMargin)
+    val first = Term.iri(Term.RDF_FIRST)
+    val rest = Term.iri(Term.RDF_REST)
+    val nil = Term.iri(Term.RDF_NIL)
+    val head = qs.find(_.predicate == Term.iri("http://example/order")).get.obj
+    assert(head.isBlank)
+    assert(qs.contains(Quad(null, head, first, Term.lit("a"))))
+    val cell2 = qs.find(q => q.subject == head && q.predicate == rest).get.obj
+    // second item is an EMPTY nested list → rdf:nil as rdf:first value
+    assert(qs.contains(Quad(null, cell2, first, nil)))
+    assert(qs.contains(Quad(null, cell2, rest, nil)))
+    assert(qs.size == 5)
+  }
+
   test("rdf/xml and json-ld round-trip through decode with blank scoping") {
     val xml =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
