@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   *     a sibling `@id` → that NAMED graph (quads)
   *   - `@list` value objects → rdf:first/rdf:rest cons chains ending
   *     in rdf:nil (empty list → rdf:nil directly; lists nest)
-  * Out of scope (parse error → DLQ): remote/array contexts, `@set`,
+  *   - `@set` value objects → equivalent to the bare array (§4.3.1)
+  * Out of scope (parse error → DLQ): remote/array contexts,
   *   `@reverse`, `@index`, `@included`, IRI-keyed id maps.
   */
 object JsonLdParser {
@@ -147,7 +148,9 @@ final class JsonLdParser {
             throw new RdfParseException(s"json-ld: keyword '$k' not supported")
           case term =>
             val pred = Term.iri(expandIri(term))
-            val values = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+            // {"@set": [...]} is equivalent to the bare array (§4.3.1)
+            val vv = if (v.isObject && v.has("@set")) v.get("@set") else v
+            val values = if (vv.isArray) vv.elements().asScala.toSeq else Seq(vv)
             values.foreach(value =>
               quads += Quad(g, subject, pred, objectOf(term, value, g)))
         }

@@ -25,9 +25,11 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *     property elements), or `rdf:parseType="Collection"` (nested
   *     node elements chained as an rdf:first/rdf:rest list ending in
   *     rdf:nil; empty → rdf:nil directly)
+  *   - containers: `rdf:li` property elements number themselves
+  *     `rdf:_1, rdf:_2, …` per enclosing node element (rdf:Seq/Bag/
+  *     Alt are ordinary typed nodes)
   * Out of scope (rejected with a parse error, routed to the DLQ):
-  *   `rdf:parseType="Literal"`, containers (`rdf:li`), reification
-  *   attributes.
+  *   `rdf:parseType="Literal"`, reification attributes.
   *
   * RDF/XML carries no named graphs: every quad lands in the default
   * graph (graph = null).
@@ -154,9 +156,11 @@ final class RdfXmlParser(doc: String, base0: String = null) {
     propAttrs.foreach { case (p, o) => quads += Quad(null, subject, p, o) }
 
     var done = false
+    val li = new LiCounter
     while (!done && reader.hasNext) {
       reader.next() match {
-        case XMLStreamConstants.START_ELEMENT => parsePropertyElement(subject, lang)
+        case XMLStreamConstants.START_ELEMENT =>
+          parsePropertyElement(subject, lang, li)
         case XMLStreamConstants.END_ELEMENT => done = true
         case _ => ()
       }
@@ -164,15 +168,21 @@ final class RdfXmlParser(doc: String, base0: String = null) {
     subject
   }
 
+  /** rdf:li numbering state — one counter per enclosing node element
+    * (the spec's membership-property expansion: li → rdf:_1, _2, …).
+    */
+  private final class LiCounter { private var n = 0; def next(): Int = { n += 1; n } }
+
   /** Positioned ON the property element's START_ELEMENT; consumes
     * through its END_ELEMENT.
     */
-  private def parsePropertyElement(subject: Term, inheritedLang: String): Unit = {
+  private def parsePropertyElement(subject: Term, inheritedLang: String,
+      li: LiCounter): Unit = {
     val ns = Option(reader.getNamespaceURI).getOrElse("")
     val local = reader.getLocalName
-    if (ns == RDF_NS && local == "li")
-      throw new RdfParseException("rdf/xml: containers (rdf:li) not supported")
-    val pred = Term.iri(ns + local)
+    val pred =
+      if (ns == RDF_NS && local == "li") Term.iri(RDF_NS + "_" + li.next())
+      else Term.iri(ns + local)
     val lang = xmlLang(inheritedLang)
 
     var resource: String = null
@@ -222,9 +232,11 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       val b = freshBlank()
       quads += Quad(null, subject, pred, b)
       var done = false
+      val innerLi = new LiCounter
       while (!done && reader.hasNext) {
         reader.next() match {
-          case XMLStreamConstants.START_ELEMENT => parsePropertyElement(b, lang)
+          case XMLStreamConstants.START_ELEMENT =>
+            parsePropertyElement(b, lang, innerLi)
           case XMLStreamConstants.END_ELEMENT => done = true
           case _ => ()
         }

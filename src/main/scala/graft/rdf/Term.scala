@@ -39,6 +39,8 @@ object Term {
   val XSD_DECIMAL: String = XSD + "decimal"
   val XSD_DOUBLE: String = XSD + "double"
   val XSD_BOOLEAN: String = XSD + "boolean"
+  val XSD_DATETIME: String = XSD + "dateTime"
+  val XSD_DATE: String = XSD + "date"
   val RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   val RDF_TYPE: String = RDF_NS + "type"
   val RDF_FIRST: String = RDF_NS + "first"

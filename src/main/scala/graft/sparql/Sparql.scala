@@ -149,8 +149,11 @@ object Sparql {
     * (unbound result / dropped filter row).
     */
   final case class VBin(op: String, l: VExpr, r: VExpr) extends VExpr
-  /** N-ary scalar functions (§17.4.3): STRLEN UCASE LCASE CONCAT
-    * SUBSTR REPLACE STRBEFORE STRAFTER ABS ROUND CEIL FLOOR IRI.
+  /** N-ary scalar functions (§17.4.3-5): STRLEN UCASE LCASE CONCAT
+    * SUBSTR REPLACE STRBEFORE STRAFTER ABS ROUND CEIL FLOOR IRI
+    * ENCODE_FOR_URI STRDT STRLANG, the hash functions MD5/SHA1/
+    * SHA256/SHA384/SHA512, and the date/time accessors YEAR MONTH DAY
+    * HOURS MINUTES SECONDS TZ.
     */
   final case class VFnN(func: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — an error in `cond` is an error (§17.4.1.2). */
@@ -185,9 +188,9 @@ object Sparql {
       isDistinct: Boolean = false, separator: String = " ")
     extends SelectItem
 
-  /** One HAVING conjunct: `AGG([DISTINCT] expr|*) op literal`. */
-  final case class HavingCmp(func: String, arg: Option[VExpr], op: String,
-      value: Term, isDistinct: Boolean = false)
+  // HAVING constraints are plain FILTER expressions over the grouped
+  // solution — aggregate calls inside them ride the same hidden-column
+  // machinery as expression projections (VAgg)
 
   /** One ORDER BY key (spec §15.1): `?v`, `ASC(expr)`, `DESC(expr)` or
     * a bracketted expression — in a grouped query the expression may
@@ -196,7 +199,7 @@ object Sparql {
   final case class OrderKey(expr: VExpr, descending: Boolean = false)
 
   final case class Query(projection: Projection, pattern: Pattern,
-      groupBy: Seq[String], having: Seq[HavingCmp], orderBy: Seq[OrderKey],
+      groupBy: Seq[String], having: Seq[FExpr], orderBy: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int], distinct: Boolean,
       from: Seq[Term] = Seq.empty, fromNamed: Seq[Term] = Seq.empty,
       // `GROUP BY (expr AS ?x)` keys: bound onto the solution before
@@ -445,12 +448,9 @@ object Sparql {
           hidden.getOrElseUpdate(a, s"#agg${hidden.size}")
         (items.collect { case ItemExpr(e, _) => e } ++ q.orderBy.map(_.expr))
           .foreach(e => aggsOfV(e).foreach(hiddenName))
+        q.having.foreach(f => aggsOfF(f).foreach(hiddenName))
         val hiddenCols = hidden.toSeq.map { case (a, n) =>
           termAgg(a.func, a.arg, a.isDistinct, a.separator).as(n)
-        }
-        // HAVING conjuncts ride the same aggregation as hidden columns
-        val havingCols = q.having.zipWithIndex.map { case (h, i) =>
-          rawAgg(h.func, h.arg, h.isDistinct, " ").as(s"_having_$i")
         }
         // a non-COUNT aggregate over no numeric bindings is null ⇒
         // its alias is maybe-unbound for join compatibility; an
@@ -461,24 +461,18 @@ object Sparql {
                 if func != "COUNT" && func != "GROUP_CONCAT" => as
             case ItemExpr(_, as) => as
           }
-        val allAggs = aggCols ++ hiddenCols ++ havingCols
+        val allAggs = aggCols ++ hiddenCols
         val grouped =
           if (allAggs.isEmpty) // pure-key projection over a grouped query
             bound.select(q.groupBy.map(col): _*).dropDuplicates()
           else if (q.groupBy.isEmpty) bound.agg(allAggs.head, allAggs.tail: _*)
           else bound.groupBy(q.groupBy.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
-        val kept = q.having.zipWithIndex.foldLeft(grouped) { case (d, (h, i)) =>
-          val c = col(s"_having_$i")
-          val v = lit(new java.math.BigDecimal(h.value.lex))
-          d.filter(h.op match {
-            case "=" => c === v
-            case "!=" => c =!= v
-            case "<" => c < v
-            case ">" => c > v
-            case "<=" => c <= v
-            case ">=" => c >= v
-            case other => throw new RdfParseException(s"unsupported HAVING op '$other'")
-          })
+        // HAVING: FILTER semantics over the grouped solution — group
+        // keys resolve directly, aggregate calls via the hidden columns
+        val kept = q.having.foldLeft(grouped) { (d, f) =>
+          val cset = d.columns.toSet
+          d.filter(compileFilter(substAggsF(f, a => VVar(hiddenName(a))),
+            n => if (cset.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
         }
         val keptCols = kept.columns.toSet
         def keptResolve(n: String): Column =
@@ -1089,6 +1083,52 @@ object Sparql {
           when(a(0).isNotNull, struct(lit(Term.IRI).as("termType"),
             lex(0).as("lex"), lit(null).cast("string").as("datatype"),
             lit(null).cast("string").as("lang"))).otherwise(nullTerm)
+        // §17.4.4 hash functions: hex digest of the UTF-8 bytes of a
+        // simple / xsd:string literal's lexical form, as a simple
+        // literal (Spark's md5/sha1/sha2 emit lowercase hex already)
+        case "MD5" | "SHA1" | "SHA256" | "SHA384" | "SHA512" =>
+          val okStr = a(0).getField("termType") === Term.LIT &&
+            a(0).getField("lang").isNull &&
+            (a(0).getField("datatype").isNull ||
+             a(0).getField("datatype") === Term.XSD_STRING)
+          val digest = func match {
+            case "MD5" => md5(encode(lex(0), "UTF-8"))
+            case "SHA1" => sha1(encode(lex(0), "UTF-8"))
+            case other => sha2(encode(lex(0), "UTF-8"), other.drop(3).toInt)
+          }
+          when(okStr, plainStrTerm(digest)).otherwise(nullTerm)
+        // §17.4.5 date/time accessors, evaluated on the LEXICAL form of
+        // xsd:dateTime (YEAR/MONTH/DAY/TZ also xsd:date) — no timezone
+        // conversion, exactly the component the literal spells
+        case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS" | "TZ" =>
+          val dt = a(0).getField("datatype")
+          val okType = func match {
+            case "YEAR" | "MONTH" | "DAY" | "TZ" =>
+              dt === Term.XSD_DATETIME || dt === Term.XSD_DATE
+            case _ => dt === Term.XSD_DATETIME
+          }
+          val ok = a(0).getField("termType") === Term.LIT && okType
+          def part(pattern: String) = regexp_extract(lex(0), pattern, 1)
+          func match {
+            case "TZ" => // "" when the literal carries no zone (spec)
+              when(ok, plainStrTerm(part("(Z|[+-]\\d{2}:\\d{2})$")))
+                .otherwise(nullTerm)
+            case "SECONDS" =>
+              val sec = part("T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)")
+              when(ok && sec =!= "",
+                numericTerm(sec.cast("decimal(12,6)"), lit(Term.XSD_DECIMAL)))
+                .otherwise(nullTerm)
+            case other =>
+              val p = other match {
+                case "YEAR" => "^(-?\\d{4,})-"
+                case "MONTH" => "^-?\\d{4,}-(\\d{2})"
+                case "DAY" => "^-?\\d{4,}-\\d{2}-(\\d{2})"
+                case "HOURS" => "T(\\d{2}):"
+                case "MINUTES" => "T\\d{2}:(\\d{2})"
+              }
+              val v = part(p)
+              when(ok && v =!= "", intTerm(v.cast("long"))).otherwise(nullTerm)
+          }
         // literal constructors (§17.4.2.8-9): the lexical form must be
         // a simple literal, the datatype an IRI / the tag a literal
         case "STRDT" =>
@@ -1524,28 +1564,17 @@ object Sparql {
           if (keys.isEmpty) fail("expected at least one GROUP BY key")
           keys.toSeq
         } else Seq.empty
+      // HavingClause: HAVING '(' constraint ')'+ — each constraint is
+      // a full FILTER expression; aggregate calls parse via VAgg
       val having =
         if (tryKeyword("HAVING")) {
-          expect('(')
-          val cmps = scala.collection.mutable.ArrayBuffer[HavingCmp]()
-          var moreCmps = true
-          while (moreCmps) {
-            val (func, arg, isDistinct, _) = parseAggCall()
-            skipWs()
-            val op =
-              if (tryToken("!=")) "!=" else if (tryToken("<=")) "<="
-              else if (tryToken(">=")) ">=" else if (tryToken("=")) "="
-              else if (tryToken("<")) "<" else if (tryToken(">")) ">"
-              else fail("expected comparison operator in HAVING")
-            val v = parseNode() match {
-              case Const(t) if t.isLit => t
-              case _ => fail("HAVING compares an aggregate against a literal")
-            }
-            cmps += HavingCmp(func, arg, op, v, isDistinct)
-            moreCmps = tryToken("&&")
+          val fs = scala.collection.mutable.ArrayBuffer[FExpr]()
+          skipWs()
+          while (peek == '(') {
+            expect('('); fs += parseFilterOr(); expect(')'); skipWs()
           }
-          expect(')')
-          cmps.toSeq
+          if (fs.isEmpty) fail("HAVING needs at least one (constraint)")
+          fs.toSeq
         } else Seq.empty
       val orderBy =
         if (tryKeyword("ORDER")) { keyword("BY"); parseOrderKeys() } else Seq.empty
@@ -1968,7 +1997,9 @@ object Sparql {
 
     private val UNARY_FNS =
       Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR",
-        "IRI", "URI", "ENCODE_FOR_URI")
+        "IRI", "URI", "ENCODE_FOR_URI",
+        "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
         "STRDT", "STRLANG")

@@ -263,6 +263,39 @@ class RdfParserSpec extends AnyFunSuite {
     assert(qs.size == 5)
   }
 
+  test("rdf/xml: rdf:li numbers itself per node element; json-ld @set flattens") {
+    val qs = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Seq rdf:about="http://example/seq1">
+        |    <rdf:li>one</rdf:li>
+        |    <rdf:li>two</rdf:li>
+        |  </rdf:Seq>
+        |  <rdf:Bag rdf:about="http://example/bag1">
+        |    <rdf:li>solo</rdf:li>
+        |  </rdf:Bag>
+        |</rdf:RDF>""".stripMargin)
+    val seq1 = Term.iri("http://example/seq1")
+    assert(qs.contains(Quad(null, seq1, Term.iri(Term.RDF_TYPE),
+      Term.iri(RdfXmlParser.RDF_NS + "Seq"))))
+    assert(qs.contains(Quad(null, seq1,
+      Term.iri(RdfXmlParser.RDF_NS + "_1"), Term.lit("one"))))
+    assert(qs.contains(Quad(null, seq1,
+      Term.iri(RdfXmlParser.RDF_NS + "_2"), Term.lit("two"))))
+    // the counter resets per node element
+    assert(qs.contains(Quad(null, Term.iri("http://example/bag1"),
+      Term.iri(RdfXmlParser.RDF_NS + "_1"), Term.lit("solo"))))
+    // @set expands exactly like the bare array — one triple per member
+    val js = JsonLdParser.parse(
+      """{"@id": "http://example/s",
+        | "http://example/tag": {"@set": ["a", "b"]}}""".stripMargin)
+    assert(js.toSet == Set(
+      Quad(null, Term.iri("http://example/s"), Term.iri("http://example/tag"),
+        Term.lit("a")),
+      Quad(null, Term.iri("http://example/s"), Term.iri("http://example/tag"),
+        Term.lit("b"))))
+  }
+
   test("rdf/xml and json-ld round-trip through decode with blank scoping") {
     val xml =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

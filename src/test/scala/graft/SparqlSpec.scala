@@ -860,6 +860,51 @@ class SparqlSpec extends AnyFunSuite {
       Set("http://x/a", "http://x/b"))
   }
 
+  test("hash functions: MD5/SHA1/SHA256 digests of simple literals") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "abc" .
+         |<http://x/b> <http://x/p> "tagged"@en .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?m ?s1 ?s256 { ?s <http://x/p> ?v
+         BIND(MD5(?v) AS ?m) BIND(SHA1(?v) AS ?s1) BIND(SHA256(?v) AS ?s256) }
+         ORDER BY ?s""").collect()
+    // reference digests of "abc" (RFC test vectors)
+    assert(rows(0).getStruct(1).getString(1) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    assert(rows(0).getStruct(2).getString(1) ==
+      "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(rows(0).getStruct(3).getString(1) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // a language-tagged literal is not a valid hash argument → error
+    assert(rows(1).getStruct(1) == null)
+  }
+
+  test("date/time accessors over xsd:dateTime and xsd:date lexical forms") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/t> "2024-03-05T10:30:02.5+01:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |<http://x/b> <http://x/t> "2024-12-31"^^<http://www.w3.org/2001/XMLSchema#date> .
+         |<http://x/c> <http://x/t> "not a date" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz { ?s <http://x/t> ?v
+         BIND(YEAR(?v) AS ?y) BIND(MONTH(?v) AS ?mo) BIND(DAY(?v) AS ?d)
+         BIND(HOURS(?v) AS ?h) BIND(MINUTES(?v) AS ?mi)
+         BIND(SECONDS(?v) AS ?sec) BIND(TZ(?v) AS ?tz) }
+         ORDER BY ?s""").collect()
+    def f(r: org.apache.spark.sql.Row, i: Int): String =
+      Option(r.getStruct(i)).map(_.getString(1)).orNull
+    assert((1 to 7).map(f(rows(0), _)) ==
+      Seq("2024", "3", "5", "10", "30", "2.5", "+01:00"))
+    // xsd:date supports the date components and TZ ("" without zone);
+    // the time components are type errors
+    assert((1 to 3).map(f(rows(1), _)) == Seq("2024", "12", "31"))
+    assert((4 to 6).map(f(rows(1), _)) == Seq(null, null, null))
+    assert(f(rows(1), 7) == "")
+    // a plain literal is a type error for every accessor
+    assert((1 to 7).map(f(rows(2), _)).forall(_ == null))
+  }
+
   test("LANGMATCHES on a non-literal operand is a type error, not a tag match") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> <http://x/iri> .
@@ -919,6 +964,32 @@ class SparqlSpec extends AnyFunSuite {
         """SELECT ?g (SUM(?k) + ?k AS ?bad)
            { ?s <http://x/g> ?g . ?s <http://x/k> ?k } GROUP BY ?g""")
     }
+  }
+
+  test("HAVING takes full expressions: aggregate arithmetic, group keys, ||") {
+    // grp1: keys 2,5 (sum 7); grp2: key 9 (sum 9)
+    val avg = Sparql.execute(groupedStore.quads(),
+      """SELECT ?g (SUM(?k) AS ?s)
+         { ?s <http://x/g> ?g . ?s <http://x/k> ?k }
+         GROUP BY ?g
+         HAVING (SUM(?k)/COUNT(?k) > 3 && COUNT(*) >= 2)""")
+      .collect()
+    assert(avg.length == 1 && lex(avg(0), 0) == "http://x/grp1") // avg 3.5, n 2
+    // a group-key reference and a disjunction in HAVING
+    val keyed = Sparql.execute(groupedStore.quads(),
+      s"""SELECT ?g (COUNT(*) AS ?n)
+          { ?s <http://x/g> ?g . ?s <http://x/k> ?k }
+          GROUP BY ?g
+          HAVING (?g = <http://x/grp2> || SUM(?k) > 100)""")
+      .collect()
+    assert(keyed.length == 1 && lex(keyed(0), 0) == "http://x/grp2")
+    // two HAVING constraints AND together (spec HavingCondition+)
+    val both = Sparql.execute(groupedStore.quads(),
+      """SELECT ?g { ?s <http://x/g> ?g . ?s <http://x/k> ?k }
+         GROUP BY ?g
+         HAVING (COUNT(*) >= 1) (MAX(?k) < 6)""")
+      .collect()
+    assert(both.length == 1 && lex(both(0), 0) == "http://x/grp1")
   }
 
   test("COUNT(DISTINCT *) and AVG(DISTINCT)") {
