@@ -59,6 +59,67 @@ object TermOps {
     ExpressionUtils.column(TermValueCompare(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
 
+  /** XSD integer-family datatypes: integer `+ - *` stays xsd:integer. */
+  val INTEGER_DATATYPES: Set[String] = Set(
+    graft.rdf.Term.XSD_INTEGER, graft.rdf.Term.XSD + "int",
+    graft.rdf.Term.XSD + "long", graft.rdf.Term.XSD + "short",
+    graft.rdf.Term.XSD + "byte", graft.rdf.Term.XSD + "nonNegativeInteger",
+    graft.rdf.Term.XSD + "positiveInteger")
+
+  /** SPARQL §17.3 numeric arithmetic (`+ - * /`) over two term-struct
+    * columns, as ONE codegen'd expression — the equivalent
+    * when/cast/regexp column tree is ~40 nodes per operator, which
+    * made expression-heavy queries analysis/codegen-bound.
+    */
+  def termArith(op: String, a: Column, b: Column): Column =
+    ExpressionUtils.column(TermArith(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b), op))
+
+  /** Evaluate one arithmetic op over term InternalRows. Returns the
+    * result term or null (SPARQL expression error: a non-numeric
+    * operand, an ill-formed numeric lexical, or division by zero).
+    * Exact BigDecimal arithmetic; division uses DECIMAL128 (34
+    * significant digits) then strips trailing zeros, so terminating
+    * quotients keep their canonical lexical form ("2.5", never
+    * "2.5000000000"). integer op integer stays xsd:integer except
+    * `/`, which is always xsd:decimal (§17.3 operator mapping).
+    */
+  def arith(a: InternalRow, b: InternalRow, op: String): InternalRow = {
+    def f(r: InternalRow, i: Int): String =
+      if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+    val (tA, lexA, dtA) = (f(a, 0), f(a, 1), f(a, 2))
+    val (tB, lexB, dtB) = (f(b, 0), f(b, 1), f(b, 2))
+    if (tA != graft.rdf.Term.LIT || tB != graft.rdf.Term.LIT) return null
+    if (dtA == null || !NUMERIC_DATATYPES.contains(dtA)) return null
+    if (dtB == null || !NUMERIC_DATATYPES.contains(dtB)) return null
+    val (va, vb) =
+      try (new java.math.BigDecimal(lexA), new java.math.BigDecimal(lexB))
+      catch { case _: NumberFormatException => return null }
+    val isInt = op != "/" &&
+      INTEGER_DATATYPES.contains(dtA) && INTEGER_DATATYPES.contains(dtB)
+    val res = op match {
+      case "+" => va.add(vb)
+      case "-" => va.subtract(vb)
+      case "*" => va.multiply(vb)
+      case "/" =>
+        if (vb.compareTo(java.math.BigDecimal.ZERO) == 0) return null
+        va.divide(vb, java.math.MathContext.DECIMAL128)
+      case _ => return null
+    }
+    val lex =
+      if (isInt) res.toBigInteger.toString
+      else {
+        val s = res.stripTrailingZeros
+        if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
+      }
+    val dt = if (isInt) graft.rdf.Term.XSD_INTEGER else graft.rdf.Term.XSD_DECIMAL
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(graft.rdf.Term.LIT),
+      org.apache.spark.unsafe.types.UTF8String.fromString(lex),
+      org.apache.spark.unsafe.types.UTF8String.fromString(dt),
+      null))
+  }
+
   /** Value-space total order over term InternalRows. SPARQL ORDER BY
     * (spec §15.1) ranks blank < IRI < literal; numeric literals compare
     * by value (BigDecimal — `"9"^^xsd:integer < "10"^^xsd:integer`,
@@ -111,6 +172,41 @@ final case class TermValueEquals(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TermOps.valueEquals($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TermValueEquals =
+    copy(left = l, right = r)
+}
+
+/** See [[TermOps.termArith]]. The result is nullable even for
+  * non-null inputs (expression errors), so codegen handles the null
+  * explicitly instead of using defineCodeGen.
+  */
+final case class TermArith(left: Expression, right: Expression, op: String)
+    extends BinaryExpression {
+  private def isTermStruct(dt: DataType): Boolean = dt match {
+    case StructType(fields) =>
+      fields.map(_.name).toSeq == Seq("termType", "lex", "datatype", "lang")
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!Seq("+", "-", "*", "/").contains(op))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: unknown operator '$op'")
+    else if (isTermStruct(left.dataType) && isTermStruct(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two term structs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = StructType(
+    Seq("termType", "lex", "datatype", "lang").map(StructField(_, StringType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "term_arith"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TermOps.arith(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], op)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.TermOps.arith($a, $b, "$op");
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TermArith =
     copy(left = l, right = r)
 }
 

@@ -342,36 +342,50 @@ object Sparql {
           }
         }.flatten
         maybe = (boundSol.maybe intersect names.toSet) ++ exprMaybe
+        // a projected expression may reference EARLIER aliases
+        // (`SELECT (?a+1 AS ?b) (?b*2 AS ?c)` — ARQ's extend chain):
+        // each alias binds onto the working solution left-to-right
+        var work = bound
+        items.foreach {
+          case ItemExpr(e, as) =>
+            if (work.columns.contains(as))
+              throw new RdfParseException(s"SELECT expression would rebind ?$as")
+            val cset = work.columns.toSet
+            work = work.withColumn(as, compileExpr(e,
+              n => if (cset.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
+          case _ => ()
+        }
         val cols = items.map {
           case ItemVar(n) =>
             // projecting a variable no pattern binds is legal: unbound
-            (if (bound.columns.contains(n)) col(n)
+            (if (work.columns.contains(n)) col(n)
              else lit(null).cast(TERM_STRUCT)).as(n)
-          case ItemExpr(e, as) => compileVExpr(bound, TERM_STRUCT, e).as(as)
+          case ItemExpr(_, as) => col(as)
           case i => throw new RdfParseException(s"unexpected item $i")
         }
-        // ORDER BY evaluates over the PRE-projection solution (§15.1):
-        // a key referencing variables the projection drops is computed
-        // here as a hidden column. DISTINCT queries must order by
-        // projected expressions (§15.3.1), so those stay downstream
+        // ORDER BY evaluates over the PRE-projection solution (§15.1)
+        // extended with the aliases above: a key referencing variables
+        // the projection drops is computed here as a hidden column.
+        // DISTINCT queries must order by projected expressions
+        // (§15.3.1), so those stay downstream
         val projNames = items.collect {
           case ItemVar(n) => n
           case ItemExpr(_, as) => as
         }.toSet
-        val bCols = bound.columns.toSet
+        val wCols = work.columns.toSet
         val preOrd = scala.collection.mutable.ArrayBuffer[Column]()
         if (!q.distinct) orderKeys = q.orderBy.zipWithIndex.map { case (k, i) =>
           k.expr match {
             case VVar(n) if projNames.contains(n) => k
-            case e if varsOfV(e).subsetOf(bCols) =>
+            case e if varsOfV(e).subsetOf(wCols) =>
               preOrd += compileExpr(e,
-                n => if (bCols.contains(n)) col(n)
+                n => if (wCols.contains(n)) col(n)
                      else lit(null).cast(TERM_STRUCT)).as(s"#ord$i")
               k.copy(expr = VVar(s"#ord$i"))
-            case _ => k // projection-alias expression: post-projection
+            case _ => k // unknown variables: post-projection (null keys)
           }
         }
-        bound.select(cols ++ preOrd: _*)
+        work.select(cols ++ preOrd: _*)
       case SelectItems(items) =>
         // aggregation query: plain projected vars must be GROUP BY keys
         // (SPARQL §18.2.4); COUNT(?v) counts bound rows, COUNT(*) all.
@@ -963,24 +977,14 @@ object Sparql {
         case other => throw new RdfParseException(s"unsupported function $other")
       }
     case VBin(op, l, r) =>
-      val lc = compileExpr(l, resolve)
-      val rc = compileExpr(r, resolve)
-      val lv = numValueOf(lc)
-      val rv = numValueOf(rc)
-      val res = op match {
-        case "+" => lv + rv
-        case "-" => lv - rv
-        case "*" => lv * rv
-        // division by zero is an expression error, not infinity
-        case "/" => when(rv =!= lit(0), lv / rv)
-        case other => throw new RdfParseException(s"unsupported operator $other")
-      }
-      val bothInt = lc.getField("datatype").isin(INTEGER_DATATYPES: _*) &&
-        rc.getField("datatype").isin(INTEGER_DATATYPES: _*)
-      // integer op integer → xsd:integer, except `/` (always decimal)
-      val dt = if (op == "/") lit(Term.XSD_DECIMAL)
-        else when(bothInt, lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL))
-      numericTerm(res, dt)
+      if (!Seq("+", "-", "*", "/").contains(op))
+        throw new RdfParseException(s"unsupported operator $op")
+      // ONE codegen'd Catalyst expression (§17.3 semantics inside,
+      // incl. div-by-zero → error): the equivalent when/cast/regexp
+      // column tree was ~40 nodes PER OPERATOR, which made
+      // expression-heavy queries analysis/codegen-bound
+      graft.functions.TermOps.termArith(op,
+        compileExpr(l, resolve), compileExpr(r, resolve))
     case VIf(cond, t, f) =>
       val c = compileFilter(cond, resolve)
       // an error in the condition is an error in the result
@@ -1587,7 +1591,14 @@ object Sparql {
         else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
         else more = false
       }
-      Query(projection, pattern, groupBy, having, orderBy, limit, offset,
+      // trailing ValuesClause (§7.2): joins the WHERE solutions before
+      // the solution modifiers. Nesting the original group keeps its
+      // FILTER scopes intact — exactly the spec's Join(pattern, data)
+      val fullPattern =
+        if (tryKeyword("VALUES"))
+          Group(Seq(NestedElem(pattern), parseValuesElem()))
+        else pattern
+      Query(projection, fullPattern, groupBy, having, orderBy, limit, offset,
         distinct, from.toSeq, fromNamed.toSeq, groupExprs.toSeq)
     }
 
@@ -1744,30 +1755,7 @@ object Sparql {
               elems += FilterElem(f)
             }
           } else if (tryKeyword("VALUES")) {
-            skipWs()
-            val vars =
-              if (peek == '(') {
-                expect('('); val vs = parseVarList(); expect(')'); vs
-              } else Seq(parseVar())
-            val single = vars.size == 1
-            expect('{')
-            val rows = scala.collection.mutable.ArrayBuffer[Seq[Option[Term]]]()
-            skipWs()
-            while (peek != '}') {
-              val cells =
-                if (single) Seq(parseValuesCell())
-                else {
-                  expect('(')
-                  val cs = vars.map(_ => parseValuesCell())
-                  expect(')')
-                  cs
-                }
-              rows += cells
-              skipWs()
-            }
-            expect('}')
-            if (rows.isEmpty) fail("VALUES needs at least one data row")
-            elems += ValuesElem(vars, rows.toSeq)
+            elems += parseValuesElem()
           } else {
             val s = parseNode()
             val pred = parsePredicate()
@@ -1860,6 +1848,36 @@ object Sparql {
         expect(')')
       } else one()
       PNeg(fwd.toSeq, inv.toSeq)
+    }
+
+    /** The data block after the VALUES keyword — shared between the
+      * in-group form and the trailing query-level clause (§7.2).
+      */
+    private def parseValuesElem(): ValuesElem = {
+      skipWs()
+      val vars =
+        if (peek == '(') {
+          expect('('); val vs = parseVarList(); expect(')'); vs
+        } else Seq(parseVar())
+      val single = vars.size == 1
+      expect('{')
+      val rows = scala.collection.mutable.ArrayBuffer[Seq[Option[Term]]]()
+      skipWs()
+      while (peek != '}') {
+        val cells =
+          if (single) Seq(parseValuesCell())
+          else {
+            expect('(')
+            val cs = vars.map(_ => parseValuesCell())
+            expect(')')
+            cs
+          }
+        rows += cells
+        skipWs()
+      }
+      expect('}')
+      if (rows.isEmpty) fail("VALUES needs at least one data row")
+      ValuesElem(vars, rows.toSeq)
     }
 
     private def parseValuesCell(): Option[Term] =

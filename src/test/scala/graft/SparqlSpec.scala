@@ -1013,6 +1013,34 @@ class SparqlSpec extends AnyFunSuite {
     assert(avgs.getDecimal(0).doubleValue == 3.0)
   }
 
+  test("SELECT expressions can reference earlier aliases; rebinding errors") {
+    val rows = Sparql.execute(groupedStore.quads(),
+      """SELECT ?s (?k * 2 AS ?d) (?d + 1 AS ?e) { ?s <http://x/k> ?k }
+         ORDER BY DESC(?e) LIMIT 1""").collect()
+    assert(rows.length == 1)
+    assert(lex(rows(0), 0) == "http://x/c") // k=9 → d=18 → e=19
+    assert(rows(0).getStruct(2).getString(1) == "19")
+    assertThrows[graft.rdf.RdfParseException] {
+      Sparql.execute(groupedStore.quads(),
+        "SELECT (?k * 2 AS ?k) { ?s <http://x/k> ?k }")
+    }
+  }
+
+  test("trailing VALUES joins the query solutions (spec 7.2)") {
+    val rows = Sparql.execute(groupedStore.quads(),
+      s"""SELECT ?s ?k { ?s <http://x/k> ?k }
+          ORDER BY ?s
+          VALUES ?k { "2"^^<${Term.XSD_INTEGER}> "9"^^<${Term.XSD_INTEGER}> }""")
+      .collect().map(r => lex(r, 0))
+    assert(rows.toSet == Set("http://x/a", "http://x/c")) // k ∈ {2, 9}
+    // multi-variable form with UNDEF wildcards
+    val undef = Sparql.execute(groupedStore.quads(),
+      s"""SELECT ?s ?k { ?s <http://x/k> ?k }
+          VALUES (?s ?k) { (<http://x/a> UNDEF) (UNDEF "5"^^<${Term.XSD_INTEGER}>) }""")
+      .collect().map(r => lex(r, 0))
+    assert(undef.toSet == Set("http://x/a", "http://x/b"))
+  }
+
   test("expression ORDER BY key in a non-aggregate query") {
     val rows = Sparql.execute(groupedStore.quads(),
       "SELECT ?s ?k { ?s <http://x/k> ?k } ORDER BY DESC(?k * 2)")
