@@ -420,6 +420,55 @@ object SparqlQueries {
           col("aft").getField("lex").as("aft"))
         .orderBy(col("n_name"))
     },
+    // §17.4.4 hash builtins checked against DuckDB's own md5/sha256
+    "sparql_expr_hash" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqhash", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_name")).as[String].collect()
+        st.addQuads(0, rows.toSeq.map { n =>
+          graft.rdf.Quad(null, Term.iri(s"${NS}nation/$n"), Term.iri(s"${NS}name"),
+            Term.lit(n))
+        })
+      }
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?name ?m ?sh {
+              ?s <${NS}name> ?name
+              BIND(MD5(?name) AS ?m)
+              BIND(SHA256(?name) AS ?sh)
+            }""")
+      res.select(col("name").getField("lex").as("n_name"),
+          col("m").getField("lex").as("m"),
+          col("sh").getField("lex").as("sh"))
+        .orderBy(col("n_name"))
+    },
+    // §17.4.5 date accessors over xsd:date literals built from the
+    // orders table, checked against DuckDB's year/month/day
+    "sparql_expr_datetime" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqdt", dir, s) { st =>
+        val rows = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long"), col("o_orderdate").cast("string"))
+          .orderBy(col("o_orderkey")).limit(50)
+          .as[(Long, String)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, d) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}key"),
+              Term.typed(k.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}date"),
+              Term.typed(d, Term.XSD_DATE)))
+        })
+      }
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?k (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dd) {
+              ?s <${NS}key> ?k . ?s <${NS}date> ?d
+            }""")
+      res.select(col("k").getField("lex").cast("long").as("k"),
+          col("y").getField("lex").cast("int").as("y"),
+          col("mo").getField("lex").cast("int").as("mo"),
+          col("dd").getField("lex").cast("int").as("dd"))
+        .orderBy(col("k"))
+    },
     // FROM dataset clauses: nation quads split by key parity into two
     // named graphs; one probe reads a single graph as the default,
     // another merges both — each checked against the relational truth
@@ -584,6 +633,16 @@ object SparqlQueries {
          FROM nation
          WHERE starts_with(n_name, 'NATION_1') OR contains(n_name, '_2')
          ORDER BY n_name""",
+    "sparql_expr_hash" ->
+      """SELECT n_name, md5(n_name) AS m, sha256(n_name) AS sh
+         FROM nation ORDER BY n_name""",
+    "sparql_expr_datetime" ->
+      """SELECT o_orderkey AS k,
+                year(o_orderdate)::INT AS y,
+                month(o_orderdate)::INT AS mo,
+                day(o_orderdate)::INT AS dd
+         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+         ORDER BY k""",
     "sparql_from" ->
       """SELECT * FROM (
            SELECT 'even' AS part, n_regionkey, COUNT(*)::BIGINT AS n
