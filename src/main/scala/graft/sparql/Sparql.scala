@@ -1483,7 +1483,7 @@ object Sparql {
         expectEnd()
         AskReq(pattern)
       } else if (tryKeyword("CONSTRUCT")) {
-        val tpl = parseGroup() match {
+        def triplesOf(p: Pattern): Seq[TriplePattern] = p match {
           case Group(elems) => elems.map {
             case PatElem(tp) => tp
             case other => fail(
@@ -1491,11 +1491,22 @@ object Sparql {
           }
           case _ => fail("CONSTRUCT template cannot contain UNION")
         }
-        keyword("WHERE")
-        val pattern = parseGroup()
-        val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
-        expectEnd()
-        ConstructReq(tpl, pattern, limit)
+        // `CONSTRUCT WHERE { tps }` shorthand (§16.2.4): the pattern
+        // doubles as the template
+        if (tryKeyword("WHERE")) {
+          val pattern = parseGroup()
+          val tpl = triplesOf(pattern)
+          val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+          expectEnd()
+          ConstructReq(tpl, pattern, limit)
+        } else {
+          val tpl = triplesOf(parseGroup())
+          keyword("WHERE")
+          val pattern = parseGroup()
+          val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+          expectEnd()
+          ConstructReq(tpl, pattern, limit)
+        }
       } else if (tryKeyword("DESCRIBE")) {
         val nodes = scala.collection.mutable.ArrayBuffer[Node]()
         skipWs()

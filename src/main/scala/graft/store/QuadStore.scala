@@ -57,7 +57,17 @@ import graft.rdf.{PatchOp, Quad}
   *    [[commitOps]] drops replayed epochs at or below it, so epoch
   *    replay stays idempotent even across compactions.
   */
-final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
+/** @param autoCompactTail fold the tail into the bucketed base
+  *   whenever the committed tail reaches this many epoch segments
+  *   (0 = manual [[compact]] only). Without a bound, merge-on-read
+  *   cost grows with every epoch — at 100 TB the tail MUST be folded
+  *   continuously, and compaction cost tracks the delta (only touched
+  *   buckets rewrite), so a small threshold amortizes to O(delta) per
+  *   epoch. Old files stay on disk until [[gc]], so in-flight lazy
+  *   plans are unaffected.
+  */
+final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
+    autoCompactTail: Int = 0) {
   import QuadStore._
 
   private val dir = Paths.get(path)
@@ -142,6 +152,8 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
       case Some(old) => v.segments.map(s => if (s.name == old.name) ref else s)
     }
     writeVersion(v.copy(segments = segs))
+    if (autoCompactTail > 0 && segs.count(!_.isBase) >= autoCompactTail)
+      compact()
   }
 
   /** Convenience: commit a dataset payload (adds only). */

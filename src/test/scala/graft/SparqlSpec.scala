@@ -1026,6 +1026,14 @@ class SparqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CONSTRUCT WHERE shorthand uses the pattern as the template") {
+    val store = ingest(DATA_TTL -> "text/turtle")
+    val rows = Sparql.execute(store.quads(),
+      "CONSTRUCT WHERE { ?s ?p ?o }").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getStruct(1).getString(1) == "http://example/s")
+  }
+
   test("trailing VALUES joins the query solutions (spec 7.2)") {
     val rows = Sparql.execute(groupedStore.quads(),
       s"""SELECT ?s ?k { ?s <http://x/k> ?k }

@@ -66,6 +66,26 @@ class StoreSpec extends AnyFunSuite {
     assert(store.count() == 2)
   }
 
+  test("autoCompactTail folds the tail continuously; replay stays idempotent") {
+    val store = new QuadStore(spark,
+      Files.createTempDirectory("qsauto").toString, autoCompactTail = 3)
+    store.addQuads(0, Seq(q("a", "1")))
+    store.addQuads(1, Seq(q("b", "1")))
+    assert(store.committedSegments().forall(!_.contains("base")))
+    store.addQuads(2, Seq(q("c", "1"))) // third tail segment → fold
+    val segs = store.committedSegments()
+    assert(segs.size == 1 && segs.head.contains("base"), s"segments: $segs")
+    assert(store.count() == 3)
+    assert(store.highWaterBatchId == 2)
+    // a replay of a folded epoch is dropped by the high-water mark
+    store.addQuads(1, Seq(q("b", "1")))
+    assert(store.count() == 3)
+    // further epochs accumulate as tail until the threshold again
+    store.addQuads(3, Seq(q("d", "1")))
+    assert(store.committedSegments().count(!_.contains("base")) == 1)
+    assert(store.count() == 4)
+  }
+
   test("copy-on-write replay: a plan reading the old segment survives the replayed commit") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1"), q("b", "1")))
