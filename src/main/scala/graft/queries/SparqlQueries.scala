@@ -494,6 +494,35 @@ object SparqlQueries {
         .unionByName(probe("all", s"FROM <${NS}g/even> FROM <${NS}g/odd>"))
         .orderBy(col("part"), col("n_regionkey"))
     },
+    // the transitive-closure fixpoint at event-table scale: ~10k/100k
+    // edge quads built DISTRIBUTED straight from the parquet scan (no
+    // store, no driver-side quad collection — Sparql.execute is
+    // store-agnostic), chains of 20 → ~95k reachable pairs at sf0.01;
+    // the oracle replays it with a recursive CTE
+    "scale_sparql_path" -> { (s, dir) =>
+      val termType = "struct<termType:string,lex:string,datatype:string,lang:string>"
+      def node(c: org.apache.spark.sql.Column) = struct(
+        lit(Term.IRI).as("termType"),
+        concat(lit(s"${NS}n/"), c.cast("string")).as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val nextIri = Term.iri(s"${NS}next")
+      val quads = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("id"))
+        .filter(col("id") % 20 =!= 19)
+        .select(
+          lit(null).cast(termType).as("graph"),
+          node(col("id")).as("subject"),
+          struct(lit(Term.IRI).as("termType"), lit(nextIri.lex).as("lex"),
+            lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang")).as("predicate"),
+          node(col("id") + 1).as("obj"))
+      val res = Sparql.execute(quads, s"SELECT ?s ?o { ?s <${NS}next>+ ?o }")
+      res.select(
+          regexp_extract(col("s").getField("lex"), "n/(\\d+)$", 1).cast("long").as("s"),
+          regexp_extract(col("o").getField("lex"), "n/(\\d+)$", 1).cast("long").as("o"))
+        .orderBy(col("s"), col("o"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, dir) =>
       val store = fixture("sqask", dir, s) { st =>
@@ -651,6 +680,15 @@ object SparqlQueries {
            SELECT 'all', n_regionkey, COUNT(*)::BIGINT
            FROM nation GROUP BY n_regionkey)
          ORDER BY part, n_regionkey""",
+    "scale_sparql_path" ->
+      """WITH RECURSIVE
+           e AS (SELECT event_id AS s, event_id + 1 AS o FROM events
+                 WHERE event_id % 20 <> 19),
+           r(s, o) AS (
+             SELECT s, o FROM e
+             UNION
+             SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
+         SELECT s::BIGINT AS s, o::BIGINT AS o FROM r ORDER BY s, o""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->
