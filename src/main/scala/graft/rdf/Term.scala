@@ -38,6 +38,7 @@ object Term {
   val XSD_INTEGER: String = XSD + "integer"
   val XSD_DECIMAL: String = XSD + "decimal"
   val XSD_DOUBLE: String = XSD + "double"
+  val XSD_FLOAT: String = XSD + "float"
   val XSD_BOOLEAN: String = XSD + "boolean"
   val XSD_DATETIME: String = XSD + "dateTime"
   val XSD_DATE: String = XSD + "date"

@@ -158,6 +158,12 @@ object Sparql {
   final case class VFnN(func: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — an error in `cond` is an error (§17.4.1.2). */
   final case class VIf(cond: FExpr, t: VExpr, e: VExpr) extends VExpr
+  /** An XSD casting constructor `xsd:integer(expr)` etc. (§17.5 /
+    * XPath §17): validates the source value and produces a canonical
+    * typed literal, or an expression error.
+    */
+  final case class VCast(datatype: String, arg: VExpr) extends VExpr
+
   /** An aggregate call inside a value expression — the post-grouping
     * expression form (`SELECT (SUM(?a)/SUM(?b) AS ?r)`,
     * `ORDER BY DESC(SUM(?a) + 1)`, spec §18.4: aggregates project into
@@ -991,6 +997,63 @@ object Sparql {
       when(c === true, compileExpr(t, resolve))
         .when(c === false, compileExpr(f, resolve))
         .otherwise(nullTerm)
+    case VCast(dt, arg) =>
+      // §17.5 XPath casting: validate the source, emit the canonical
+      // typed literal, error (null) on anything outside the cast table
+      val a = compileExpr(arg, resolve)
+      val lexC = a.getField("lex")
+      val isLit = a.getField("termType") === Term.LIT
+      val srcNum = isNumericLit(a)
+      val srcBool = isLit && a.getField("datatype") === Term.XSD_BOOLEAN
+      val srcStr = isPlainString(a)
+      val truthy = lexC.isin("true", "1")
+      val falsy = lexC.isin("false", "0")
+      def typed(lex: Column, dtIri: String) = struct(
+        lit(Term.LIT).as("termType"), lex.as("lex"),
+        lit(dtIri).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      dt match {
+        case Term.XSD_STRING =>
+          // the lexical form of any literal, as xsd:string (= plain
+          // in RDF 1.1 value space — valueEq treats them alike)
+          when(isLit, typed(lexC, Term.XSD_STRING)).otherwise(nullTerm)
+        case Term.XSD_BOOLEAN =>
+          when((srcBool || srcStr) && truthy, typed(lit("true"), Term.XSD_BOOLEAN))
+            .when((srcBool || srcStr) && falsy, typed(lit("false"), Term.XSD_BOOLEAN))
+            .when(srcNum, typed(when(numValueOf(a) =!= 0, "true")
+              .otherwise("false"), Term.XSD_BOOLEAN))
+            .otherwise(nullTerm)
+        case Term.XSD_INTEGER =>
+          // numeric sources truncate toward zero (XPath casting);
+          // string sources must be integer lexicals (canonicalized)
+          val v = numValueOf(a)
+          val trunc = when(v >= 0, floor(v)).otherwise(ceil(v)).cast("decimal(38,0)")
+          when(srcNum, typed(trunc.cast("string"), Term.XSD_INTEGER))
+            .when(srcBool, typed(when(truthy, "1").otherwise("0"), Term.XSD_INTEGER))
+            .when(srcStr && lexC.rlike("^[+-]?\\d+$"),
+              typed(lexC.cast("decimal(38,0)").cast("string"), Term.XSD_INTEGER))
+            .otherwise(nullTerm)
+        case Term.XSD_DECIMAL =>
+          when(srcNum, typed(decLex(numValueOf(a)), Term.XSD_DECIMAL))
+            .when(srcBool, typed(when(truthy, "1").otherwise("0"), Term.XSD_DECIMAL))
+            .when(srcStr && lexC.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"),
+              typed(decLex(lexC.cast("decimal(38,10)")), Term.XSD_DECIMAL))
+            .otherwise(nullTerm)
+        case Term.XSD_DOUBLE | Term.XSD_FLOAT =>
+          // lexical form is the JVM double repr — deterministic
+          // engine-wide, not XSD-canonical-with-exponent
+          val d = when(srcNum || srcStr, lexC.cast("double"))
+            .when(srcBool, when(truthy, 1.0d).otherwise(0.0d))
+          when(d.isNotNull, typed(d.cast("string"), dt)).otherwise(nullTerm)
+        case Term.XSD_DATETIME =>
+          when(isLit && lexC.rlike(
+              "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"),
+            typed(lexC, Term.XSD_DATETIME)).otherwise(nullTerm)
+        case Term.XSD_DATE =>
+          when(isLit && lexC.rlike("^-?\\d{4,}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$"),
+            typed(lexC, Term.XSD_DATE)).otherwise(nullTerm)
+        case other => throw new RdfParseException(s"unsupported cast target <$other>")
+      }
     case VFnN(func, args) =>
       def a(i: Int) = compileExpr(args(i), resolve)
       def lex(i: Int) = a(i).getField("lex")
@@ -1182,6 +1245,7 @@ object Sparql {
     case VFnN(_, args) => args.flatMap(varsOfV).toSet
     case VIf(c, t, f) => varsOf(c) ++ varsOfV(t) ++ varsOfV(f)
     case VAgg(_, arg, _, _) => arg.map(varsOfV).getOrElse(Set.empty)
+    case VCast(_, a) => varsOfV(a)
   }
 
   /** Aggregate calls appearing in a value / filter expression. */
@@ -1192,6 +1256,7 @@ object Sparql {
     case VBin(_, l, r) => aggsOfV(l) ++ aggsOfV(r)
     case VFnN(_, args) => args.flatMap(aggsOfV)
     case VIf(c, t, f) => aggsOfF(c) ++ aggsOfV(t) ++ aggsOfV(f)
+    case VCast(_, a) => aggsOfV(a)
     case _ => Seq.empty
   }
 
@@ -1217,6 +1282,7 @@ object Sparql {
     case VBin(op, l, r) => VBin(op, substAggs(l, f), substAggs(r, f))
     case VFnN(fn, args) => VFnN(fn, args.map(substAggs(_, f)))
     case VIf(c, t, el) => VIf(substAggsF(c, f), substAggs(t, f), substAggs(el, f))
+    case VCast(dt, a) => VCast(dt, substAggs(a, f))
     case other => other
   }
 
@@ -2077,10 +2143,22 @@ object Sparql {
         VFnN(func, parseExprList())
       } else if (peek == '?') VVar(parseVar())
       else parseNode() match {
+        case Const(t) if t.isIri && { skipWs(); peek == '(' } =>
+          // IRI function call: XSD casting constructors only (§17.5)
+          if (!CAST_TARGETS.contains(t.lex))
+            fail(s"unsupported function <${t.lex}>")
+          val args = parseExprList()
+          if (args.size != 1) fail("a casting constructor takes one argument")
+          VCast(t.lex, args.head)
         case Const(t) => VConst(t)
         case _ => fail("expected a value expression")
       }
     }
+
+    private val CAST_TARGETS: Set[String] = Set(
+      Term.XSD_STRING, Term.XSD_INTEGER, Term.XSD_DECIMAL,
+      Term.XSD_DOUBLE, Term.XSD_FLOAT, Term.XSD_BOOLEAN,
+      Term.XSD_DATETIME, Term.XSD_DATE)
 
     /** `PREFIX pfx: <iri>` declarations (SPARQL grammar `Prologue`);
       * populates the pname expansion table used by [[parseNode]].

@@ -905,6 +905,45 @@ class SparqlSpec extends AnyFunSuite {
     assert((1 to 7).map(f(rows(2), _)).forall(_ == null))
   }
 
+  test("XSD casting constructors validate, canonicalize, and error per 17.5") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "42" .
+         |<http://x/b> <http://x/p> "2.50" .
+         |<http://x/c> <http://x/p> "nope" .
+         |<http://x/d> <http://x/p> "-3.7"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      s"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          SELECT ?s ?i ?d ?b {
+            ?s <http://x/p> ?v
+            BIND(xsd:integer(?v) AS ?i)
+            BIND(xsd:decimal(?v) AS ?d)
+            BIND(xsd:boolean(?v) AS ?b)
+          } ORDER BY ?s""").collect()
+    def f(r: org.apache.spark.sql.Row, i: Int): String =
+      Option(r.getStruct(i)).map(_.getString(1)).orNull
+    // "42": valid everywhere except boolean
+    assert(f(rows(0), 1) == "42" && f(rows(0), 2) == "42" && f(rows(0), 3) == null)
+    // "2.50": not an integer lexical; decimal canonicalizes
+    assert(f(rows(1), 1) == null && f(rows(1), 2) == "2.5")
+    // "nope": error for every numeric cast
+    assert(f(rows(2), 1) == null && f(rows(2), 2) == null && f(rows(2), 3) == null)
+    // numeric → integer truncates toward zero: -3.7 → -3
+    assert(f(rows(3), 1) == "-3")
+    // casts participate in value-space filters
+    val kept = Sparql.execute(store.quads(),
+      s"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          SELECT ?s { ?s <http://x/p> ?v FILTER(xsd:decimal(?v) > 3) }""")
+      .collect().map(lex(_, 0)).toSet
+    assert(kept == Set("http://x/a"))
+    // datatype of the result is the target type
+    val dt = Sparql.execute(store.quads(),
+      s"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          SELECT ?t { <http://x/a> <http://x/p> ?v
+            BIND(DATATYPE(xsd:integer(?v)) AS ?t) }""").collect()
+    assert(dt.head.getStruct(0).getString(1) == Term.XSD_INTEGER)
+  }
+
   test("LANGMATCHES on a non-literal operand is a type error, not a tag match") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> <http://x/iri> .
