@@ -2214,7 +2214,8 @@ object Sparql {
           pos += 1
           Const(Term.iri(Term.RDF_TYPE))
         // bare numeric literal (SPARQL §19.8 NumericLiteral): digits →
-        // xsd:integer, a dot followed by digits → xsd:decimal
+        // xsd:integer, a dot followed by digits → xsd:decimal, an
+        // exponent → xsd:double
         case c if c.isDigit || ((c == '-' || c == '+') &&
             pos + 1 < text.length && text.charAt(pos + 1).isDigit) =>
           val start = pos
@@ -2226,8 +2227,20 @@ object Sparql {
             pos += 1
             while (pos < text.length && text.charAt(pos).isDigit) pos += 1
           }
+          val isDouble = pos < text.length &&
+            (text.charAt(pos) == 'e' || text.charAt(pos) == 'E') && {
+              var i = pos + 1
+              if (i < text.length && (text.charAt(i) == '+' || text.charAt(i) == '-')) i += 1
+              i < text.length && text.charAt(i).isDigit
+            }
+          if (isDouble) {
+            pos += 1
+            if (text.charAt(pos) == '+' || text.charAt(pos) == '-') pos += 1
+            while (pos < text.length && text.charAt(pos).isDigit) pos += 1
+          }
           Const(Term.typed(text.substring(start, pos),
-            if (isDec) Term.XSD_DECIMAL else Term.XSD_INTEGER))
+            if (isDouble) Term.XSD_DOUBLE
+            else if (isDec) Term.XSD_DECIMAL else Term.XSD_INTEGER))
         case '_' if pos + 1 < text.length && text.charAt(pos + 1) == ':' =>
           pos += 2
           val start = pos
@@ -2278,8 +2291,19 @@ object Sparql {
     }
 
     private[sparql] def peek: Char = if (pos < text.length) text.charAt(pos) else '\u0000'
-    private[sparql] def skipWs(): Unit =
-      while (pos < text.length && text.charAt(pos).isWhitespace) pos += 1
+    /** Whitespace AND `#` line comments (SPARQL grammar WS). A `#`
+      * inside an IRI or string literal never reaches here — the
+      * `<...>` and quote scanners consume those byte-by-byte.
+      */
+    private[sparql] def skipWs(): Unit = {
+      var more = true
+      while (more) {
+        while (pos < text.length && text.charAt(pos).isWhitespace) pos += 1
+        if (pos < text.length && text.charAt(pos) == '#')
+          while (pos < text.length && text.charAt(pos) != '\n') pos += 1
+        else more = false
+      }
+    }
     private[sparql] def expect(c: Char): Unit = {
       skipWs()
       if (pos >= text.length || text.charAt(pos) != c) fail(s"expected '$c'")

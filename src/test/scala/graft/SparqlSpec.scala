@@ -905,6 +905,23 @@ class SparqlSpec extends AnyFunSuite {
     assert((1 to 7).map(f(rows(2), _)).forall(_ == null))
   }
 
+  test("comments and double literals parse (SPARQL grammar WS, 19.8)") {
+    val rows = Sparql.execute(groupedStore.quads(),
+      """# leading comment
+         SELECT ?s ?k {  # inline comment after a token
+           ?s <http://x/k> ?k   # bound per nation
+           FILTER(?k > 2.0e0)  # exponent double literal
+         } # trailing
+         ORDER BY ?k""").collect()
+    // 2.0e0 compares numerically: keys 5 and 9 survive
+    assert(rows.map(lex(_, 0)).toSeq == Seq("http://x/b", "http://x/c"))
+    // '#' inside IRIs and strings is NOT a comment
+    val iri = Sparql.execute(groupedStore.quads(),
+      "SELECT ?s { ?s <http://x/k> ?k FILTER(?s = <http://x/a#frag> || ?k = 2) }")
+      .collect()
+    assert(iri.length == 1 && lex(iri(0), 0) == "http://x/a")
+  }
+
   test("XSD casting constructors validate, canonicalize, and error per 17.5") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "42" .
