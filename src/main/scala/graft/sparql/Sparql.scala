@@ -1834,19 +1834,68 @@ object Sparql {
           } else if (tryKeyword("VALUES")) {
             elems += parseValuesElem()
           } else {
-            val s = parseNode()
-            val pred = parsePredicate()
-            val o = parseNode()
-            pred match {
-              case Left(p) => elems += PatElem(TriplePattern(None, s, p, o))
-              case Right(path) => elems += PathElem(None, s, path, o)
-            }
+            val (s, pre) = parseTripleNode()
+            elems ++= pre
+            skipWs()
+            // a bare `[ ...props ]` block needs no outer predicate
+            if (!(pre.nonEmpty && (peek == '.' || peek == '}')))
+              elems ++= parsePropertyList(s)
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
           }
         }
         Group(elems.toSeq)
       }
+    }
+
+    /** `Verb ObjectList (';' (Verb ObjectList)?)*` — predicate-object
+      * lists with ',' object lists. Nested blank-node property lists
+      * emit their triples alongside.
+      */
+    private def parsePropertyList(s: Node): Seq[GroupElem] = {
+      val out = scala.collection.mutable.ArrayBuffer[GroupElem]()
+      var moreProps = true
+      while (moreProps) {
+        val pred = parsePredicate()
+        var moreObjs = true
+        while (moreObjs) {
+          val (o, post) = parseTripleNode()
+          pred match {
+            case Left(p) => out += PatElem(TriplePattern(None, s, p, o))
+            case Right(path) => out += PathElem(None, s, path, o)
+          }
+          out ++= post
+          skipWs()
+          if (peek == ',') pos += 1 else moreObjs = false
+        }
+        skipWs()
+        var sawSemi = false
+        while (peek == ';') { pos += 1; skipWs(); sawSemi = true }
+        if (!sawSemi || peek == '.' || peek == '}' || peek == ']') moreProps = false
+      }
+      out.toSeq
+    }
+
+    /** A node in triple subject/object position: a plain node, or a
+      * blank-node property list `[ ... ]`, which binds a FRESH internal
+      * variable ('#'-prefixed — joins like any variable, is invisible
+      * to SELECT * / DISTINCT, and is stripped with the other hidden
+      * columns; a blank node in a query is just an unnamed variable).
+      */
+    private var blankN = 0
+    private def parseTripleNode(): (Node, Seq[GroupElem]) = {
+      skipWs()
+      if (peek == '[') {
+        pos += 1
+        skipWs()
+        blankN += 1
+        val v = Var(s"#b$blankN")
+        val inner =
+          if (peek == ']') Seq.empty
+          else parsePropertyList(v)
+        expect(']')
+        (v, inner)
+      } else (parseNode(), Seq.empty)
     }
 
     /** Predicate position: a plain node (IRI/var/`a`) or a property

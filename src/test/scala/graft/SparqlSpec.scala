@@ -905,6 +905,38 @@ class SparqlSpec extends AnyFunSuite {
     assert((1 to 7).map(f(rows(2), _)).forall(_ == null))
   }
 
+  test("predicate-object lists, object lists, blank-node property lists") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/a> <http://x/p> "9" .
+         |<http://x/a> <http://x/q> "2" .
+         |<http://x/b> <http://x/p> "1" .
+         |<http://x/c> <http://x/r> <http://x/n1> .
+         |<http://x/n1> <http://x/p> "1" .
+         |""".stripMargin) -> "application/n-quads")
+    def subjects(q: String): Set[String] =
+      Sparql.execute(store.quads(), q).collect().map(lex(_, 0)).toSet
+    // ';' shares the subject
+    assert(subjects("""SELECT ?s { ?s <http://x/p> "1" ; <http://x/q> "2" }""") ==
+      Set("http://x/a"))
+    // ',' shares subject AND predicate
+    assert(subjects("""SELECT ?s { ?s <http://x/p> "1" , "9" }""") ==
+      Set("http://x/a"))
+    // trailing ';' before '.' is legal
+    assert(subjects("""SELECT ?s { ?s <http://x/q> "2" ; . }""") ==
+      Set("http://x/a"))
+    // [ ... ] is an unnamed joinable variable
+    assert(subjects("""SELECT ?s { ?s <http://x/r> [ <http://x/p> "1" ] }""") ==
+      Set("http://x/c"))
+    // the internal variable never surfaces through SELECT *
+    val star = Sparql.execute(store.quads(),
+      """SELECT * { ?s <http://x/r> [ <http://x/p> "1" ] }""")
+    assert(star.columns.toSeq == Seq("s"))
+    // bare [ ] subject block
+    assert(Sparql.execute(store.quads(),
+      """SELECT * { [ <http://x/p> "1" ; <http://x/q> "2" ] }""").count() == 1)
+  }
+
   test("comments and double literals parse (SPARQL grammar WS, 19.8)") {
     val rows = Sparql.execute(groupedStore.quads(),
       """# leading comment
