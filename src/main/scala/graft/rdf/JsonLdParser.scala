@@ -25,8 +25,11 @@ import scala.jdk.CollectionConverters._
   *   - `@list` value objects → rdf:first/rdf:rest cons chains ending
   *     in rdf:nil (empty list → rdf:nil directly; lists nest)
   *   - `@set` value objects → equivalent to the bare array (§4.3.1)
+  *   - `@reverse`: `{"@reverse": {"prop": nodes}}` emits
+  *     (node, prop, subject) — values must be node objects or IRIs
+  *     (a literal under @reverse is a parse error, per spec)
   * Out of scope (parse error → DLQ): remote/array contexts,
-  *   `@reverse`, `@index`, `@included`, IRI-keyed id maps.
+  *   `@index`, `@included`, IRI-keyed id maps.
   */
 object JsonLdParser {
 
@@ -144,6 +147,21 @@ final class JsonLdParser {
             // scopes the contents
             val inner = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
             inner.foreach(parseNode(_, subject))
+          case "@reverse" =>
+            if (!v.isObject)
+              throw new RdfParseException("json-ld: @reverse must be an object")
+            v.properties().asScala.foreach { re =>
+              val pred = Term.iri(expandIri(re.getKey))
+              val nodes =
+                if (re.getValue.isArray) re.getValue.elements().asScala.toSeq
+                else Seq(re.getValue)
+              nodes.foreach { nv =>
+                val node = objectOf(re.getKey, nv, g)
+                if (node.isLit) throw new RdfParseException(
+                  "json-ld: @reverse value must be a node, not a literal")
+                quads += Quad(g, node, pred, subject)
+              }
+            }
           case k if k.startsWith("@") =>
             throw new RdfParseException(s"json-ld: keyword '$k' not supported")
           case term =>

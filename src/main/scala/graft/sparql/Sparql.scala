@@ -1876,25 +1876,53 @@ object Sparql {
       out.toSeq
     }
 
-    /** A node in triple subject/object position: a plain node, or a
-      * blank-node property list `[ ... ]`, which binds a FRESH internal
-      * variable ('#'-prefixed — joins like any variable, is invisible
-      * to SELECT * / DISTINCT, and is stripped with the other hidden
-      * columns; a blank node in a query is just an unnamed variable).
+    /** A node in triple subject/object position: a plain node, a
+      * blank-node property list `[ ... ]`, or a collection `( ... )`.
+      * Both sugars bind FRESH internal variables ('#'-prefixed — they
+      * join like any variable, are invisible to SELECT * / DISTINCT,
+      * and are stripped with the other hidden columns; a blank node in
+      * a query is just an unnamed variable). A collection matches an
+      * rdf:first/rdf:rest chain of exactly the listed items — the
+      * shape [[graft.rdf.JsonLdParser]] `@list` /
+      * [[graft.rdf.RdfXmlParser]] `parseType="Collection"` emit.
       */
     private var blankN = 0
+    private def freshVar(): Var = { blankN += 1; Var(s"#b$blankN") }
     private def parseTripleNode(): (Node, Seq[GroupElem]) = {
       skipWs()
       if (peek == '[') {
         pos += 1
         skipWs()
-        blankN += 1
-        val v = Var(s"#b$blankN")
+        val v = freshVar()
         val inner =
           if (peek == ']') Seq.empty
           else parsePropertyList(v)
         expect(']')
         (v, inner)
+      } else if (peek == '(') {
+        pos += 1
+        skipWs()
+        if (peek == ')') { pos += 1; (Const(Term.iri(Term.RDF_NIL)), Seq.empty) }
+        else {
+          val items = scala.collection.mutable.ArrayBuffer[(Node, Seq[GroupElem])]()
+          while (peek != ')') { items += parseTripleNode(); skipWs() }
+          pos += 1
+          val out = scala.collection.mutable.ArrayBuffer[GroupElem]()
+          val head = freshVar()
+          var cur: Var = head
+          items.zipWithIndex.foreach { case ((n, extra), i) =>
+            out ++= extra
+            out += PatElem(TriplePattern(None, cur,
+              Const(Term.iri(Term.RDF_FIRST)), n))
+            val rest: Node =
+              if (i == items.size - 1) Const(Term.iri(Term.RDF_NIL))
+              else freshVar()
+            out += PatElem(TriplePattern(None, cur,
+              Const(Term.iri(Term.RDF_REST)), rest))
+            rest match { case v: Var => cur = v; case _ => () }
+          }
+          (head, out.toSeq)
+        }
       } else (parseNode(), Seq.empty)
     }
 

@@ -263,6 +263,22 @@ class RdfParserSpec extends AnyFunSuite {
     assert(qs.size == 5)
   }
 
+  test("json-ld: @reverse emits inverted triples; literals rejected") {
+    val qs = JsonLdParser.parse(
+      """{"@context": {"knows": "http://example/knows"},
+        | "@id": "http://example/a",
+        | "@reverse": {"knows": [{"@id": "http://example/b"},
+        |                        {"@id": "_:c"}]}}""".stripMargin)
+    assert(qs.toSet == Set(
+      Quad(null, Term.iri("http://example/b"), Term.iri("http://example/knows"),
+        Term.iri("http://example/a")),
+      Quad(null, Term.blank("c"), Term.iri("http://example/knows"),
+        Term.iri("http://example/a"))))
+    intercept[RdfParseException](JsonLdParser.parse(
+      """{"@id": "http://example/a",
+        | "@reverse": {"http://example/p": "a literal"}}""".stripMargin))
+  }
+
   test("rdf/xml: rdf:li numbers itself per node element; json-ld @set flattens") {
     val qs = RdfXmlParser.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -937,6 +937,28 @@ class SparqlSpec extends AnyFunSuite {
       """SELECT * { [ <http://x/p> "1" ; <http://x/q> "2" ] }""").count() == 1)
   }
 
+  test("collection patterns match rdf:first/rdf:rest chains exactly") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val store = ingest(
+      (s"""<http://x/s> <http://x/p> _:c1 .
+          |_:c1 <${rdf}first> "a" .
+          |_:c1 <${rdf}rest> _:c2 .
+          |_:c2 <${rdf}first> "b" .
+          |_:c2 <${rdf}rest> <${rdf}nil> .
+          |""".stripMargin) -> "application/n-quads")
+    val hit = Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ("a" "b") }""").collect()
+    assert(hit.length == 1 && lex(hit(0), 0) == "http://x/s")
+    // a shorter collection must NOT match (rest is a cell, not nil)
+    assert(Sparql.execute(store.quads(),
+      """SELECT ?s { ?s <http://x/p> ("a") }""").count() == 0)
+    // items can be variables
+    val items = Sparql.execute(store.quads(),
+      """SELECT ?x ?y { ?s <http://x/p> (?x ?y) }""").collect()
+    assert(items.length == 1)
+    assert(lex(items(0), 0) == "a" && lex(items(0), 1) == "b")
+  }
+
   test("comments and double literals parse (SPARQL grammar WS, 19.8)") {
     val rows = Sparql.execute(groupedStore.quads(),
       """# leading comment
