@@ -828,6 +828,13 @@ class SparqlSpec extends AnyFunSuite {
     bad("SELECT ?x { BIND(?a + AS ?x) }")               // dangling arithmetic
     // trailing garbage after a complete query is rejected
     bad("SELECT ?s { ?s ?p ?o } LIMIT 5 garbage")
+    // round-6 syntax: unterminated sugar and bad IRI function calls
+    bad("""SELECT ?s { ?s <http://x/p> ("a" }""")       // unterminated collection
+    bad("SELECT ?s { ?s <http://x/p> [ }")              // unterminated blank list
+    bad("""SELECT ?x { ?s ?p ?a
+           BIND(<http://www.w3.org/2001/XMLSchema#integer>(?a, ?a) AS ?x) }""")
+    bad("SELECT ?x { ?s ?p ?a BIND(<http://unknown/fn>(?a) AS ?x) }")
+    bad("SELECT ?s { ?s ?p ?o } VALUES ?x { }")         // empty trailing VALUES
   }
 
   test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
