@@ -24,6 +24,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // between entries, return the block manager to a clean slate:
+    // path-query closure checkpoints (and any stray persisted frame)
+    // would otherwise stay pinned for the JVM lifetime and tax
+    // whichever entries happen to run after them — the round-6
+    // sparql_* cluster "regression" was exactly that
+    def clearPinnedBlocks(): Unit = {
+      graft.sparql.Sparql.releaseClosures()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup, untimed: a join+agg touching the big tables, plus one
     // SPARQL and one projector entry — engine JIT/codegen cost is
@@ -32,6 +42,7 @@ object Bench {
     for (name <- Seq("q1_pricing_summary", "sparql_bgp", "proj_zero_lag"))
       try SparkEntry.queries.get(name).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
+    clearPinnedBlocks()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -41,7 +52,7 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             -1.0
-        }
+        } finally clearPinnedBlocks()
       }
       val median =
         if (times.contains(-1.0)) -1.0

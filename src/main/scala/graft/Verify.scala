@@ -27,6 +27,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // free path-closure checkpoints once the entry is written —
+        // 80 entries in one JVM must not accumulate pinned blocks
+        graft.sparql.Sparql.releaseClosures()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

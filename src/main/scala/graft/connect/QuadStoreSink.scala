@@ -73,6 +73,11 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       state
     }
     var foldsSinceCut = 0
+    // lazy checkpoint cuts made this batch: their blocks materialize
+    // (at most once) inside the commitOps write and are dead after it,
+    // so they are unpersisted once the commit returns — a long-running
+    // streaming job must not accumulate pinned blocks across batches
+    val checkpointCuts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def foldResolved(df: DataFrame): Unit = {
       // stays LAZY: the resolved plan runs ONCE, inside the single
       // commitOps write — replay is safe because commitOps never
@@ -90,6 +95,7 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       foldsSinceCut += 1
       if (foldsSinceCut >= 8) {
         state = state.localCheckpoint(false)
+        checkpointCuts += state
         foldsSinceCut = 0
       }
     }
@@ -139,7 +145,8 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       }
     }
     val ops = resolved.foldLeft(local.toSeq.toDF())(_.unionByName(_))
-    store.commitOps(batchId, ops)
+    try store.commitOps(batchId, ops)
+    finally checkpointCuts.foreach(graft.plans.Checkpoints.unpersist(_))
     // PA/PD prefix ops update the dataset prefix map in event order
     // (RDFChangesApply semantics; SURVEY §2.1 row 6)
     val prefixOps = events.flatMap { m =>

@@ -3,6 +3,7 @@ package graft.sparql
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Checkpoints
 import graft.rdf.{RdfParseException, Term}
 
 /** SPARQL-subset → DataFrame compiler (SURVEY.md §3.3, §7 phase 6):
@@ -830,6 +831,16 @@ object Sparql {
     * not a collect); `localCheckpoint` truncates the growing lineage
     * so round N's plan does not replay rounds 1..N-1. On a cluster the
     * same loop runs with a reliable checkpoint dir.
+    *
+    * Block-manager hygiene: each round's checkpoint is eagerly
+    * materialized by its `count()`, so the SUPERSEDED round's blocks
+    * are dead the moment the next round exists — they are unpersisted
+    * immediately (at closure sizes proportional to the data, leaking
+    * one copy per doubling round pins O(rounds × closure) storage for
+    * the JVM lifetime). Only the fixpoint result stays pinned, because
+    * the caller's plan still reads it; it is registered in
+    * [[liveClosures]] so [[releaseClosures]] can free it once the
+    * query's result has been consumed.
     */
   private def closure(edges: DataFrame): DataFrame = {
     // a `pg` column means per-graph closure (GRAPH ?var): the graph
@@ -850,10 +861,29 @@ object Sparql {
         .select(keep: _*)
         .unionByName(cur).distinct().localCheckpoint()
       val n = next.count()
-      if (n == size) fixed = true
-      else { size = n; cur = next }
+      if (n == size) { Checkpoints.unpersist(next); fixed = true }
+      else { size = n; Checkpoints.unpersist(cur); cur = next }
     }
+    liveClosures.synchronized { liveClosures += cur }
     cur
+  }
+
+  /** Fixpoint results whose checkpoint blocks are still pinned (the
+    * caller's lazy plan reads them). A long-running session — or the
+    * bench harness between entries — calls [[releaseClosures]] after
+    * consuming results to return the block manager to its pre-query
+    * footprint.
+    */
+  private val liveClosures = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Unpersist every closure checkpoint still pinned by past path
+    * queries. Safe once their results have been consumed; a plan that
+    * still references one would recompute from a freed checkpoint and
+    * fail, so call between queries, not mid-consumption.
+    */
+  def releaseClosures(): Unit = liveClosures.synchronized {
+    liveClosures.foreach(Checkpoints.unpersist(_))
+    liveClosures.clear()
   }
 
   /** SPARQL join of two binding sets (`left_outer` for OPTIONAL).

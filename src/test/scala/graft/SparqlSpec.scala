@@ -377,6 +377,33 @@ class SparqlSpec extends AnyFunSuite {
     assert(star.length == 45 + 10)
   }
 
+  test("path closure frees superseded checkpoints (block-manager stable)") {
+    // a depth-9 chain forces ~4 doubling rounds; every superseded
+    // round's localCheckpoint must be unpersisted as soon as the next
+    // round materializes, and the final fixpoint must be releasable —
+    // otherwise each path query pins O(rounds × closure) blocks for
+    // the JVM lifetime (the round-6 bench-noise scale-killer)
+    Sparql.releaseClosures() // drop leftovers from earlier tests
+    val chain = (0 until 9).map(i =>
+      s"<http://x/b$i> <http://x/next> <http://x/b${i + 1}> .").mkString("\n")
+    val store = ingest((chain + "\n") -> "application/n-quads")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?s ?o { ?s <http://x/next>+ ?o }").collect()
+    assert(rows.length == 45)
+    val afterRun = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the final fixpoint checkpoint survives the loop
+    assert(afterRun.size <= 1,
+      s"closure loop leaked ${afterRun.size} checkpoints: $afterRun")
+    Sparql.releaseClosures()
+    // unpersist(blocking=false) is async — poll briefly for drain
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while ((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseClosures did not return the block manager to its pre-query size")
+  }
+
   test("VALUES restricts solutions to the inline data") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
