@@ -238,8 +238,18 @@ object Similarity {
     *
     * Deterministic: hash-sampled init over ids ([[strideSampleDf]]),
     * fixed Lloyd rounds with exact DECIMAL means (same rationale as
-    * [[ivfTopK]]), ties to the larger code index — so the recall
-    * entry can assert a literal row.
+    * [[ivfTopK]]), argmax ties to the FIRST (smallest) code index —
+    * so the recall entry can assert a literal row.
+    *
+    * Plan-size note: the quantizer and the per-query lookup table are
+    * expressed as higher-order functions (`transform`/`zip_with`) over
+    * ONE 3-D codebook literal, not as m × ksub unrolled per-centroid
+    * expressions. The unrolled form produced 256-node trees whose
+    * optimize+codegen cost (~20 s) dwarfed the data at bench scale and
+    * would be re-paid per training round; the HOF form keeps the plan
+    * constant-size regardless of m/ksub, and only train/encode (run
+    * once per corpus) take the interpreted-lambda path — the ADC scan
+    * itself stays codegen'd element_at lookups.
     */
   def pqTopK(embs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -248,6 +258,7 @@ object Similarity {
     require(dim % m == 0, "dim must divide into m subspaces")
     val dsub = dim / m
     val e = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val n = e.count()
     // shortlist 0 = auto: a FRACTION of the corpus (n/4, ≥ 10k) so
     // recall holds as the corpus grows instead of decaying with a
     // fixed candidate count. The synthetic corpus is ISOTROPIC — the
@@ -257,30 +268,33 @@ object Similarity {
     // magnitude; the ADC scan itself always reads m bytes/vector.
     val effShortlist =
       if (shortlist > 0) shortlist
-      else math.max(10L * k, e.count() / 4).toInt
-    val books = trainCodebooks(e, m, dsub, ksub, iters)
-    // squared norms of each centroid — the argmin-L2 quantizer and the
-    // candidate-norm approximation both read them as literals
+      else math.max(10L * k, n / 4).toInt
+    val books = trainCodebooks(e, m, dsub, ksub, iters, n)
+    // the full codebook rides the plan as ONE 3-D literal (m × ksub ×
+    // dsub doubles) plus its per-centroid ||c||² table — every
+    // quantizer/lookup below indexes into these
+    val lit3d = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val cnorm2: Array[Array[Double]] = books.map(_.map(c => c.map(x => x * x).sum))
-    def sub(v: Column, mi: Int) = slice(v, mi * dsub + 1, dsub)
-    // argmin_j ||v_m - c_j||² = argmax_j (dot(v_m, c_j) - ||c_j||²/2)
-    def codeOf(v: Column, mi: Int): Column =
-      array_max(array((0 until ksub).map { j =>
-        struct((graft.functions.Sketches.dotDouble(sub(v, mi), typedLit(books(mi)(j).toSeq))
-          - lit(cnorm2(mi)(j) / 2)).as("s"), lit(j).as("i"))
-      }: _*)).getField("i")
+    val halfN2 = typedLit(cnorm2.map(_.map(_ / 2).toSeq).toSeq)
+    def sub(v: Column, mi: Column) = slice(v, mi * dsub + 1, lit(dsub))
+    // argmin_j ||v_m - c_j||² = argmax_j (dot(v_m, c_j) - ||c_j||²/2);
+    // array_position takes the FIRST max (deterministic tie-break)
+    def codesOf(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), mi => {
+        val scores = zip_with(element_at(lit3d, mi + 1), element_at(halfN2, mi + 1),
+          (c, h) => graft.functions.Sketches.dotDouble(sub(v, mi), c) - h)
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      })
     // the 100 TB shape: codes are computed ONCE and stored beside the
     // corpus (8 bytes/vector); only ids+codes ride the ADC scan
-    val encoded = e.select(col("id"),
-      array((0 until m).map(codeOf(col("v"), _)): _*).as("codes"))
+    val encoded = e.select(col("id"), codesOf(col("v")).as("codes"))
     // per-QUERY lookup tables, computed once on the broadcast side:
     // tab[m][j] = dot(q_m, c_{m,j})
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("tab", array((0 until m).map(mi =>
-        array((0 until ksub).map(j =>
-          graft.functions.Sketches.dotDouble(sub(col("qv"), mi),
-            typedLit(books(mi)(j).toSeq))): _*)): _*))
+      .withColumn("tab", transform(sequence(lit(0), lit(m - 1)), mi =>
+        transform(element_at(lit3d, mi + 1),
+          c => graft.functions.Sketches.dotDouble(sub(col("qv"), mi), c))))
       .select(col("query_id"), col("tab"))
     val normTab = typedLit(cnorm2.map(_.toSeq).toSeq)
     def lookup(t: Column, mi: Int) =
@@ -315,28 +329,36 @@ object Similarity {
     *
     * ALL subspaces train in one pass per iteration: sub-vectors ride
     * an exploded (mi, s) projection, the assignment reads the full
-    * codebook as ONE 3-D literal indexed by mi, and a single
-    * (mi, cell, pos) aggregation updates every codebook — `iters`
-    * jobs total instead of m × iters.
+    * codebook as ONE 3-D literal indexed by mi (zip_with lambda —
+    * constant plan size, same rationale as [[pqTopK]]'s quantizer),
+    * and a single (mi, cell, pos) aggregation updates every codebook —
+    * `iters` jobs total instead of m × iters.
+    *
+    * Training reads a bounded hash sample of the corpus (≤ 2^16
+    * vectors): Lloyd centroids converge on a sample — at 100 TB the
+    * full-corpus pass is reserved for the ONE encode scan, never for
+    * the training loop. Below the cap the sample is the whole corpus,
+    * so small-SF results are unchanged by the bound.
     */
-  private def trainCodebooks(e: DataFrame, m: Int, dsub: Int, ksub: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
-    val n = e.count()
+  private[graft] def trainCodebooks(e: DataFrame, m: Int, dsub: Int, ksub: Int,
+      iters: Int, n: Long): Array[Array[Array[Double]]] = {
+    val trainCap = 1 << 16
+    val train =
+      if (n <= trainCap) e
+      else e.filter(pmod(xxhash64(col("id")), lit(math.max(1L, n / trainCap))) === 0)
     val sample = strideSample(e, ksub, n)
     var books: Array[Array[Array[Double]]] =
       (0 until m).toArray.map(mi => sample.map(_.slice(mi * dsub, mi * dsub + dsub)))
-    val subs = e.select(
+    val subs = train.select(
       posexplode(array((0 until m).map(mi =>
         slice(col("v"), mi * dsub + 1, dsub)): _*)).as(Seq("mi", "s")))
     for (_ <- 0 until iters) {
       val lit3d = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
       val halfN2 = typedLit(books.map(_.map(c => c.map(x => x * x).sum / 2).toSeq).toSeq)
-      val cell = array_max(array((0 until ksub).map { j =>
-        struct((graft.functions.Sketches.dotDouble(col("s"),
-            element_at(element_at(lit3d, col("mi") + 1), j + 1))
-          - element_at(element_at(halfN2, col("mi") + 1), j + 1)).as("s"),
-          lit(j).as("i"))
-      }: _*)).getField("i")
+      val scores = zip_with(element_at(lit3d, col("mi") + 1),
+        element_at(halfN2, col("mi") + 1),
+        (c, h) => graft.functions.Sketches.dotDouble(col("s"), c) - h)
+      val cell = (array_position(scores, array_max(scores)) - 1).cast("int")
       val means = subs.select(col("mi"), cell.as("cell"),
           posexplode(col("s")).as(Seq("pos", "x")))
         .groupBy(col("mi"), col("cell"), col("pos"))
