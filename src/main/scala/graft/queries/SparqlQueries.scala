@@ -469,6 +469,41 @@ object SparqlQueries {
           col("dd").getField("lex").cast("int").as("dd"))
         .orderBy(col("k"))
     },
+    // nondeterministic builtins under a FIXED EvalContext (clock +
+    // seed): NOW() gates on the injected instant — DuckDB re-derives
+    // the surviving row count from the same date cut — while the
+    // STRUUID()/RAND() streams are checked as facts a literal oracle
+    // CAN assert: per-row v4 shape, all-distinct, in [0,1)
+    "sparql_nondet" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqnd", dir, s) { st =>
+        val rows = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long"), col("o_orderdate").cast("string"))
+          .orderBy(col("o_orderkey")).limit(50)
+          .as[(Long, String)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, d) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}key"),
+              Term.typed(k.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}when"),
+              Term.typed(d + "T00:00:00Z", Term.XSD_DATETIME)))
+        })
+      }
+      val ctx = Sparql.EvalContext(
+        java.time.Instant.parse("1998-01-01T00:00:00Z"), seed = 12345L)
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?k ?u ?r {
+              ?s <${NS}key> ?k . ?s <${NS}when> ?d
+              FILTER(?d < NOW())
+              BIND(STRUUID() AS ?u) BIND(RAND() AS ?r)
+            }""", ctx)
+      val shape = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}$"
+      res.select(col("u").getField("lex").as("u"),
+          col("r").getField("lex").cast("double").as("r"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("u")).as("nu"),
+          (min(col("u").rlike(shape).cast("int")) === 1).as("ok"),
+          (min((col("r") >= 0 && col("r") < 1).cast("int")) === 1).as("rok"))
+    },
     // FROM dataset clauses: nation quads split by key parity into two
     // named graphs; one probe reads a single graph as the default,
     // another merges both — each checked against the relational truth
@@ -672,6 +707,11 @@ object SparqlQueries {
                 day(o_orderdate)::INT AS dd
          FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
          ORDER BY k""",
+    "sparql_nondet" ->
+      """SELECT count(*)::BIGINT AS n, count(*)::BIGINT AS nu,
+                true AS ok, true AS rok
+         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+         WHERE o_orderdate < DATE '1998-01-01'""",
     "sparql_from" ->
       """SELECT * FROM (
            SELECT 'even' AS part, n_regionkey, COUNT(*)::BIGINT AS n

@@ -211,7 +211,12 @@ object Sparql {
       from: Seq[Term] = Seq.empty, fromNamed: Seq[Term] = Seq.empty,
       // `GROUP BY (expr AS ?x)` keys: bound onto the solution before
       // aggregation; their aliases also appear in `groupBy`
-      groupExprs: Seq[(VExpr, String)] = Seq.empty)
+      groupExprs: Seq[(VExpr, String)] = Seq.empty,
+      // trailing VALUES of a GROUPED query (§18.2.4.3): joined after
+      // aggregation+HAVING, not into the WHERE pattern — the parser
+      // nests it into the pattern only for ungrouped queries, where
+      // the two placements are equivalent
+      trailingValues: Option[ValuesElem] = None)
 
   /** Query forms (SPARQL §16): SELECT bindings, ASK boolean,
     * CONSTRUCT instantiated quads.
@@ -225,12 +230,51 @@ object Sparql {
   final case class DescribeReq(nodes: Seq[Node], pattern: Option[Pattern])
     extends Request
 
+  /** Per-query evaluation context for the nondeterministic builtins
+    * (§17.4.2 / §17.4.5): `NOW()` reads the injected clock — one fixed
+    * instant for the whole query, per spec — and `UUID()`/`STRUUID()`/
+    * `BNODE()`/`RAND()` derive per-row values from `seed` (each call
+    * site gets its own stream). A fixed context makes the query's
+    * output reproducible — the oracle-safe form; the no-context
+    * [[execute]] overload draws a fresh clock and seed per query,
+    * which is the ARQ behavior.
+    */
+  final case class EvalContext(
+      now: java.time.Instant = java.time.Instant.now(),
+      seed: Long = scala.util.Random.nextLong()) {
+    private val sites = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** A distinct deterministic sub-seed per builtin call site. */
+    private[sparql] def nextSiteSeed(): Long =
+      seed + 0x9e3779b97f4a7c15L * sites.incrementAndGet()
+  }
+
+  // compile-scoped: compileExpr runs eagerly inside execute's dynamic
+  // extent, so every builtin in the query reads ONE context; None
+  // means "draw a fresh one per query" (clock advances between calls)
+  private val evalCtx =
+    new scala.util.DynamicVariable[Option[EvalContext]](None)
+
+  private def currentCtx: EvalContext =
+    evalCtx.value.getOrElse(EvalContext())
+
+  /** [[execute]] with an explicit clock/seed for the nondeterministic
+    * builtins — reproducible output for tests and oracles.
+    */
+  def execute(quads: DataFrame, queryText: String, ctx: EvalContext): DataFrame =
+    evalCtx.withValue(Some(ctx))(execute(quads, queryText))
+
   /** Compile + run a query against a quads DataFrame (columns graph,
     * subject, predicate, obj — [[graft.store.QuadStore.quads]]).
     * SELECT yields one column per projected variable; ASK a single
     * `ask BOOLEAN` row; CONSTRUCT distinct quads columns.
     */
-  def execute(quads: DataFrame, queryText: String): DataFrame =
+  def execute(quads: DataFrame, queryText: String): DataFrame = {
+    def run(): DataFrame = executeParsed(quads, queryText)
+    if (evalCtx.value.isDefined) run()
+    else evalCtx.withValue(Some(EvalContext()))(run())
+  }
+
+  private def executeParsed(quads: DataFrame, queryText: String): DataFrame =
     new Parser(queryText).parseRequest() match {
       case SelectReq(q) => executeSelect(quads, q)
       case AskReq(pattern) =>
@@ -309,7 +353,7 @@ object Sparql {
     val bound = q.groupExprs.foldLeft(boundSol.df) { case (d, (e, as)) =>
       d.withColumn(as, compileVExpr(d, TERM_STRUCT, e))
     }
-    def numVal(v: String) = col(v).getField("lex").cast("decimal(28,10)")
+    def numVal(v: String) = col(v).getField("lex").try_cast("decimal(28,10)")
     def intTerm(c: Column) = struct(lit(Term.LIT).as("termType"),
       c.cast("string").as("lex"),
       lit(Term.XSD_INTEGER).cast("string").as("datatype"),
@@ -399,12 +443,16 @@ object Sparql {
         // An expression projection may mix aggregate calls and group
         // keys (`(SUM(?a)/SUM(?b) AS ?r)`, §18.4) — anything else free
         // in it is an error
-        items.collect { case ItemVar(n) if !q.groupBy.contains(n) => n }
-          .foreach(n => throw new RdfParseException(
-            s"projected variable ?$n is not in GROUP BY"))
+        // trailing-VALUES variables join the GROUPED solution
+        // (§18.2.4.3), so they are projectable alongside group keys
+        val tvVars = q.trailingValues.map(_.vars.toSet).getOrElse(Set.empty)
+        items.collect {
+          case ItemVar(n) if !q.groupBy.contains(n) && !tvVars.contains(n) => n
+        }.foreach(n => throw new RdfParseException(
+          s"projected variable ?$n is not in GROUP BY"))
         items.collect { case ItemExpr(e, as) =>
           val frees = varsOfV(substAggs(e, _ => VConst(Term.lit(""))))
-          (frees -- q.groupBy).foreach(n => throw new RdfParseException(
+          (frees -- q.groupBy -- tvVars).foreach(n => throw new RdfParseException(
             s"?$n in expression projection ?$as is neither aggregated nor a GROUP BY key"))
         }
         // raw (SQL-typed) aggregate — also the HAVING form. Arguments
@@ -414,7 +462,7 @@ object Sparql {
         def argCol(e: VExpr): Column = compileExpr(e,
           n => if (boundCols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT))
         def argVal(e: VExpr): Column =
-          argCol(e).getField("lex").cast("decimal(28,10)")
+          argCol(e).getField("lex").try_cast("decimal(28,10)")
         def rawAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
             separator: String): Column = func match {
           case "COUNT" =>
@@ -476,7 +524,10 @@ object Sparql {
         // a non-COUNT aggregate over no numeric bindings is null ⇒
         // its alias is maybe-unbound for join compatibility; an
         // expression projection may evaluate to error likewise
-        maybe = (boundSol.maybe intersect q.groupBy.toSet) ++
+        val tvUndef = q.trailingValues.map(v => v.vars.zipWithIndex.collect {
+          case (n, i) if v.rows.exists(_(i).isEmpty) => n
+        }.toSet).getOrElse(Set.empty)
+        maybe = (boundSol.maybe intersect q.groupBy.toSet) ++ tvUndef ++
           items.collect {
             case ItemAgg(func, _, as, _, _)
                 if func != "COUNT" && func != "GROUP_CONCAT" => as
@@ -490,10 +541,26 @@ object Sparql {
           else bound.groupBy(q.groupBy.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
         // HAVING: FILTER semantics over the grouped solution — group
         // keys resolve directly, aggregate calls via the hidden columns
-        val kept = q.having.foldLeft(grouped) { (d, f) =>
+        val kept0 = q.having.foldLeft(grouped) { (d, f) =>
           val cset = d.columns.toSet
           d.filter(compileFilter(substAggsF(f, a => VVar(hiddenName(a))),
             n => if (cset.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
+        }
+        // §18.2.4.3: the trailing VALUES data joins the grouped,
+        // HAVING-filtered solution — before select expressions — via
+        // the standard compatibility join (shared group keys; UNDEF
+        // rows are maybe-unbound on the data side)
+        val kept = q.trailingValues match {
+          case Some(ValuesElem(vvars, vrows)) =>
+            val data = vrows.map { r =>
+              unitDf(quads).select(vvars.zip(r).map {
+                case (v, Some(t)) => termLit(t).as(v)
+                case (v, None) => lit(null).cast(TERM_STRUCT).as(v)
+              }: _*)
+            }.reduce(_.unionByName(_))
+            joinShared(Sol(kept0, boundSol.maybe intersect q.groupBy.toSet),
+              Sol(data, tvUndef), "inner").df
+          case None => kept0
         }
         val keptCols = kept.columns.toSet
         def keptResolve(n: String): Column =
@@ -556,12 +623,18 @@ object Sparql {
       .when(c.getField("termType") === Term.BLANK, 1)
       .when(c.getField("termType") === Term.IRI, 2)
       .otherwise(3)
-    // exact DECIMAL, the same value space the FILTER comparators use —
-    // a double key would sort integers beyond 2^53 wrongly where the
-    // filters compare them correctly
-    val numv = when(isNumericLit(c), c.getField("lex").cast("decimal(38,10)"))
+    // numeric order via TWO keys: a double primary (monotonic cast,
+    // covers the full range — "1e30" is real data the exact key can't
+    // hold) and an exact DECIMAL secondary that breaks the ties the
+    // double's 53-bit mantissa collapses (integers beyond 2^53 — the
+    // same value space the FILTER comparators use). Values outside
+    // decimal(38,10) tie-break by lexical form only.
+    val lexv = c.getField("lex")
+    val numd = when(isNumericLit(c), lexv.try_cast("double"))
+      .otherwise(lit(null).cast("double"))
+    val numv = when(isNumericLit(c), lexv.try_cast("decimal(38,10)"))
       .otherwise(lit(null).cast("decimal(38,10)"))
-    Seq(rank, numv, c.getField("lex"))
+    Seq(rank, numd, numv, lexv)
   }
 
   // --- compiler -------------------------------------------------------------
@@ -977,10 +1050,14 @@ object Sparql {
         dt.as("datatype"), lit(null).cast("string").as("lang")))
 
   /** Numeric VALUE of a term column (null for non-numeric terms —
-    * SPARQL expression error).
+    * SPARQL expression error). try_cast, not cast: under ANSI mode
+    * (Spark 4 default) a data-controlled lexical outside the decimal
+    * carrier ("1e30"^^xsd:double) would otherwise throw at runtime
+    * instead of being an expression error — same for every other
+    * lexical→numeric cast in this file.
     */
   private def numValueOf(c: Column): Column =
-    when(isNumericLit(c), c.getField("lex").cast("decimal(38,10)"))
+    when(isNumericLit(c), c.getField("lex").try_cast("decimal(38,10)"))
       .otherwise(lit(null).cast("decimal(38,10)"))
 
   private def compileExpr(e: VExpr, resolve: String => Column): Column = e match {
@@ -1038,10 +1115,13 @@ object Sparql {
       val srcStr = isPlainString(a)
       val truthy = lexC.isin("true", "1")
       val falsy = lexC.isin("false", "0")
-      def typed(lex: Column, dtIri: String) = struct(
+      // a null lexical form (decimal(38,0)/(38,10) overflow of an
+      // in-range source, >38-digit strings) is a cast ERROR, not a
+      // malformed literal-with-null-lex
+      def typed(lex: Column, dtIri: String) = when(lex.isNotNull, struct(
         lit(Term.LIT).as("termType"), lex.as("lex"),
         lit(dtIri).cast("string").as("datatype"),
-        lit(null).cast("string").as("lang"))
+        lit(null).cast("string").as("lang"))).otherwise(nullTerm)
       dt match {
         case Term.XSD_STRING =>
           // the lexical form of any literal, as xsd:string (= plain
@@ -1061,18 +1141,18 @@ object Sparql {
           when(srcNum, typed(trunc.cast("string"), Term.XSD_INTEGER))
             .when(srcBool, typed(when(truthy, "1").otherwise("0"), Term.XSD_INTEGER))
             .when(srcStr && lexC.rlike("^[+-]?\\d+$"),
-              typed(lexC.cast("decimal(38,0)").cast("string"), Term.XSD_INTEGER))
+              typed(lexC.try_cast("decimal(38,0)").cast("string"), Term.XSD_INTEGER))
             .otherwise(nullTerm)
         case Term.XSD_DECIMAL =>
           when(srcNum, typed(decLex(numValueOf(a)), Term.XSD_DECIMAL))
             .when(srcBool, typed(when(truthy, "1").otherwise("0"), Term.XSD_DECIMAL))
             .when(srcStr && lexC.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"),
-              typed(decLex(lexC.cast("decimal(38,10)")), Term.XSD_DECIMAL))
+              typed(decLex(lexC.try_cast("decimal(38,10)")), Term.XSD_DECIMAL))
             .otherwise(nullTerm)
         case Term.XSD_DOUBLE | Term.XSD_FLOAT =>
           // lexical form is the JVM double repr — deterministic
           // engine-wide, not XSD-canonical-with-exponent
-          val d = when(srcNum || srcStr, lexC.cast("double"))
+          val d = when(srcNum || srcStr, lexC.try_cast("double"))
             .when(srcBool, when(truthy, 1.0d).otherwise(0.0d))
           when(d.isNotNull, typed(d.cast("string"), dt)).otherwise(nullTerm)
         case Term.XSD_DATETIME =>
@@ -1224,7 +1304,7 @@ object Sparql {
                 case "MINUTES" => "T\\d{2}:(\\d{2})"
               }
               val v = part(p)
-              when(ok && v =!= "", intTerm(v.cast("long"))).otherwise(nullTerm)
+              when(ok && v =!= "", intTerm(v.try_cast("long"))).otherwise(nullTerm)
           }
         // literal constructors (§17.4.2.8-9): the lexical form must be
         // a simple literal, the datatype an IRI / the tag a literal
@@ -1240,8 +1320,67 @@ object Sparql {
             struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
               lit(null).cast("string").as("datatype"), lex(1).as("lang")))
             .otherwise(nullTerm)
+
+        // --- nondeterministic builtins (§17.4.2 / §17.4.5): values
+        // come from the query's EvalContext so a fixed clock/seed
+        // reproduces the output bit-for-bit (oracle-safe) -------------
+        case "NOW" =>
+          // ONE instant for the whole query (§17.4.5.1) — compiled to
+          // a literal from the context clock
+          val lexNow = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(currentCtx.now)
+          struct(lit(Term.LIT).as("termType"), lit(lexNow).as("lex"),
+            lit(Term.XSD_DATETIME).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang"))
+        case "RAND" =>
+          // xsd:double in [0,1), a distinct seeded stream per call site
+          struct(lit(Term.LIT).as("termType"),
+            rand(currentCtx.nextSiteSeed()).cast("string").as("lex"),
+            lit(Term.XSD_DOUBLE).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang"))
+        case "UUID" =>
+          struct(lit(Term.IRI).as("termType"),
+            concat(lit("urn:uuid:"), uuidLex(currentCtx)).as("lex"),
+            lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang"))
+        case "STRUUID" => plainStrTerm(uuidLex(currentCtx))
+        case "BNODE" if args.isEmpty =>
+          struct(lit(Term.BLANK).as("termType"),
+            concat(lit("gen"),
+              lower(hex(xxhash64(rand(currentCtx.nextSiteSeed()))))).as("lex"),
+            lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang"))
+        case "BNODE" =>
+          // BNODE(str): one label per distinct literal (stable across
+          // solutions — a CONSTRUCT-templating-friendly reading of
+          // §17.4.2.9, which scopes freshness per solution; ARQ's
+          // per-row map is not reproducible under distribution)
+          when(a(0).getField("termType") === Term.LIT &&
+              a(0).getField("lang").isNull &&
+              (a(0).getField("datatype").isNull ||
+                a(0).getField("datatype") === Term.XSD_STRING),
+            struct(lit(Term.BLANK).as("termType"),
+              concat(lit("b"), lower(hex(xxhash64(lex(0),
+                lit(currentCtx.seed))))).as("lex"),
+              lit(null).cast("string").as("datatype"),
+              lit(null).cast("string").as("lang")))
+            .otherwise(nullTerm)
         case other => throw new RdfParseException(s"unsupported function $other")
       }
+  }
+
+  /** A v4-shaped UUID lexical, one fresh value per row: 122 random
+    * bits drawn from two seeded per-call-site streams. Reproducible
+    * given the context seed and a stable partitioning of the input —
+    * the property the oracle entries rely on.
+    */
+  private def uuidLex(ctx: EvalContext): Column = {
+    val h1 = lpad(hex(xxhash64(rand(ctx.nextSiteSeed()))), 16, "0")
+    val h2 = lpad(hex(xxhash64(rand(ctx.nextSiteSeed()))), 16, "0")
+    lower(concat(
+      substring(h1, 1, 8), lit("-"), substring(h1, 9, 4), lit("-4"),
+      substring(h1, 13, 3), lit("-a"), substring(h2, 1, 3), lit("-"),
+      substring(h2, 4, 12)))
   }
 
   private def applyFilter(df: DataFrame, f: FExpr): DataFrame = {
@@ -1698,15 +1837,29 @@ object Sparql {
         else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
         else more = false
       }
-      // trailing ValuesClause (§7.2): joins the WHERE solutions before
-      // the solution modifiers. Nesting the original group keeps its
-      // FILTER scopes intact — exactly the spec's Join(pattern, data)
-      val fullPattern =
-        if (tryKeyword("VALUES"))
-          Group(Seq(NestedElem(pattern), parseValuesElem()))
-        else pattern
+      // trailing ValuesClause (§7.2): for an UNGROUPED query it joins
+      // the WHERE solutions (nesting the original group keeps its
+      // FILTER scopes intact — exactly the spec's Join(pattern, data));
+      // a GROUPED query must join it AFTER aggregation and HAVING
+      // (§18.2.4.3 — the pre-pattern join would multiply rows before
+      // COUNT/SUM), so it travels separately on the Query
+      val isGrouped = groupBy.nonEmpty || having.nonEmpty ||
+        (projection match {
+          case SelectItems(items) => items.exists {
+            case _: ItemAgg => true
+            case ItemExpr(e, _) => aggsOfV(e).nonEmpty
+            case _ => false
+          }
+          case _ => false
+        }) || orderBy.exists(k => aggsOfV(k.expr).nonEmpty)
+      val (fullPattern, trailingValues) =
+        if (tryKeyword("VALUES")) {
+          val v = parseValuesElem()
+          if (isGrouped) (pattern, Some(v))
+          else (Group(Seq(NestedElem(pattern), v)): Pattern, None)
+        } else (pattern, None)
       Query(projection, fullPattern, groupBy, having, orderBy, limit, offset,
-        distinct, from.toSeq, fromNamed.toSeq, groupExprs.toSeq)
+        distinct, from.toSeq, fromNamed.toSeq, groupExprs.toSeq, trailingValues)
     }
 
     private def parseProjection(): Projection = {
@@ -2205,6 +2358,9 @@ object Sparql {
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
         "STRDT", "STRLANG")
+    // nondeterministic builtins (§17.4.2 / §17.4.5): zero-argument;
+    // BNODE is handled separately (0 or 1 argument)
+    private val NILADIC_FNS = Seq("NOW", "UUID", "STRUUID", "RAND")
     private val AGG_FNS =
       Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
 
@@ -2248,6 +2404,15 @@ object Sparql {
       } else if (NARY_FNS.exists(tryKeyword)) {
         val func = text.substring(0, pos).trim.split("[^A-Za-z0-9_]").last.toUpperCase
         VFnN(func, parseExprList())
+      } else if (NILADIC_FNS.exists(tryKeyword)) {
+        val func = text.substring(0, pos).trim.split("[^A-Za-z0-9_]").last.toUpperCase
+        expect('('); expect(')')
+        VFnN(func, Seq.empty)
+      } else if (tryKeyword("BNODE")) {
+        expect('(')
+        skipWs()
+        if (peek == ')') { pos += 1; VFnN("BNODE", Seq.empty) }
+        else { val a = parseAdditive(); expect(')'); VFnN("BNODE", Seq(a)) }
       } else if (peek == '?') VVar(parseVar())
       else parseNode() match {
         case Const(t) if t.isIri && { skipWs(); peek == '(' } =>

@@ -1193,6 +1193,98 @@ class SparqlSpec extends AnyFunSuite {
     assert(undef.toSet == Set("http://x/a", "http://x/b"))
   }
 
+  test("trailing VALUES of a grouped query joins after aggregation (spec 18.2.4.3)") {
+    val store = ingest(
+      (s"""<http://x/s1> <http://x/p> "1"^^<${Term.XSD_INTEGER}> .
+          |<http://x/s1> <http://x/p> "2"^^<${Term.XSD_INTEGER}> .
+          |<http://x/s2> <http://x/p> "3"^^<${Term.XSD_INTEGER}> .
+          |""".stripMargin) -> "application/n-quads")
+    // duplicate VALUES rows multiply the GROUPED solution, not the
+    // rows feeding COUNT — the pre-pattern join would report n=4
+    val dup = Sparql.execute(store.quads(),
+      """SELECT ?s (COUNT(?o) AS ?n) { ?s <http://x/p> ?o } GROUP BY ?s
+        |VALUES ?s { <http://x/s1> <http://x/s1> }""".stripMargin).collect()
+    assert(dup.length == 2)
+    assert(dup.forall(r => lex(r, 0) == "http://x/s1" && r.getLong(1) == 2L))
+    // restriction form: only the named group survives, count intact
+    val one = Sparql.execute(store.quads(),
+      """SELECT ?s (COUNT(?o) AS ?n) { ?s <http://x/p> ?o } GROUP BY ?s
+        |VALUES ?s { <http://x/s2> }""".stripMargin).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 1L)
+    // a VALUES row naming no existing group contributes nothing
+    // (inner compatibility join), and UNDEF keeps every group
+    val undefd = Sparql.execute(store.quads(),
+      """SELECT ?s (SUM(?o) AS ?t) { ?s <http://x/p> ?o } GROUP BY ?s
+        |VALUES ?s { UNDEF }""".stripMargin).collect()
+    assert(undefd.length == 2)
+    assert(undefd.map(_.getDecimal(1).longValue).toSet == Set(3L, 3L))
+  }
+
+  test("ORDER BY keeps numeric order beyond the exact-decimal range; overflowing casts error") {
+    val store = ingest(
+      (s"""<http://x/a> <http://x/v> "1e30"^^<${Term.XSD + "double"}> .
+          |<http://x/b> <http://x/v> "5"^^<${Term.XSD_INTEGER}> .
+          |<http://x/c> <http://x/v> "-1e30"^^<${Term.XSD + "double"}> .
+          |""".stripMargin) -> "application/n-quads")
+    // 1e30 nulls under decimal(38,10); the double primary key still
+    // orders it above every in-range value (and -1e30 below)
+    val rows = Sparql.execute(store.quads(),
+      "SELECT ?s ?v { ?s <http://x/v> ?v } ORDER BY ?v")
+      .collect().map(r => lex(r, 0))
+    assert(rows.toSeq == Seq("http://x/c", "http://x/b", "http://x/a"))
+    // a cast overflowing the decimal carrier is an expression error
+    // (unbound), never a literal with a null lexical form
+    val cast = Sparql.execute(store.quads(),
+      s"""SELECT (<${Term.XSD_INTEGER}>("${"9" * 40}") AS ?x)
+          { <http://x/b> <http://x/v> ?v }""").collect()
+    assert(cast.length == 1 && cast(0).isNullAt(0))
+  }
+
+  test("nondeterministic builtins: NOW/RAND/UUID/STRUUID/BNODE under a seeded context") {
+    val store = ingest(
+      (s"""<http://x/a> <http://x/t> "2026-01-01T00:00:00Z"^^<${Term.XSD_DATETIME}> .
+          |<http://x/b> <http://x/t> "2026-12-01T00:00:00Z"^^<${Term.XSD_DATETIME}> .
+          |""".stripMargin) -> "application/n-quads")
+    // NOW() is the injected clock, one instant for the whole query
+    val ctx = Sparql.EvalContext(
+      java.time.Instant.parse("2026-06-15T00:00:00Z"), seed = 42L)
+    val now = Sparql.execute(store.quads(),
+      "SELECT ?s { ?s <http://x/t> ?d FILTER(?d < NOW()) }", ctx).collect()
+    assert(now.map(r => lex(r, 0)).toSeq == Seq("http://x/a"))
+    // UUID/STRUUID: v4 shape, fresh per row, reproducible per seed
+    val q = "SELECT (UUID() AS ?u) (STRUUID() AS ?su) { ?s <http://x/t> ?d }"
+    def run() = Sparql.execute(store.quads(), q,
+      Sparql.EvalContext(seed = 7L)).collect()
+    val rows = run()
+    assert(rows.length == 2)
+    val iriRe = "^urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}$"
+    rows.foreach { r =>
+      assert(r.getStruct(0).getString(0) == "iri")
+      assert(r.getStruct(0).getString(1).matches(iriRe))
+      assert(r.getStruct(1).getString(1)
+        .matches(iriRe.replace("^urn:uuid:", "^")))
+    }
+    assert(rows.map(_.getStruct(0).getString(1)).distinct.length == 2)
+    assert(run().map(_.getStruct(0).getString(1)).toSeq ==
+      rows.map(_.getStruct(0).getString(1)).toSeq) // same seed, same output
+    // RAND: xsd:double in [0,1); BNODE(str): same label for the same
+    // literal across call sites, different labels for different ones
+    val misc = Sparql.execute(store.quads(),
+      """SELECT (RAND() AS ?r) (BNODE() AS ?f) (BNODE("k") AS ?b1)
+                (BNODE("k") AS ?b2) (BNODE("x") AS ?b3)
+         { ?s <http://x/t> ?d }""",
+      Sparql.EvalContext(seed = 9L)).collect()
+    misc.foreach { r =>
+      val rv = r.getStruct(0)
+      assert(rv.getString(2) == Term.XSD_DOUBLE)
+      val d = rv.getString(1).toDouble
+      assert(d >= 0.0 && d < 1.0)
+      assert(r.getStruct(1).getString(0) == "blank")
+      assert(r.getStruct(2).getString(1) == r.getStruct(3).getString(1))
+      assert(r.getStruct(2).getString(1) != r.getStruct(4).getString(1))
+    }
+  }
+
   test("expression ORDER BY key in a non-aggregate query") {
     val rows = Sparql.execute(groupedStore.quads(),
       "SELECT ?s ?k { ?s <http://x/k> ?k } ORDER BY DESC(?k * 2)")
