@@ -28,7 +28,9 @@ import scala.jdk.CollectionConverters._
   *   - `@reverse`: `{"@reverse": {"prop": nodes}}` emits
   *     (node, prop, subject) — values must be node objects or IRIs
   *     (a literal under @reverse is a parse error, per spec)
-  * Out of scope (parse error → DLQ): remote/array contexts,
+  *   - array `@context`: inline objects merged left-to-right (later
+  *     definitions shadow earlier ones; a null member resets)
+  * Out of scope (parse error → DLQ): remote (string) contexts,
   *   `@index`, `@included`, IRI-keyed id maps.
   */
 object JsonLdParser {
@@ -79,6 +81,18 @@ final class JsonLdParser {
   private def readContext(obj: JsonNode): Unit = {
     val ctx = obj.get("@context")
     if (ctx == null) return
+    if (ctx.isArray) {
+      // array form (§3.1): member contexts merge LEFT-TO-RIGHT, later
+      // definitions shadowing earlier ones; a null member resets the
+      // active context; remote (string) members stay rejected below
+      ctx.elements().asScala.foreach { m =>
+        if (m.isNull) { mappings = Map.empty; coercions = Map.empty; vocab = null }
+        else readOneContext(m)
+      }
+    } else readOneContext(ctx)
+  }
+
+  private def readOneContext(ctx: JsonNode): Unit = {
     if (!ctx.isObject)
       throw new RdfParseException("json-ld: only inline object @context supported")
     ctx.properties().asScala.foreach { e =>

@@ -22,14 +22,17 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *     `rdf:datatype` typed text, `xml:lang` (inherited) language
   *     text, plain text, a nested node element,
   *     `rdf:parseType="Resource"` (anonymous blank with nested
-  *     property elements), or `rdf:parseType="Collection"` (nested
+  *     property elements), `rdf:parseType="Collection"` (nested
   *     node elements chained as an rdf:first/rdf:rest list ending in
-  *     rdf:nil; empty → rdf:nil directly)
+  *     rdf:nil; empty → rdf:nil directly), or
+  *     `rdf:parseType="Literal"` (content re-serialized as the
+  *     lexical form of an rdf:XMLLiteral typed literal)
   *   - containers: `rdf:li` property elements number themselves
   *     `rdf:_1, rdf:_2, …` per enclosing node element (rdf:Seq/Bag/
   *     Alt are ordinary typed nodes)
   * Out of scope (rejected with a parse error, routed to the DLQ):
-  *   `rdf:parseType="Literal"`, reification attributes.
+  *   reification attributes (rdf:ID on property elements,
+  *   rdf:bagID).
   *
   * RDF/XML carries no named graphs: every quad lands in the default
   * graph (graph = null).
@@ -205,10 +208,17 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       i += 1
     }
 
-    if (parseType != null && parseType != "Resource" && parseType != "Collection")
+    if (parseType != null && parseType != "Resource" &&
+        parseType != "Collection" && parseType != "Literal")
       throw new RdfParseException(s"rdf/xml: parseType='$parseType' not supported")
 
-    if (resource != null || nodeId != null) {
+    if (parseType == "Literal") {
+      // the element content, re-serialized, is the lexical form of an
+      // rdf:XMLLiteral typed literal — datatype/lang attributes do not
+      // apply inside parseType="Literal"
+      quads += Quad(null, subject, pred,
+        Term.typed(readXmlLiteral(), RDF_NS + "XMLLiteral"))
+    } else if (resource != null || nodeId != null) {
       val obj = if (resource != null) Term.iri(resolve(resource)) else Term.blank(nodeId)
       quads += Quad(null, subject, pred, obj)
       skipToEnd()
@@ -271,6 +281,83 @@ final class RdfXmlParser(doc: String, base0: String = null) {
         quads += Quad(null, subject, pred, obj)
       }
     }
+  }
+
+  /** Re-serialize the current property element's content with the
+    * same StAX cursor — the lexical form of an `rdf:XMLLiteral`.
+    * Positioned just after the property element's START_ELEMENT;
+    * consumes through its END_ELEMENT.
+    *
+    * Serialization notes: prefixes declared on ANCESTOR elements but
+    * used inside the literal are re-declared on the first element that
+    * uses them (the literal must be self-contained, as in the spec's
+    * canonicalized form); text and attribute values re-escape; CDATA
+    * flattens to escaped text; comments survive.
+    */
+  private def readXmlLiteral(): String = {
+    val sb = new StringBuilder
+    def escText(s: String) = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def escAttr(s: String) = escText(s).replace("\"", "&quot;")
+    def qname(prefix: String, local: String) =
+      if (prefix == null || prefix.isEmpty) local else s"$prefix:$local"
+    // (prefix, uri) pairs already declared inside the literal
+    val scope = scala.collection.mutable.ArrayBuffer[Set[(String, String)]]()
+    var depth = 1
+    while (depth > 0 && reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          depth += 1
+          val decls = scala.collection.mutable.LinkedHashMap[String, String]()
+          var j = 0
+          while (j < reader.getNamespaceCount) {
+            decls(Option(reader.getNamespacePrefix(j)).getOrElse("")) =
+              reader.getNamespaceURI(j)
+            j += 1
+          }
+          def need(prefix: String, uri: String): Unit =
+            if (uri != null && uri.nonEmpty && !decls.contains(prefix) &&
+                !scope.exists(_.contains((prefix, uri))))
+              decls(prefix) = uri
+          need(Option(reader.getPrefix).getOrElse(""),
+            Option(reader.getNamespaceURI).getOrElse(""))
+          var i = 0
+          while (i < reader.getAttributeCount) {
+            val p = Option(reader.getAttributePrefix(i)).getOrElse("")
+            if (p.nonEmpty) need(p, reader.getAttributeNamespace(i))
+            i += 1
+          }
+          sb.append('<').append(qname(reader.getPrefix, reader.getLocalName))
+          decls.foreach { case (p, u) =>
+            sb.append(' ').append(if (p.isEmpty) "xmlns" else s"xmlns:$p")
+              .append("=\"").append(escAttr(u)).append('"')
+          }
+          i = 0
+          while (i < reader.getAttributeCount) {
+            sb.append(' ')
+              .append(qname(reader.getAttributePrefix(i),
+                reader.getAttributeLocalName(i)))
+              .append("=\"").append(escAttr(reader.getAttributeValue(i)))
+              .append('"')
+            i += 1
+          }
+          sb.append('>')
+          scope += decls.map { case (p, u) => (p, u) }.toSet
+        case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
+          if (depth > 0) {
+            sb.append("</")
+              .append(qname(reader.getPrefix, reader.getLocalName)).append('>')
+            scope.remove(scope.length - 1)
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(escText(reader.getText))
+        case XMLStreamConstants.COMMENT =>
+          sb.append("<!--").append(reader.getText).append("-->")
+        case _ => ()
+      }
+    }
+    sb.toString
   }
 
   /** Emit the rdf:first/rdf:rest cons cells of a collection; returns

@@ -100,11 +100,43 @@ class RdfParserSpec extends AnyFunSuite {
     val blank = pt.head.obj
     assert(blank.isBlank)
     assert(pt(1) == Quad(null, blank, Term.iri("http://example/k"), Term.lit("v")))
-    // unsupported constructs are parse errors, not silent drops
+    // unsupported constructs are parse errors, not silent drops:
+    // reification via rdf:ID on a property element stays rejected
     intercept[RdfParseException](RdfXmlParser.parse(
-      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
-        |<rdf:Description><x:p xmlns:x="http://x/" rdf:parseType="Literal"><b/></x:p>
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xml:base="http://example/doc">
+        |<rdf:Description rdf:about="http://example/a">
+        |<x:p xmlns:x="http://x/" rdf:ID="r1">v</x:p>
         |</rdf:Description></rdf:RDF>""".stripMargin))
+  }
+
+  test("rdf/xml: parseType='Literal' captures the subtree as an rdf:XMLLiteral") {
+    val qs = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:about="http://example/a">
+        |    <ex:content rdf:parseType="Literal"><b xmlns="http://www.w3.org/1999/xhtml" class="x">bold &amp; <i>it</i></b> tail</ex:content>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(qs.size == 1)
+    val lit = qs.head.obj
+    assert(lit.datatype ==
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral")
+    // inner <i> inherits <b>'s default namespace — no re-declaration;
+    // the ancestor-declared default ns IS re-declared on <b>
+    assert(lit.lex ==
+      """<b xmlns="http://www.w3.org/1999/xhtml" class="x">bold &amp; <i>it</i></b> tail""")
+    // a prefix declared on an ANCESTOR of the literal is re-declared
+    // on first use inside it (the literal is self-contained)
+    val anc = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example/">
+        |  <rdf:Description rdf:about="http://example/a">
+        |    <ex:content rdf:parseType="Literal"><ex:frag>z</ex:frag></ex:content>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(anc.head.obj.lex ==
+      """<ex:frag xmlns:ex="http://example/">z</ex:frag>""")
   }
 
   test("json-ld: context, @id/@type, value objects, arrays, nesting, @graph") {
@@ -171,6 +203,32 @@ class RdfParserSpec extends AnyFunSuite {
       Term.iri("http://example/name"), Term.lit("Cee"))))
     assert(qs.contains(Quad(null, Term.iri("http://example/a"),
       Term.iri("http://example/name"), Term.lit("Aye"))))
+  }
+
+  test("json-ld: array @context merges left-to-right; null resets; remote rejected") {
+    val qs = JsonLdParser.parse(
+      """{"@context": [
+        |   {"name": "http://example/name", "nick": "http://example/nick"},
+        |   {"nick": "http://example/alias"}],
+        | "@id": "http://example/a",
+        | "name": "Aye", "nick": "Al"}""".stripMargin)
+    assert(qs.contains(Quad(null, Term.iri("http://example/a"),
+      Term.iri("http://example/name"), Term.lit("Aye"))))
+    // the later member shadows the earlier definition of "nick"
+    assert(qs.contains(Quad(null, Term.iri("http://example/a"),
+      Term.iri("http://example/alias"), Term.lit("Al"))))
+    assert(qs.size == 2)
+    // a null member resets the active context: "name" stays a
+    // relative key with no @vocab, emitted as-is
+    val reset = JsonLdParser.parse(
+      """{"@context": [{"name": "http://example/name"}, null],
+        | "@id": "http://example/a", "name": "Aye"}""".stripMargin)
+    assert(reset == Seq(Quad(null, Term.iri("http://example/a"),
+      Term.iri("name"), Term.lit("Aye"))))
+    // remote (string) members stay parse errors → DLQ
+    intercept[RdfParseException](JsonLdParser.parse(
+      """{"@context": ["https://schema.org", {"x": "http://x/"}],
+        | "@id": "http://example/a", "x": "1"}""".stripMargin))
   }
 
   test("json-ld: a blank-node @graph label stays a blank node") {
