@@ -25,8 +25,20 @@ import graft.store.QuadStore
   * lazily-built DataFrame (store base, then per-chunk anti-join +
   * union of the small in-batch deltas — AQE broadcasts those), so a
   * `DELETE WHERE` never collects matched quads to the driver.
+  *
+  * Bulk auto-routing: when a batch's dataset payloads together exceed
+  * `bulkBytesThreshold`, their quads do NOT pass through the
+  * driver-side op buffer (whose `toDF` embeds every row in the plan
+  * as a LocalRelation — fine at the reference's 50 MiB batch
+  * envelope, a driver bottleneck beyond it). Instead the RAW payload
+  * bytes ship to executors — one row per event — and decode there,
+  * the [[graft.streaming.IngestPipeline]] shape. Batches carrying a
+  * SPARQL Update stay on the driver path: update WHERE resolution
+  * needs the sequential in-batch state, which folds driver-buffered
+  * ops.
   */
-final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends BatchSink {
+final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
+    bulkBytesThreshold: Long = QuadStoreSink.DefaultBulkBytes) extends BatchSink {
   import QuadStore.OpRow
 
   private val QUAD_COLS = QuadStore.QUAD_COLUMNS
@@ -100,9 +112,19 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
       }
     }
 
+    // bulk route: dataset payloads re-decode executor-side when their
+    // combined size exceeds the threshold AND no update event needs
+    // the sequential driver-folded state
+    val datasetBytes = events.iterator
+      .filter(_.decoded.kind == "dataset").map(_.event.value.length.toLong).sum
+    val bulkRoute = datasetBytes > bulkBytesThreshold &&
+      !events.exists(_.decoded.kind == "update")
+    val bulkEvents = scala.collection.mutable.ArrayBuffer[(MaterialisedEvent, Int)]()
+
     events.zipWithIndex.foreach { case (m, ei) =>
       val base = ei.toLong << 24
       m.decoded.kind match {
+        case "dataset" if bulkRoute => bulkEvents += ((m, ei))
         case "dataset" =>
           m.decoded.quads.zipWithIndex.foreach { case (q, qi) =>
             local += OpRow("A", base | qi.toLong, q.graph, q.subject, q.predicate, q.obj)
@@ -144,7 +166,25 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
           throw new ProjectorException(s"unapplied payload kind '$other'")
       }
     }
-    val ops = resolved.foldLeft(local.toSeq.toDF())(_.unionByName(_))
+    // executor-side decode of the bulk events: the driver ships ONE
+    // row per event (raw bytes it already holds from the poll), the
+    // per-quad explosion happens on executors — same blank-node scope
+    // as the driver path, so labels are identical either way
+    val bulkOps: Option[DataFrame] = if (bulkEvents.isEmpty) None else {
+      val rows = bulkEvents.toSeq.map { case (m, ei) =>
+        (ei, s"${m.event.topic}:${m.event.partition}:${m.event.offset}",
+          m.event.value, m.event.contentType)
+      }
+      Some(rows.toDS()
+        .repartition(math.min(rows.size, spark.sparkContext.defaultParallelism))
+        .flatMap { case (ei, scope, value, ct) =>
+          graft.rdf.RdfParse.decode(value, ct, scope).quads.zipWithIndex.map {
+            case (q, qi) => OpRow("A", (ei.toLong << 24) | qi.toLong,
+              q.graph, q.subject, q.predicate, q.obj)
+          }
+        }.toDF())
+    }
+    val ops = (resolved ++ bulkOps).foldLeft(local.toSeq.toDF())(_.unionByName(_))
     try store.commitOps(batchId, ops)
     finally checkpointCuts.foreach(graft.plans.Checkpoints.unpersist(_))
     // PA/PD prefix ops update the dataset prefix map in event order
@@ -159,6 +199,15 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore) extends Bat
     }
     store.updatePrefixes(prefixOps)
   }
+}
+
+object QuadStoreSink {
+  /** Above this many combined dataset-payload bytes in one batch the
+    * quads decode executor-side (see class doc). The reference's
+    * default batch-bytes commit threshold is 50 MiB, so batches inside
+    * its envelope stay on the driver path.
+    */
+  val DefaultBulkBytes: Long = 32L << 20
 }
 
 /** Counting sink for decision-tree tests — the reference's mock

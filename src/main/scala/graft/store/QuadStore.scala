@@ -343,27 +343,44 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     * the version pointer (epochs retired by compaction, aborted
     * writes) and `bucket=k` directories inside base segments that a
     * later partial base superseded. Single-writer discipline like
-    * every mutation here — run it when no in-flight DataFrame still
-    * references the old files (Spark reads parquet lazily, so a plan
-    * built before gc() and executed after would hit deleted paths).
-    * Returns the number of top-level paths removed.
+    * every mutation here. Returns the number of top-level paths
+    * removed.
+    *
+    * `graceMillis` protects long-running LAZY plans: Spark reads
+    * parquet lazily, so a plan built before a segment retired and
+    * executed after an immediate gc would hit deleted paths. A dead
+    * path is first recorded in a `_retired` journal and only deleted
+    * once it has been dead for the grace window — so two gc passes
+    * more than `graceMillis` apart are needed before files disappear.
+    * The default keeps the immediate behavior for callers that know
+    * no plan is in flight. `nowMillis` is injectable for tests.
     */
-  def gc(): Int = {
+  def gc(graceMillis: Long = 0L,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
     val v = readVersion()
     val live = v.segments.map(_.name).toSet
     val owner = bucketOwner(v.segments.filter(_.isBase))
     var removed = 0
+    val retired = readRetired()
+    val stillDead = scala.collection.mutable.LinkedHashMap[String, Long]()
     def deleteRecursively(p: java.nio.file.Path): Unit = {
       val st = Files.walk(p)
       try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
       finally st.close()
     }
+    // delete only once the path has been dead for the full grace
+    // window; otherwise (re-)journal it and leave the files alone
+    def reap(p: java.nio.file.Path, key: String): Unit = {
+      val firstSeen = retired.getOrElse(key, nowMillis)
+      if (nowMillis - firstSeen >= graceMillis) { deleteRecursively(p); removed += 1 }
+      else stillDead(key) = firstSeen
+    }
     val top = Files.list(dir)
     try top.iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("s") && Files.isDirectory(p)) {
-        if (!live.contains(name)) { deleteRecursively(p); removed += 1 }
+        if (!live.contains(name)) reap(p, name)
         else {
           val seg = SegRef.parse(name)
           if (seg.isBase) {
@@ -376,14 +393,34 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
               finally st.close()
             buckets.foreach { b =>
               val k = b.getFileName.toString.drop(7).toInt
-              if (!owner.get(k).contains(seg.ord)) { deleteRecursively(b); removed += 1 }
+              if (!owner.get(k).contains(seg.ord))
+                reap(b, s"$name/${b.getFileName.toString}")
             }
           }
         }
       }
     } finally top.close()
+    writeRetired(stillDead.toMap)
     removed
   }
+
+  private def retiredFile = dir.resolve("_retired")
+
+  /** The gc grace journal: dead path → millis first seen dead. */
+  private def readRetired(): Map[String, Long] =
+    if (!Files.exists(retiredFile)) Map.empty
+    else new String(Files.readAllBytes(retiredFile), StandardCharsets.UTF_8)
+      .split("\n").toSeq.flatMap { line =>
+        line.split("\t", 2) match {
+          case Array(k, t) => t.toLongOption.map(k -> _)
+          case _ => None // corrupt line: treat as never-seen
+        }
+      }.toMap
+
+  private def writeRetired(entries: Map[String, Long]): Unit =
+    if (entries.isEmpty) Files.deleteIfExists(retiredFile)
+    else Files.write(retiredFile, entries.toSeq.sortBy(_._1)
+      .map { case (k, t) => s"$k\t$t" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
   // --- prefix state ---------------------------------------------------------
 

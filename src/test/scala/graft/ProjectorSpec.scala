@@ -72,6 +72,48 @@ class ProjectorSpec extends AnyFunSuite {
     assert(sink.commits == Seq((0L, 2))) // TC closed it → both events commit
   }
 
+  test("bulk auto-route: oversized dataset batches decode executor-side, same result") {
+    // threshold 1 byte forces the bulk route; blank nodes included so
+    // scope-label parity with the driver path is exercised
+    def run(threshold: Long): Set[String] = {
+      val store = new graft.store.QuadStore(TestSpark.spark,
+        java.nio.file.Files.createTempDirectory("bulkroute").toString)
+      val sink = new QuadStoreSink(TestSpark.spark, store, bulkBytesThreshold = threshold)
+      val evs = (0L until 3L).map { i =>
+        Event("t", 0, i, Array.empty,
+          (s"""<http://g/s$i> <http://g/p> "v$i" .""" + "\n" +
+           s"""_:b <http://g/q> <http://g/o$i> .""").getBytes("UTF-8"),
+          Map("Content-Type" -> "application/n-quads"))
+      } :+ patchEv(3, "TX .\nA <http://g/px> <http://g/p> \"patched\" .\nTC .")
+      new Projector(new MemoryEventSource(evs), sink,
+        ProjectorConfig(batchSize = 10)).runToCompletion()
+      store.quads().collect().map { r =>
+        val s = r.getStruct(1); val o = r.getStruct(3)
+        s"${s.getString(0)}:${s.getString(1)}|${o.getString(0)}:${o.getString(1)}"
+      }.toSet
+    }
+    val bulk = run(threshold = 1L)
+    val driver = run(threshold = Long.MaxValue)
+    assert(bulk == driver, "bulk route diverged from the driver path")
+    assert(bulk.size == 7) // 3 nquads pairs + 1 patched
+    // a batch carrying a SPARQL Update stays on the driver path even
+    // past the threshold (sequential WHERE state) — and still applies
+    val store2 = new graft.store.QuadStore(TestSpark.spark,
+      java.nio.file.Files.createTempDirectory("bulkupd").toString)
+    val sink2 = new QuadStoreSink(TestSpark.spark, store2, bulkBytesThreshold = 1L)
+    val evs2 = Seq(
+      ev(0),
+      Event("t", 0, 1, Array.empty,
+        "INSERT { ?s <http://g/copy> ?o } WHERE { ?s <http://g/p> ?o }"
+          .getBytes("UTF-8"),
+        Map("Content-Type" -> "application/sparql-update")))
+    new Projector(new MemoryEventSource(evs2), sink2,
+      ProjectorConfig(batchSize = 10)).runToCompletion()
+    val preds = store2.quads().select(org.apache.spark.sql.functions.col("predicate.lex"))
+      .collect().map(_.getString(0)).toSet
+    assert(preds == Set("http://g/p", "http://g/copy"))
+  }
+
   test("cross-event TA aborts ops carried from the opening event") {
     val store = new graft.store.QuadStore(TestSpark.spark,
       java.nio.file.Files.createTempDirectory("txnabort").toString)

@@ -168,6 +168,26 @@ class StoreSpec extends AnyFunSuite {
     assert(store.gc() == 0)
   }
 
+  test("gc grace window defers deletion until paths have been dead long enough") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1")))
+    val preReplay = store.quads() // lazy plan over the doomed segment
+    store.addQuads(0, Seq(q("a", "1"), q("c", "1"))) // retires the old dir
+    val t0 = 1_000_000L
+    // first pass inside the grace: journals the dead dir, deletes
+    // nothing — the lazy plan still reads its snapshot afterwards
+    assert(store.gc(graceMillis = 60_000L, nowMillis = t0) == 0)
+    assert(preReplay.collect().map(_.getStruct(1).getString(1)).toSet ==
+      Set("http://x/a", "http://x/b"))
+    // still inside the grace on a later pass: still nothing
+    assert(store.gc(graceMillis = 60_000L, nowMillis = t0 + 30_000L) == 0)
+    // past the grace: the dir goes, live state is untouched
+    assert(store.gc(graceMillis = 60_000L, nowMillis = t0 + 60_000L) >= 1)
+    assert(store.quads().collect().map(_.getStruct(1).getString(1)).toSet ==
+      Set("http://x/a", "http://x/c"))
+    assert(store.gc(graceMillis = 60_000L, nowMillis = t0 + 60_000L) == 0)
+  }
+
   test("a bucket emptied by deletes does not resurrect from the older base") {
     val store = new QuadStore(spark, Files.createTempDirectory("qsempty").toString,
       numBuckets = 2)
