@@ -246,4 +246,59 @@ object Dedup {
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // --- duplicate-cluster resolution ----------------------------------------
+
+  /** Connected components over a near-dup PAIR graph: every document
+    * labelled with the smallest doc id reachable through dup pairs
+    * (`cluster`; singletons label themselves). This is the step that
+    * turns pairwise near-dup output into keep/drop decisions — keep
+    * the min id per cluster, drop the rest.
+    *
+    * Distributed min-label propagation with pointer jumping: each
+    * round takes the min label over the node's neighborhood, then
+    * replaces every label by its label's label (halving chain depth),
+    * so rounds stay O(log n) even for path-shaped clusters; real
+    * near-dup clusters are dense and settle in 2-3 rounds. The
+    * fixpoint test is the label SUM (labels only ever decrease, so an
+    * unchanged sum means no label moved) — one scalar aggregate per
+    * round, never a collect. Each round localCheckpoints to truncate
+    * lineage and the superseded round unpersists immediately (the
+    * closure-loop hygiene of [[graft.sparql.Sparql]]'s path fixpoint).
+    * The pair graph is orders of magnitude smaller than the corpus —
+    * only ids ride the loop.
+    */
+  def clusterComponents(pairs: DataFrame, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.plans.Checkpoints
+    val e0 = pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
+    val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    def sumOf(df: DataFrame): String =
+      String.valueOf(df.agg(sum(col("comp")).cast("decimal(38,0)")).head.get(0))
+    var cur = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var curSum = sumOf(cur)
+    var fixed = false
+    while (!fixed) {
+      val nbr = cur.select(col("id").as("b"), col("comp").as("bcomp"))
+      val nmin = edges.join(nbr, "b").groupBy(col("a"))
+        .agg(min(col("bcomp")).as("ncomp"))
+        .select(col("a").as("id"), col("ncomp"))
+      val step = cur.join(nmin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val jump = step.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = step.join(jump, step("comp") === jump("jid"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val nextSum = sumOf(next)
+      if (nextSum == curSum) { Checkpoints.unpersist(next); fixed = true }
+      else { Checkpoints.unpersist(cur); cur = next; curSum = nextSum }
+    }
+    Checkpoints.unpersist(edges) // cur is materialized; edges are done
+    cur.select(col("id").as(idCol), col("comp").as("cluster"))
+  }
 }

@@ -100,6 +100,24 @@ object PipelineQueries {
       Dedup.nearDupNgramJaccard(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // benchmark decontamination: docs with doc_id % 20 == 0 play the
+    // held-out eval set; every other doc reports its n-gram overlap
+    "pl_contamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+        .orderBy(col("doc_id"))
+    },
+    // duplicate-cluster resolution: connected components over the
+    // EXACT ngram-Jaccard pair graph (so DuckDB can re-derive both the
+    // pairs and, via a recursive CTE, the min-reachable-id labels)
+    "pl_dedup_cluster" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupNgramJaccard(docs).select(col("id_a"), col("id_b"))
+      Dedup.clusterComponents(pairs, docs.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
     // the natural corpus has no cosine-0.9 pairs (max ~0.52), which
     // would make this entry pass vacuously; plant deterministic
     // near-copies (per-element scale ramp, cosine ~0.9987) so the
@@ -247,6 +265,38 @@ object PipelineQueries {
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_ngram" -> NEARDUP_ORACLE,
+    "pl_contamination" -> (SHINGLES_CTE +
+      """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+           corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+           ex AS (SELECT doc_id, unnest(s) AS g FROM corpus),
+           hit AS (SELECT e.doc_id, count(*) AS nh
+                   FROM ex e JOIN bench b USING (g) GROUP BY e.doc_id)
+         SELECT c.doc_id::BIGINT AS doc_id, len(c.s)::BIGINT AS n_grams,
+                coalesce(h.nh, 0)::BIGINT AS n_hit,
+                CASE WHEN len(c.s) = 0 THEN false
+                     ELSE (coalesce(h.nh, 0)::DOUBLE / len(c.s)) >= 0.2 END
+                  AS contaminated
+         FROM corpus c LEFT JOIN hit h USING (doc_id) ORDER BY doc_id"""),
+    // components of the exact pair graph: min reachable doc id via a
+    // recursive CTE — the relational ground truth for the distributed
+    // min-label-propagation fixpoint
+    "pl_dedup_cluster" ->
+      (SHINGLES_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """, pairs AS (
+             SELECT id_a, id_b FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.s, b.s))::DOUBLE
+                        / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             WHERE j >= 0.5),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster
+         FROM reach GROUP BY id ORDER BY doc_id"""),
     "pl_dedup_embed" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                planted AS (

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -130,5 +130,36 @@ object TextAnalysis {
         sequence(lit(1), size(grams) - (w - 1)),
         j => array_min(slice(grams, j, lit(w))))))
     winnowed
+  }
+
+  /** Benchmark-contamination check: for each corpus document, the
+    * count of its distinct word n-grams that also occur anywhere in
+    * the `benchmark` set, and a flag at `threshold` overlap — the
+    * decontamination step a training pipeline runs against eval sets
+    * before training.
+    *
+    * Scale shape: the benchmark's distinct n-gram set is BROADCAST
+    * (eval sets are tiny next to a 100 TB corpus), so the corpus is
+    * one scan + explode with a map-side semi join — no corpus-sized
+    * shuffle. Output (doc_id, n_grams, n_hit, contaminated); empty
+    * documents are never flagged.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val corpusSh = docs.select(col(idCol).cast("long").as(idCol),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .withColumn("n_grams", size(col("sh")).cast("long"))
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val hits = corpusSh.select(col(idCol), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    corpusSh.join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams") === 0, lit(false)).otherwise(
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams")
+            >= threshold).as("contaminated"))
   }
 }

@@ -186,6 +186,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(cands < n * (n - 1) / 4, s"candidate set too dense: $cands of ${n * (n - 1) / 2}")
   }
 
+  test("clusterComponents labels every id with its min reachable id") {
+    import spark.implicits._
+    // chain 1-2-3 (path shape exercises pointer jumping), pair 5-6,
+    // singletons 4 and 7; an isolated id never appearing in pairs
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = (1L to 7L).toDF("doc_id")
+    val got = Dedup.clusterComponents(pairs, ids)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // checkpoint hygiene: only the result frame stays pinned, and a
+    // deep chain (diameter 15) still converges
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Dedup.clusterComponents(chain, (1L to 16L).toDF("doc_id"))
+      .as[(Long, Long)].collect()
+    assert(deep.forall(_._2 == 1L))
+  }
+
+  test("contamination counts benchmark n-gram overlap per corpus doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // full copy → all grams hit
+      (2L, "a quick brown fox appears here now"),  // one shared gram
+      (3L, "completely different words entirely here")) // none
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(corpus, bench)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 5L, 5L, true)))
+    assert(got(1) == ((2L, 5L, 1L, true))) // 1/5 = 0.2 meets threshold
+    assert(got(2) == ((3L, 3L, 0L, false)))
+  }
+
   test("PII scrub redacts urls, emails, IPs, digit runs; order prevents partials") {
     import spark.implicits._
     val rows = Seq(
