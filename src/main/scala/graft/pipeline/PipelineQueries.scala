@@ -100,6 +100,12 @@ object PipelineQueries {
       Dedup.nearDupNgramJaccard(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // sequence packing: per-shard running token sums into 512-token
+    // packs — the window is per shard by construction (scale contract)
+    "pl_pack_sequences" -> { (s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
     // benchmark decontamination: docs with doc_id % 20 == 0 play the
     // held-out eval set; every other doc reports its n-gram overlap
     "pl_contamination" -> { (s, dir) =>
@@ -265,6 +271,15 @@ object PipelineQueries {
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_ngram" -> NEARDUP_ORACLE,
+    "pl_pack_sequences" ->
+      """SELECT doc_id::BIGINT AS doc_id, t AS n_tokens, shard,
+                (shard * 1000000 + ((cum - t) // 512))::BIGINT AS pack_id
+         FROM (SELECT doc_id, t, shard,
+                      sum(t) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+               FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS t,
+                            (doc_id % 16)::INT AS shard
+                     FROM documents))
+         ORDER BY doc_id""",
     "pl_contamination" -> (SHINGLES_CTE +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
            corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),

@@ -162,4 +162,32 @@ object TextAnalysis {
           coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams")
             >= threshold).as("contaminated"))
   }
+
+  /** Sequence packing (concat-and-split): assign each document to the
+    * training pack its running token offset falls in, `budget` tokens
+    * per pack — the batching step that turns a filtered corpus into
+    * fixed-length training sequences. Output (doc_id, n_tokens,
+    * shard, pack_id); a document straddling a boundary belongs to the
+    * pack where it STARTS, which is the standard concat-and-split
+    * reading.
+    *
+    * Scale shape: the running sum is windowed PER SHARD
+    * (`doc_id % shards`), never globally — a single global window
+    * funnels the corpus through one task (the round-5 scale-killer
+    * class). Shard count should track cluster parallelism; packing is
+    * per-shard in real pipelines anyway (shards ship to workers
+    * whole). Deterministic: shard and order derive from doc_id alone.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512, shards: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).cast("long").as(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    tok.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        (col("shard").cast("long") * 1000000L +
+          floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
+  }
 }

@@ -204,6 +204,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(deep.forall(_._2 == 1L))
   }
 
+  test("packSequences assigns docs to packs by per-shard running token offset") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 16) so offsets are easy to follow:
+    // tokens 3,4,2 with budget 5 → starts at 0,3,7 → packs 0,0,1
+    val docs = Seq(
+      (0L, "a b c"), (16L, "d e f g"), (32L, "h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, budget = 5, shards = 16)
+      .orderBy($"doc_id").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 0, 0L), (16L, 4L, 0, 0L), (32L, 2L, 0, 1L)))
+    // different shards never share packs
+    val multi = TextAnalysis.packSequences(
+      Seq((1L, "x y"), (2L, "z w")).toDF("doc_id", "text"),
+      budget = 5, shards = 16)
+      .as[(Long, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(multi.map(_._4).distinct.size == 2)
+  }
+
   test("contamination counts benchmark n-gram overlap per corpus doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
