@@ -1843,6 +1843,12 @@ object Sparql {
       // a GROUPED query must join it AFTER aggregation and HAVING
       // (§18.2.4.3 — the pre-pattern join would multiply rows before
       // COUNT/SUM), so it travels separately on the Query
+      // SELECT * projects every in-scope variable, which a grouped
+      // query cannot do (§18.2.4.4 — only group keys and aggregates
+      // are projectable); rejecting here also keeps the grouped
+      // trailing-VALUES routing below total
+      if (projection == SelectAll && (groupBy.nonEmpty || having.nonEmpty))
+        fail("SELECT * cannot be combined with GROUP BY or HAVING")
       val isGrouped = groupBy.nonEmpty || having.nonEmpty ||
         (projection match {
           case SelectItems(items) => items.exists {

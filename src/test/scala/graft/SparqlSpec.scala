@@ -862,6 +862,9 @@ class SparqlSpec extends AnyFunSuite {
            BIND(<http://www.w3.org/2001/XMLSchema#integer>(?a, ?a) AS ?x) }""")
     bad("SELECT ?x { ?s ?p ?a BIND(<http://unknown/fn>(?a) AS ?x) }")
     bad("SELECT ?s { ?s ?p ?o } VALUES ?x { }")         // empty trailing VALUES
+    // round-7: SELECT * cannot project over a grouped query (18.2.4.4)
+    bad("SELECT * { ?s ?p ?o } GROUP BY ?s")
+    bad("SELECT * { ?s ?p ?o } HAVING(COUNT(*) > 1)")
   }
 
   test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
