@@ -100,6 +100,13 @@ object PipelineQueries {
       Dedup.nearDupNgramJaccard(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // boilerplate removal at minDf=2: the synthetic docs are
+    // single-line, so this degenerates to blanking exact-dup texts —
+    // the multi-line behavior is pinned by PipelineSpec
+    "pl_strip_boilerplate" -> { (s, dir) =>
+      TextAnalysis.stripCommonLines(t(s, dir, "documents"), minDf = 2)
+        .orderBy(col("doc_id"))
+    },
     // sequence packing: per-shard running token sums into 512-token
     // packs — the window is per shard by construction (scale contract)
     "pl_pack_sequences" -> { (s, dir) =>
@@ -271,6 +278,26 @@ object PipelineQueries {
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_ngram" -> NEARDUP_ORACLE,
+    "pl_strip_boilerplate" ->
+      """WITH l AS (SELECT doc_id, ls[i] AS line, i AS pos
+                    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                          FROM documents),
+                         LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)),
+           common AS (SELECT line FROM (
+                        SELECT line, count(DISTINCT doc_id) AS df
+                        FROM l GROUP BY line) WHERE df >= 2),
+           kept AS (SELECT k.doc_id, k.pos, k.line FROM l k
+                    LEFT JOIN common c ON k.line = c.line
+                    WHERE c.line IS NULL)
+         SELECT d.doc_id::BIGINT AS doc_id,
+                coalesce(agg.ct, '') AS clean_text,
+                (len(string_split(d.text, chr(10))) - coalesce(agg.nk, 0))::BIGINT
+                  AS n_removed
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+                  count(*) AS nk
+           FROM kept GROUP BY doc_id) agg USING (doc_id)
+         ORDER BY doc_id""",
     "pl_pack_sequences" ->
       """SELECT doc_id::BIGINT AS doc_id, t AS n_tokens, shard,
                 (shard * 1000000 + ((cum - t) // 512))::BIGINT AS pack_id

@@ -190,4 +190,38 @@ object TextAnalysis {
         (col("shard").cast("long") * 1000000L +
           floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
   }
+
+  /** Boilerplate line removal: drop every line that occurs in at
+    * least `minDf` distinct documents (headers, footers, cookie
+    * banners — the C4-style cleanup), preserving the remaining lines
+    * in order. Output (doc_id, clean_text, n_removed).
+    *
+    * Scale shape: the document-frequency count shuffles ONLY a
+    * (xxhash64, sha256) pair per line — never the line text (the
+    * same content-addressing basis as [[Dedup.exact]]); the common
+    * set is tiny by nature (it IS the boilerplate) and broadcasts
+    * into a map-side anti join, so the only text-carrying shuffle is
+    * the per-document reassembly.
+    */
+  def stripCommonLines(docs: DataFrame, minDf: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).cast("long").as(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h64", xxhash64(col("line")))
+      .withColumn("h256", sha2(col("line"), 256))
+    val common = lines.groupBy(col("h64"), col("h256"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf).select(col("h64"), col("h256"))
+    val kept = lines.join(broadcast(common), Seq("h64", "h256"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

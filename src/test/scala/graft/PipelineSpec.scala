@@ -204,6 +204,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(deep.forall(_._2 == 1L))
   }
 
+  test("stripCommonLines drops cross-doc boilerplate, keeps order, counts removals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nFOOTER"),
+      (2L, "COOKIE BANNER\nreal content two\nFOOTER"),
+      (3L, "COOKIE BANNER\nunique line a\nunique line b"),
+      (4L, "all original text here")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripCommonLines(docs, minDf = 2)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got(0) == ((1L, "real content one", 2L)))
+    assert(got(1) == ((2L, "real content two", 2L)))
+    assert(got(2) == ((3L, "unique line a\nunique line b", 1L)))
+    assert(got(3) == ((4L, "all original text here", 0L)))
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val wiped = TextAnalysis.stripCommonLines(
+      Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text"), minDf = 2)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(wiped == Seq((1L, "", 1L), (2L, "", 1L)))
+  }
+
   test("packSequences assigns docs to packs by per-shard running token offset") {
     import spark.implicits._
     // one shard (ids ≡ 0 mod 16) so offsets are easy to follow:
