@@ -175,8 +175,54 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
           (sum(col("mean_byte")) / count(lit(1))).as("avg_mean_byte"))
         .orderBy(col("source"))
+    },
+    // Gopher-style repetition signals: per-doc 2-gram duplicate /
+    // top-gram fractions (hash-pair frequency shuffle, no text)
+    "pl_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    // deterministic md5-keyed stratified sample by language
+    "pl_sample_stratified" -> { (s, dir) =>
+      Sampling.sampleStratified(t(s, dir, "documents"), SAMPLE_RATES,
+          stratumCol = "lang")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    // exact per-source cap of 10 via salted two-level top-k
+    "pl_source_cap" -> { (s, dir) =>
+      Sampling.capPerStratum(t(s, dir, "documents"), cap = 10)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    },
+    // fractional mixture weights by language (expected multiplier
+    // exact, realized per-row rounding md5-deterministic)
+    "pl_mixture" -> { (s, dir) =>
+      Sampling.mixtureExpand(t(s, dir, "documents"), MIX_WEIGHTS,
+          stratumCol = "lang")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy(col("lang"))
     }
   )
+
+  /** Stratified-sample rates / mixture weights by language — shared
+    * with the oracle so both engines compile the same thresholds.
+    */
+  private val SAMPLE_RATES =
+    Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.75, "zh" -> 1.0)
+  private val MIX_WEIGHTS =
+    Map("en" -> 0.5, "de" -> 2.0, "es" -> 3.25, "fr" -> 1.5, "zh" -> 0.0)
+
+  /** DuckDB replica of [[Sampling.hashKey]]. */
+  private def hkSql(id: String): String =
+    s"('0x' || substr(md5($id::VARCHAR), 1, 8))::BIGINT"
+
+  private def caseSql(m: Map[String, Double], f: Double => String,
+      default: String): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"WHEN '$k' THEN ${f(v)}" }
+      .mkString("CASE lang ", " ", s" ELSE $default END")
 
   /** Shared CTE: distinct word-3-gram shingles per doc (DuckDB). */
   private val SHINGLES_CTE =
@@ -385,6 +431,66 @@ object PipelineQueries {
                  list_sum([ ('0x' || substr(md5(text), 2*i-1, 2))::INT
                             for i in range(1, 17) ])::DOUBLE / 16 AS mean_byte
                FROM documents)
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "pl_repetition" ->
+      """WITH e AS (
+           SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]
+                                   for i in range(1, len(w)) ]) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         c AS (SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY 1, 2),
+         p AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
+                      max(cnt) AS top_cnt
+               FROM c GROUP BY 1)
+         SELECT d.doc_id::BIGINT AS doc_id,
+                coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+                coalesce(p.top_cnt, 0)::BIGINT AS top_cnt,
+                CASE WHEN p.n_grams IS NULL THEN 0.0
+                     ELSE (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams END
+                  AS dup_frac,
+                CASE WHEN p.n_grams IS NULL THEN 0.0
+                     ELSE p.top_cnt::DOUBLE / p.n_grams END AS top_frac,
+                CASE WHEN p.n_grams IS NULL THEN false
+                     ELSE p.top_cnt::DOUBLE / p.n_grams > 0.2
+                       OR (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams > 0.3
+                  END AS repetitive
+         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+    "pl_sample_stratified" ->
+      s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
+          WHERE ${hkSql("doc_id")} <
+            ${caseSql(SAMPLE_RATES, r => rateThreshold(r), rateThreshold(1.0))}
+          GROUP BY lang ORDER BY lang""",
+    "pl_source_cap" ->
+      s"""SELECT doc_id::BIGINT AS doc_id, source, rank FROM (
+            SELECT doc_id, source, row_number() OVER (
+              PARTITION BY source
+              ORDER BY ${hkSql("doc_id")}, doc_id) AS rank
+            FROM documents)
+          WHERE rank <= 10 ORDER BY source, rank""",
+    "pl_mixture" ->
+      s"""SELECT lang, SUM(n_epochs)::BIGINT AS n_rows,
+                 COUNT(*)::BIGINT AS n_docs,
+                 MAX(n_epochs)::BIGINT AS max_epoch
+          FROM (SELECT lang,
+                  ${caseSql(MIX_WEIGHTS, w => math.floor(w).toLong.toString,
+                            "1")} +
+                  CASE WHEN ${hkSql("doc_id")} <
+                    ${caseSql(MIX_WEIGHTS, w => fracThreshold(w), "0")}
+                    THEN 1 ELSE 0 END AS n_epochs
+                FROM documents)
+          WHERE n_epochs > 0 GROUP BY lang ORDER BY lang"""
   )
+
+  /** `floor(rate * 2^32)` — the [[Sampling]] keep-threshold, compiled
+    * to the same literal both engines compare against.
+    */
+  private def rateThreshold(rate: Double): String =
+    math.floor(rate * 4294967296L).toLong.toString
+
+  /** Fractional-part threshold for mixture weights. The bench weights
+    * are dyadic fractions, so `w - floor(w)` is exact in both
+    * engines' double math.
+    */
+  private def fracThreshold(w: Double): String =
+    ((w - math.floor(w)) * 4294967296L).toLong.toString
 }

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for large-scale training-data pipelines
+  * (beyond-reference extension, SURVEY.md §7 phase 7): deterministic
+  * stratified sampling, per-stratum caps, and mixture-weight
+  * upsampling — the steps that turn a filtered corpus into the data
+  * mix a training run actually consumes.
+  *
+  * Determinism contract: every selection decision derives from a
+  * PORTABLE hash of the row's id (md5 prefix, the only hash Spark and
+  * DuckDB compute identically), never from `rand()` — so a resample
+  * of the same corpus is reproducible bit-for-bit across engines,
+  * re-runs, and partitionings, which is what makes a 100 TB sampling
+  * job retryable per-partition without global coordination.
+  */
+object Sampling {
+
+  /** Uniform 32-bit key from an id column: the first 8 hex digits of
+    * md5, as a long in [0, 2^32). Engine-portable (DuckDB:
+    * `('0x' || substr(md5(id::VARCHAR),1,8))::BIGINT`).
+    */
+  def hashKey(id: Column): Column =
+    conv(substr(md5(id.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+
+  private val HASH_SPACE = 4294967296L // 2^32
+
+  /** Deterministic stratified sample: keep a row iff its [[hashKey]]
+    * falls under `rate(stratum) * 2^32`. Unlisted strata keep
+    * `defaultRate`.
+    *
+    * Scale shape: a pure per-row filter — no shuffle, no state, no
+    * driver round-trip; the rate map is a when-chain literal compiled
+    * into the scan's codegen'd filter, and Parquet row groups that
+    * fail a stratum pushdown never decompress. This is the sampling
+    * primitive every downstream mix builds on.
+    */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0, stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val thresh = rates.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, r)) => acc.when(col(stratumCol) === s, threshold(r))
+    }.otherwise(threshold(defaultRate))
+    docs.filter(hashKey(col(idCol)) < thresh)
+  }
+
+  private def threshold(rate: Double): Column =
+    lit(math.floor(rate * HASH_SPACE).toLong)
+
+  /** Exact deterministic per-stratum cap: keep the `cap` rows with
+    * the smallest ([[hashKey]], id) per stratum — a uniform random
+    * (but reproducible) subset, the per-domain document cap of
+    * CommonCrawl-style curation.
+    *
+    * Scale shape: two-level top-k. A single `row_number` window
+    * partitioned by stratum would funnel every row of a hot domain
+    * through ONE task (the round-5 scale-killer class); instead each
+    * (stratum, salt) bucket ranks locally — `salts`× the
+    * parallelism — and only the ≤ salts·cap local survivors reach
+    * the per-stratum final ranking, so the second window's input is
+    * bounded by the cap, not the corpus. Selection is EXACT: every
+    * global top-`cap` row is its salt bucket's top-`cap` row too.
+    */
+  def capPerStratum(docs: DataFrame, cap: Int, salts: Int = 16,
+      stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("hk", hashKey(col(idCol)))
+      .withColumn("salt", pmod(col("hk"), lit(salts)))
+    val local = Window.partitionBy(col(stratumCol), col("salt"))
+      .orderBy(col("hk"), col(idCol))
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(col("hk"), col(idCol))
+    keyed.withColumn("r_local", row_number().over(local))
+      .filter(col("r_local") <= cap)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= cap)
+      .drop("hk", "salt", "r_local")
+  }
+
+  /** Mixture-weight upsampling: repeat each row `weight(stratum)`
+    * times, with an `epoch` index per copy. Fractional weights round
+    * deterministically per row: a weight of 2.25 gives every row 2
+    * epochs and the 25% of rows whose [[hashKey]] falls under the
+    * fraction a 3rd — so the EXPECTED stratum multiplier is exact and
+    * the realized one is reproducible. Weight 0 drops the stratum.
+    *
+    * Scale shape: a map-side explode — no shuffle; each output row
+    * exists only inside the downstream pipeline (Spark never
+    * materializes the repeats). This is the standard way to express a
+    * DoReMi/Pile-style domain mix as a plan instead of copying bytes.
+    */
+  def mixtureExpand(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val (whole, frac) = {
+      val w = weights.foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (s, x)) => acc.when(col(stratumCol) === s, lit(x))
+      }.otherwise(lit(defaultWeight))
+      (floor(w).cast("long"), w - floor(w))
+    }
+    val extra = (hashKey(col(idCol)) <
+      (frac * HASH_SPACE).cast("long")).cast("long")
+    docs.withColumn("n_epochs", whole + extra)
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+  }
+}

@@ -191,6 +191,48 @@ object TextAnalysis {
           floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
   }
 
+  /** Per-document n-gram repetition metrics (the Gopher-rules
+    * repetition signals): for each document, the total and distinct
+    * word-n-gram occurrence counts, the frequency of its single most
+    * repeated n-gram, the duplicate fraction (share of occurrences
+    * that are repeats), the top-gram fraction, and a `repetitive`
+    * flag when either crosses its threshold — the standard filter
+    * that catches listing/template spam exact-dedup misses.
+    *
+    * Scale shape: occurrences group on (doc_id, xxhash64, sha256) of
+    * the gram — text never rides the frequency shuffle (same
+    * content-addressing basis as [[Dedup.exact]]) — then roll up per
+    * document with map-side partial aggregation. Documents shorter
+    * than n tokens report zero counts and never flag.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+      topFracMax: Double = 0.2, dupFracMax: Double = 0.3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).cast("long").as(idCol),
+        explode(when(size(w) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))).as("g"))
+    val perGram = grams
+      .groupBy(col(idCol), xxhash64(col("g")), sha2(col("g"), 256))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"), max(col("cnt")).as("top_cnt"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        coalesce((col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams"), lit(0.0)).as("dup_frac"),
+        coalesce(col("top_cnt").cast("double") / col("n_grams"),
+          lit(0.0)).as("top_frac"))
+      .withColumn("repetitive",
+        col("top_frac") > topFracMax || col("dup_frac") > dupFracMax)
+  }
+
   /** Boilerplate line removal: drop every line that occurs in at
     * least `minDf` distinct documents (headers, footers, cookie
     * banners — the C4-style cleanup), preserving the remaining lines

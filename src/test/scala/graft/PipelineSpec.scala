@@ -242,6 +242,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.map(_._4).distinct.size == 2)
   }
 
+  test("repetitionStats measures n-gram duplication and flags repetitive docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),        // 4 grams, 1 distinct
+      (2L, "all fresh words appear once here"), // 5 grams, 5 distinct
+      (3L, "ab ab cd ab ab cd"),                // 5 grams: ab-ab x2, ab-cd x2, cd-ab x1
+      (4L, "single")).toDF("doc_id", "text")    // shorter than n → zero counts
+    val got = TextAnalysis.repetitionStats(docs)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 1L, 4L, 0.75, 1.0, true)))
+    assert(got(1) == ((2L, 5L, 5L, 1L, 0.0, 0.2, false)))
+    assert(got(2) == ((3L, 5L, 3L, 2L, 0.4, 0.4, true)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0.0, 0.0, false)))
+  }
+
+  test("sampleStratified is a deterministic hash filter with per-stratum rates") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val all = pipeline.Sampling.sampleStratified(docs, Map("a" -> 1.0, "b" -> 0.0))
+    val ids = all.select($"doc_id").as[Long].collect().toSet
+    assert(ids == (0L until 200L by 2).toSet) // rate 1 keeps all, rate 0 none
+    val half = pipeline.Sampling.sampleStratified(docs, Map("a" -> 0.5, "b" -> 0.5))
+    val n = half.count()
+    assert(n > 60 && n < 140, s"hash sample far from rate: $n/200")
+    // deterministic: identical selection on a re-run
+    assert(half.select($"doc_id").as[Long].collect().toSet ==
+      pipeline.Sampling.sampleStratified(docs, Map("a" -> 0.5, "b" -> 0.5))
+        .select($"doc_id").as[Long].collect().toSet)
+    // no shuffle: a pure filter plan
+    assert(!all.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("capPerStratum keeps the exact hash-min cap subset via salted two-level top-k") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val got = pipeline.Sampling.capPerStratum(docs, cap = 7, salts = 4)
+      .select($"doc_id", $"source", $"rank")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got.size == 21 && got.groupBy(_._2).forall(_._2.size == 7))
+    // exactness: matches the naive single-window top-cap per stratum
+    val naive = docs
+      .withColumn("hk", pipeline.Sampling.hashKey($"doc_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"hk", $"doc_id")))
+      .filter($"rank" <= 7).select($"doc_id", $"source", $"rank")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got.toSet == naive.toSet)
+    // scale contract: the first window ranks (stratum, salt) buckets
+    val plan = pipeline.Sampling.capPerStratum(docs, cap = 7, salts = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"no salted local ranking in:\n$plan")
+  }
+
+  test("mixtureExpand repeats rows by stratum weight with deterministic rounding") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, if (i < 50) "a" else "b"))
+      .toDF("doc_id", "source")
+    val got = pipeline.Sampling.mixtureExpand(docs,
+        Map("a" -> 2.0, "b" -> 0.0))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), max($"epoch").as("mx"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 50 && got.forall(r => r._1 < 50 && r._2 == 2L && r._3 == 2L))
+    // fractional weight: every row gets floor(w), a hash-selected
+    // subset one more; expectation 1.5 → between 50 and 100 extras
+    val frac = pipeline.Sampling.mixtureExpand(docs, Map("a" -> 1.5, "b" -> 1.5))
+    assert(frac.count() > 110 && frac.count() < 190)
+    assert(frac.count() ==
+      pipeline.Sampling.mixtureExpand(docs, Map("a" -> 1.5, "b" -> 1.5)).count())
+  }
+
   test("contamination counts benchmark n-gram overlap per corpus doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
