@@ -30,9 +30,14 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *   - containers: `rdf:li` property elements number themselves
   *     `rdf:_1, rdf:_2, …` per enclosing node element (rdf:Seq/Bag/
   *     Alt are ordinary typed nodes)
+  *   - reification: `rdf:ID` on a property element asserts the
+  *     statement AND the four reification triples (`#id rdf:type
+  *     rdf:Statement` + rdf:subject/predicate/object) against the
+  *     base, for every object form (text, resource, nested node,
+  *     all three parseTypes); `rdf:ID` values are document-unique
+  *     across node and property elements (spec §7.2.34)
   * Out of scope (rejected with a parse error, routed to the DLQ):
-  *   reification attributes (rdf:ID on property elements,
-  *   rdf:bagID).
+  *   `rdf:bagID` (dropped in the revised 2004 syntax).
   *
   * RDF/XML carries no named graphs: every quad lands in the default
   * graph (graph = null).
@@ -52,6 +57,18 @@ final class RdfXmlParser(doc: String, base0: String = null) {
   private val quads = scala.collection.mutable.ArrayBuffer[Quad]()
   private var genid = 0
   private def freshBlank(): Term = { genid += 1; Term.blank(s"genid$genid") }
+
+  // rdf:ID values are unique per document (spec §7.2.34) — one
+  // namespace shared by node identification and reification ids
+  private val usedIds = scala.collection.mutable.HashSet[String]()
+  private def idIri(v: String): Term = {
+    // a fragment is only meaningful against a base document IRI
+    if (base == null) throw new RdfParseException(
+      "rdf/xml: rdf:ID needs a base IRI (xml:base or a parse-time base)")
+    if (!usedIds.add(v))
+      throw new RdfParseException(s"rdf/xml: duplicate rdf:ID '$v'")
+    Term.iri(resolve("#" + v))
+  }
 
   // parse-time base, overridden by xml:base on the root element
   private var base: String = base0
@@ -139,11 +156,7 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       if (ans == RDF_NS) aln match {
         case "about" => subject = Term.iri(resolve(v))
         case "nodeID" => subject = Term.blank(v)
-        case "ID" =>
-          // a fragment is only meaningful against a base document IRI
-          if (base == null) throw new RdfParseException(
-            "rdf/xml: rdf:ID needs a base IRI (xml:base or a parse-time base)")
-          subject = Term.iri(resolve("#" + v))
+        case "ID" => subject = idIri(v)
         case other => throw new RdfParseException(
           s"rdf/xml: unsupported node attribute rdf:$other")
       } else if (ans == XML_NS || aln == "lang") () // handled via xmlLang
@@ -192,6 +205,7 @@ final class RdfXmlParser(doc: String, base0: String = null) {
     var nodeId: String = null
     var datatype: String = null
     var parseType: String = null
+    var rdfId: String = null
     var i = 0
     while (i < reader.getAttributeCount) {
       val ans = reader.getAttributeNamespace(i)
@@ -202,10 +216,26 @@ final class RdfXmlParser(doc: String, base0: String = null) {
         case "nodeID" => nodeId = v
         case "datatype" => datatype = v
         case "parseType" => parseType = v
+        case "ID" => rdfId = v
         case other => throw new RdfParseException(
           s"rdf/xml: unsupported property attribute rdf:$other")
       }
       i += 1
+    }
+
+    /** Assert the statement; with `rdf:ID` also assert its
+      * reification quad (type/subject/predicate/object).
+      */
+    def statement(obj: Term): Unit = {
+      quads += Quad(null, subject, pred, obj)
+      if (rdfId != null) {
+        val st = idIri(rdfId)
+        quads += Quad(null, st, Term.iri(Term.RDF_TYPE),
+          Term.iri(RDF_NS + "Statement"))
+        quads += Quad(null, st, Term.iri(RDF_NS + "subject"), subject)
+        quads += Quad(null, st, Term.iri(RDF_NS + "predicate"), pred)
+        quads += Quad(null, st, Term.iri(RDF_NS + "object"), obj)
+      }
     }
 
     if (parseType != null && parseType != "Resource" &&
@@ -216,11 +246,10 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       // the element content, re-serialized, is the lexical form of an
       // rdf:XMLLiteral typed literal — datatype/lang attributes do not
       // apply inside parseType="Literal"
-      quads += Quad(null, subject, pred,
-        Term.typed(readXmlLiteral(), RDF_NS + "XMLLiteral"))
+      statement(Term.typed(readXmlLiteral(), RDF_NS + "XMLLiteral"))
     } else if (resource != null || nodeId != null) {
       val obj = if (resource != null) Term.iri(resolve(resource)) else Term.blank(nodeId)
-      quads += Quad(null, subject, pred, obj)
+      statement(obj)
       skipToEnd()
     } else if (parseType == "Collection") {
       // nested node elements become an rdf:first/rdf:rest cons chain
@@ -236,11 +265,11 @@ final class RdfXmlParser(doc: String, base0: String = null) {
           case _ => ()
         }
       }
-      quads += Quad(null, subject, pred, listChain(items.toSeq))
+      statement(listChain(items.toSeq))
     } else if (parseType == "Resource") {
       // anonymous node whose property elements follow inline
       val b = freshBlank()
-      quads += Quad(null, subject, pred, b)
+      statement(b)
       var done = false
       val innerLi = new LiCounter
       while (!done && reader.hasNext) {
@@ -271,14 +300,14 @@ final class RdfXmlParser(doc: String, base0: String = null) {
       if (nested != null) {
         if (text.toString.trim.nonEmpty) throw new RdfParseException(
           "rdf/xml: mixed text and node element content")
-        quads += Quad(null, subject, pred, nested)
+        statement(nested)
       } else {
         val lex = text.toString
         val obj =
           if (datatype != null) Term.typed(lex, datatype)
           else if (lang != null) Term.langLit(lex, lang)
           else Term.lit(lex)
-        quads += Quad(null, subject, pred, obj)
+        statement(obj)
       }
     }
   }

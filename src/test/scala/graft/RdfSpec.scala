@@ -100,11 +100,41 @@ class RdfParserSpec extends AnyFunSuite {
     val blank = pt.head.obj
     assert(blank.isBlank)
     assert(pt(1) == Quad(null, blank, Term.iri("http://example/k"), Term.lit("v")))
-    // unsupported constructs are parse errors, not silent drops:
-    // reification via rdf:ID on a property element stays rejected
+  }
+
+  test("rdf/xml: rdf:ID on a property element reifies the statement") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val qs = RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xml:base="http://example/doc">
+        |<rdf:Description rdf:about="http://example/a">
+        |<x:p xmlns:x="http://x/" rdf:ID="r1">v</x:p>
+        |<x:q xmlns:x="http://x/" rdf:ID="r2" rdf:resource="http://example/b"/>
+        |</rdf:Description></rdf:RDF>""".stripMargin)
+    val st = Term.iri("http://example/doc#r1")
+    val a = Term.iri("http://example/a")
+    assert(qs.contains(Quad(null, a, Term.iri("http://x/p"), Term.lit("v"))))
+    assert(qs.contains(Quad(null, st, Term.iri(Term.RDF_TYPE),
+      Term.iri(RDF + "Statement"))))
+    assert(qs.contains(Quad(null, st, Term.iri(RDF + "subject"), a)))
+    assert(qs.contains(Quad(null, st, Term.iri(RDF + "predicate"),
+      Term.iri("http://x/p"))))
+    assert(qs.contains(Quad(null, st, Term.iri(RDF + "object"), Term.lit("v"))))
+    // resource-object form reifies too, with the IRI object
+    assert(qs.contains(Quad(null, Term.iri("http://example/doc#r2"),
+      Term.iri(RDF + "object"), Term.iri("http://example/b"))))
+    assert(qs.size == 2 + 2 * 4)
+    // rdf:ID values are document-unique (node + property shared space)
     intercept[RdfParseException](RdfXmlParser.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
         |         xml:base="http://example/doc">
+        |<rdf:Description rdf:about="http://example/a">
+        |<x:p xmlns:x="http://x/" rdf:ID="dup">v</x:p>
+        |<x:p xmlns:x="http://x/" rdf:ID="dup">w</x:p>
+        |</rdf:Description></rdf:RDF>""".stripMargin))
+    // and still an error without any base to resolve the fragment
+    intercept[RdfParseException](RdfXmlParser.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
         |<rdf:Description rdf:about="http://example/a">
         |<x:p xmlns:x="http://x/" rdf:ID="r1">v</x:p>
         |</rdf:Description></rdf:RDF>""".stripMargin))
