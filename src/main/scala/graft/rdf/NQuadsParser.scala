@@ -146,14 +146,25 @@ object NQuadsParser {
         case 'u' =>
           if (pos + 4 > to) fail("bad \\u escape")
           val hex = doc.substring(pos, pos + 4); pos += 4
-          Integer.parseInt(hex, 16).toChar.toString
+          parseHex(hex, 4).toChar.toString
         case 'U' =>
           if (pos + 8 > to) fail("bad \\U escape")
           val hex = doc.substring(pos, pos + 8); pos += 8
-          new String(Character.toChars(Integer.parseInt(hex, 16)))
+          val cp = parseHex(hex, 8)
+          if (!Character.isValidCodePoint(cp))
+            fail(s"\\U escape out of unicode range: $hex")
+          new String(Character.toChars(cp))
         case other => fail(s"bad escape '\\$other'")
       }
     }
+
+    /** Hex digits of a \\u/\\U escape — a malformed escape is a parse
+      * error (→ DLQ), never a NumberFormatException.
+      */
+    def parseHex(hex: String, n: Int): Int =
+      try Integer.parseInt(hex, 16)
+      catch { case _: NumberFormatException =>
+        fail(s"bad hex in \\${if (n == 4) "u" else "U"} escape: '$hex'") }
 
     def fail(msg: String): Nothing =
       throw new RdfParseException(s"[line $lineNo] $msg")

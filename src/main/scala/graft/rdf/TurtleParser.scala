@@ -354,11 +354,16 @@ final class TurtleParser(input: String, trig: Boolean) {
       case '\'' => "'"
       case '\\' => "\\"
       case 'u' =>
+        if (pos + 4 > len) fail("bad \\u escape")
         val hex = input.substring(pos, pos + 4); pos += 4
-        Integer.parseInt(hex, 16).toChar.toString
+        parseHex(hex, "u").toChar.toString
       case 'U' =>
+        if (pos + 8 > len) fail("bad \\U escape")
         val hex = input.substring(pos, pos + 8); pos += 8
-        new String(Character.toChars(Integer.parseInt(hex, 16)))
+        val cp = parseHex(hex, "U")
+        if (!Character.isValidCodePoint(cp))
+          fail(s"\\U escape out of unicode range: $hex")
+        new String(Character.toChars(cp))
       case other => fail(s"bad escape '\\$other'")
     }
   }
@@ -425,6 +430,14 @@ final class TurtleParser(input: String, trig: Boolean) {
     val e = math.min(len, at + 20)
     input.substring(s, e).replace("\n", "\\n")
   }
+
+  /** Hex digits of a \\u/\\U escape — a malformed escape is a parse
+    * error (→ DLQ), never a NumberFormatException.
+    */
+  private def parseHex(hex: String, esc: String): Int =
+    try Integer.parseInt(hex, 16)
+    catch { case _: NumberFormatException =>
+      fail(s"bad hex in \\$esc escape: '$hex'") }
 
   private def fail(msg: String): Nothing = {
     val line = input.substring(0, math.min(pos, len)).count(_ == '\n') + 1
