@@ -145,6 +145,33 @@ object RdfQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicate"))
     },
+    // Time travel (Delta-style versionAsOf over the epoch log): three
+    // batches — nations added, regions added, region-0 nations
+    // deleted — each as-of state counted from ONE union plan. The
+    // oracle re-derives every count from the source tables.
+    "rdf_store_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      val store = new QuadStore(s, Files.createTempDirectory("ttstore").toString)
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)].collect() // 25 rows; driver-side by design
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect() // 5 rows
+      def nq(k: Long, name: String) =
+        Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(name))
+      store.addQuads(0, nations.toSeq.map { case (k, n, _) => nq(k, n) })
+      store.addQuads(1, regions.toSeq.map { case (k, n) =>
+        Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"), Term.lit(n)) })
+      store.applyPatch(2, nations.toSeq.collect { case (k, n, 0L) =>
+        graft.rdf.PatchOp("D", null, Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}name"), Term.lit(n)) })
+      store.availableBatches()
+        .map(b => store.quadsAt(b).select(lit(b).as("as_of")))
+        .reduce(_ unionByName _)
+        .groupBy(col("as_of")).agg(count(lit(1)).as("n"))
+        .orderBy(col("as_of"))
+    },
     // Patch-op semantics at relational scale: every order is an Add,
     // every 'F'-status order is a later Delete; latest-op-wins state
     // must equal the non-F orders. This is the distributed form of the
@@ -182,6 +209,15 @@ object RdfQueries {
           ORDER BY predicate""",
     "rdf_patch_semantics" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
-         WHERE o_orderstatus <> 'F' GROUP BY 1 ORDER BY o_orderpriority"""
+         WHERE o_orderstatus <> 'F' GROUP BY 1 ORDER BY o_orderpriority""",
+    "rdf_store_time_travel" ->
+      """SELECT 0::BIGINT AS as_of,
+                (SELECT COUNT(*) FROM nation)::BIGINT AS n
+         UNION ALL SELECT 1,
+                (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+         UNION ALL SELECT 2,
+                (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+                  + (SELECT COUNT(*) FROM region)
+         ORDER BY as_of"""
   )
 }

@@ -265,10 +265,39 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     dfs.reduceOption(_.unionByName(_)).getOrElse(emptyQuads())
   }
 
-  def quads(): DataFrame = {
+  def quads(): DataFrame = merge(readVersion(), None)
+
+  /** Time travel: the dataset as it stood AFTER `asOfBatch` committed
+    * (Delta-style `versionAsOf`) — replay/audit queries against an
+    * earlier Kafka offset without restoring state files.
+    *
+    * History floor: [[compact]] folds retired epochs into the base, so
+    * states at or before the high-water mark are no longer separable —
+    * asking for one is an error (the vacuum bound every log-structured
+    * store has). Batches between the high-water mark and `asOfBatch`
+    * that never committed simply contribute nothing.
+    */
+  def quadsAt(asOfBatch: Long): DataFrame = {
     val v = readVersion()
-    val (bases, tail) = v.segments.partition(_.isBase)
-    if (v.segments.isEmpty) emptyQuads()
+    if (v.highWater >= 0 && asOfBatch < v.highWater)
+      throw new IllegalArgumentException(
+        s"time travel to batch $asOfBatch is unavailable: compaction folded " +
+        s"batches <= ${v.highWater} into the base (raise the compaction " +
+        "cadence or query >= the high-water mark)")
+    merge(v, Some(asOfBatch))
+  }
+
+  /** Tail batchIds still individually reachable for [[quadsAt]]. */
+  def availableBatches(): Seq[Long] =
+    readVersion().segments.flatMap(_.batchId).sorted
+
+  private def merge(v: Version, asOf: Option[Long]): DataFrame = {
+    val (bases, tail0) = v.segments.partition(_.isBase)
+    val tail = asOf match {
+      case Some(b) => tail0.filter(_.batchId.exists(_ <= b))
+      case None => tail0
+    }
+    if (bases.isEmpty && tail.isEmpty) emptyQuads()
     else if (bases.isEmpty) foldOps(readSegments(tail))
     else {
       val base = baseQuads(bases)

@@ -39,6 +39,28 @@ class StoreSpec extends AnyFunSuite {
     assert(state == Set(("http://x/a", "1"), ("http://x/b", "2"), ("http://x/d", "1")))
   }
 
+  test("quadsAt time-travels to any un-compacted batch; compaction is the floor") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1")))
+    store.addQuads(1, Seq(q("b", "1")))
+    import spark.implicits._
+    store.commitOps(2, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/a"), Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    def subjects(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getStruct(1).getString(1)).toSet
+    assert(store.availableBatches() == Seq(0L, 1L, 2L))
+    assert(subjects(store.quadsAt(0)) == Set("http://x/a"))
+    assert(subjects(store.quadsAt(1)) == Set("http://x/a", "http://x/b"))
+    assert(subjects(store.quadsAt(2)) == Set("http://x/b"))
+    // as-of later than the newest batch is just the current state
+    assert(subjects(store.quadsAt(99)) == subjects(store.quads()))
+    store.compact()
+    // folded history is no longer separable — explicit error, and the
+    // high-water state itself still reads (it IS the base)
+    intercept[IllegalArgumentException](store.quadsAt(1))
+    assert(subjects(store.quadsAt(2)) == Set("http://x/b"))
+  }
+
   test("replayed epoch at or below the compaction high-water mark is dropped") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1")))
