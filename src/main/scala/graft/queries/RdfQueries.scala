@@ -172,6 +172,28 @@ object RdfQueries {
         .groupBy(col("as_of")).agg(count(lit(1)).as("n"))
         .orderBy(col("as_of"))
     },
+    // CDC feed over the same three batches: net ops in (0, 2] are one
+    // Add per region and one Delete per region-0 nation
+    "rdf_store_change_feed" -> { (s, dir) =>
+      import s.implicits._
+      val store = new QuadStore(s, Files.createTempDirectory("cdcstore").toString)
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)].collect()
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect()
+      store.addQuads(0, nations.toSeq.map { case (k, n, _) =>
+        Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(n)) })
+      store.addQuads(1, regions.toSeq.map { case (k, n) =>
+        Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"), Term.lit(n)) })
+      store.applyPatch(2, nations.toSeq.collect { case (k, n, 0L) =>
+        graft.rdf.PatchOp("D", null, Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}name"), Term.lit(n)) })
+      store.changes(0, 2)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    },
     // Patch-op semantics at relational scale: every order is an Add,
     // every 'F'-status order is a later Delete; latest-op-wins state
     // must equal the non-F orders. This is the distributed form of the
@@ -218,6 +240,11 @@ object RdfQueries {
          UNION ALL SELECT 2,
                 (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
                   + (SELECT COUNT(*) FROM region)
-         ORDER BY as_of"""
+         ORDER BY as_of""",
+    "rdf_store_change_feed" ->
+      """SELECT 'A' AS op, (SELECT COUNT(*) FROM region)::BIGINT AS n
+         UNION ALL
+         SELECT 'D', (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+         ORDER BY op"""
   )
 }

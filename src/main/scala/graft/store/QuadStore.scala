@@ -291,6 +291,36 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
   def availableBatches(): Seq[Long] =
     readVersion().segments.flatMap(_.batchId).sorted
 
+  /** CDC change feed: the net op per quad across batches in
+    * `(fromBatch, toBatch]` — columns (op, graph, subject, predicate,
+    * obj), op ∈ {A, D}. Applying the feed to the as-of-`fromBatch`
+    * state (adds as set-inserts, deletes as set-removes) yields
+    * exactly the as-of-`toBatch` state: ops are FOLDED per quad, so a
+    * consumer never sees an intermediate flip-flop. Net, not minimal:
+    * a quad added AND deleted inside the range emits a D even if it
+    * was absent at `fromBatch` — a set-semantics no-op downstream.
+    *
+    * Same history floor as [[quadsAt]]: batches at or below the
+    * compaction high-water mark are folded into the base and cannot
+    * be diffed.
+    */
+  def changes(fromBatch: Long, toBatch: Long): DataFrame = {
+    val v = readVersion()
+    if (v.highWater >= 0 && fromBatch < v.highWater)
+      throw new IllegalArgumentException(
+        s"change feed from batch $fromBatch is unavailable: compaction " +
+        s"folded batches <= ${v.highWater} into the base")
+    val segs = v.segments
+      .filter(_.batchId.exists(b => b > fromBatch && b <= toBatch))
+    if (segs.isEmpty)
+      return emptyQuads().withColumn("op", lit("A")).limit(0)
+        .select(col("op") +: QUAD_COLUMNS.map(col): _*)
+    readSegments(segs)
+      .groupBy(QUAD_COLUMNS.map(col): _*)
+      .agg(max_by(col("op"), col("gseq")).as("op"))
+      .select(col("op") +: QUAD_COLUMNS.map(col): _*)
+  }
+
   private def merge(v: Version, asOf: Option[Long]): DataFrame = {
     val (bases, tail0) = v.segments.partition(_.isBase)
     val tail = asOf match {

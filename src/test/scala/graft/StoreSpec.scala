@@ -61,6 +61,43 @@ class StoreSpec extends AnyFunSuite {
     assert(subjects(store.quadsAt(2)) == Set("http://x/b"))
   }
 
+  test("changes() folds the net op per quad between two batches") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1")))
+    store.addQuads(1, Seq(q("b", "1"), q("c", "1")))
+    import spark.implicits._
+    store.commitOps(2, Seq(
+      QuadStore.OpRow("D", 0L, null, Term.iri("http://x/a"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("D", 1L, null, Term.iri("http://x/c"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("A", 2L, null, Term.iri("http://x/c"),
+        Term.iri("http://x/p"), Term.lit("2"))).toDF())
+    def feed(from: Long, to: Long) =
+      store.changes(from, to).collect()
+        .map(r => (r.getString(0), r.getStruct(2).getString(1),
+          r.getStruct(4).getString(1))).toSet
+    // (0, 2]: b added; a deleted; c flip-flopped to its net final A
+    assert(feed(0, 2) == Set(("A", "http://x/b", "1"),
+      ("D", "http://x/a", "1"), ("D", "http://x/c", "1"),
+      ("A", "http://x/c", "2")))
+    assert(feed(1, 2) == Set(("D", "http://x/a", "1"),
+      ("D", "http://x/c", "1"), ("A", "http://x/c", "2")))
+    assert(feed(2, 99).isEmpty)
+    // the feed applied to the from-state reproduces the to-state
+    val applied = feed(0, 2).foldLeft(
+      store.quadsAt(0).collect().map(r => (r.getStruct(1).getString(1),
+        r.getStruct(3).getString(1))).toSet) {
+      case (st, ("A", s, o)) => st + ((s, o))
+      case (st, (_, s, o)) => st - ((s, o))
+    }
+    val want = store.quadsAt(2).collect()
+      .map(r => (r.getStruct(1).getString(1), r.getStruct(3).getString(1))).toSet
+    assert(applied == want)
+    store.compact()
+    intercept[IllegalArgumentException](store.changes(0, 2))
+  }
+
   test("replayed epoch at or below the compaction high-water mark is dropped") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1")))
