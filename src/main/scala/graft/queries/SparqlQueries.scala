@@ -330,6 +330,29 @@ object SparqlQueries {
             .cast("int").as("n_nationkey"))
         .orderBy(col("n_regionkey"))
     },
+    // DESCRIBE: one constant IRI (pushed subject filter) + a
+    // WHERE-bound variable (distinct semi-join) — every quad of the
+    // region-0 nations plus nation/0 via its IRI, deduplicated
+    "sparql_describe" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqdesc", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, name, rk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)))
+        })
+      }
+      Sparql.execute(store.quads(),
+          s"""DESCRIBE <${NS}nation/0> ?s WHERE {
+                ?s <${NS}regionkey> "0"^^<${Term.XSD_INTEGER}> }""")
+        .select(col("subject.lex").as("s"), col("predicate.lex").as("p"),
+          col("obj.lex").as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
+    },
     // negation: EXISTS / NOT EXISTS (semi/anti join on shared-var
     // compatibility) and MINUS — including the semantic corner where
     // they disagree: MINUS with disjoint domains removes NOTHING while
@@ -665,6 +688,16 @@ object SparqlQueries {
     "sparql_subquery" ->
       """SELECT n_regionkey, MAX(n_nationkey) AS n_nationkey
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "sparql_describe" ->
+      """SELECT s, p, o FROM (
+           SELECT 'http://graft.example/nation/' || n_nationkey AS s,
+                  'http://graft.example/name' AS p, n_name AS o
+           FROM nation WHERE n_regionkey = 0 OR n_nationkey = 0
+           UNION ALL
+           SELECT 'http://graft.example/nation/' || n_nationkey,
+                  'http://graft.example/regionkey', n_regionkey::VARCHAR
+           FROM nation WHERE n_regionkey = 0 OR n_nationkey = 0)
+         ORDER BY s, p, o""",
     "sparql_negation" ->
       """SELECT * FROM (
            SELECT 'exists' AS method, n_nationkey FROM nation WHERE n_nationkey < 10
