@@ -58,6 +58,23 @@ object StreamingQueries {
           col("event_type"), col("n"), col("v"))
         .orderBy(col("hour"), col("event_type"))
     },
+    // Streaming sessionization: per-user session windows with a
+    // 30-minute inactivity gap — the state-merging window kind (an
+    // event extends, and can BRIDGE, existing sessions). The oracle
+    // re-derives sessions relationally (lag-gap breaks + running sum);
+    // session_window.end = last event + gap matches by construction.
+    "streaming_session" -> { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("v"))
+      runToTable(agg, "complete")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n"), col("v"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
     // Streaming stateful dedup: every event is duplicated in-stream,
     // then dropDuplicates over (event_id, ts) with a watermark removes
     // the copies; the result must equal the plain per-type counts.
@@ -81,6 +98,21 @@ object StreamingQueries {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "streaming_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    "streaming_session" ->
+      """WITH brk AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS b
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(b) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM brk)
+         SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+                epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 }
