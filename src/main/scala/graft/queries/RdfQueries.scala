@@ -172,6 +172,24 @@ object RdfQueries {
         .groupBy(col("as_of")).agg(count(lit(1)).as("n"))
         .orderBy(col("as_of"))
     },
+    // N-Quads egress: serialize a store (default graph + a named
+    // graph + a literal planted with quote/newline/tab/backslash) and
+    // compare the LINES against DuckDB building the same strings —
+    // pins the escaping rules cross-engine
+    "rdf_store_export" -> { (s, dir) =>
+      import s.implicits._
+      val store = new QuadStore(s, Files.createTempDirectory("expstore").toString)
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect()
+      store.addQuads(0, regions.toSeq.flatMap { case (k, name) =>
+        Seq(
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"), Term.lit(name)),
+          Quad(Term.iri(s"${NS}g/meta"), Term.iri(s"${NS}region/$k"),
+            Term.iri(s"${NS}esc"), Term.lit("\"" + name + "\n\t\\")))
+      })
+      graft.rdf.NtWriter.ntLines(store.quads()).orderBy(col("line"))
+    },
     // CDC feed over the same three batches: net ops in (0, 2] are one
     // Add per region and one Delete per region-0 nation
     "rdf_store_change_feed" -> { (s, dir) =>
@@ -245,6 +263,21 @@ object RdfQueries {
       """SELECT 'A' AS op, (SELECT COUNT(*) FROM region)::BIGINT AS n
          UNION ALL
          SELECT 'D', (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
-         ORDER BY op"""
+         ORDER BY op""",
+    // chr(92)=backslash chr(34)=quote chr(10)=newline chr(9)=tab
+    "rdf_store_export" ->
+      """SELECT line FROM (
+           SELECT '<http://graft.example/region/' || r_regionkey ||
+                  '> <http://graft.example/name> ' || chr(34) || r_name ||
+                  chr(34) || ' .' AS line
+           FROM region
+           UNION ALL
+           SELECT '<http://graft.example/region/' || r_regionkey ||
+                  '> <http://graft.example/esc> ' || chr(34) ||
+                  chr(92) || chr(34) || r_name || chr(92) || 'n' ||
+                  chr(92) || 't' || chr(92) || chr(92) ||
+                  chr(34) || ' <http://graft.example/g/meta> .'
+           FROM region)
+         ORDER BY line"""
   )
 }

@@ -61,6 +61,24 @@ class StoreSpec extends AnyFunSuite {
     assert(subjects(store.quadsAt(2)) == Set("http://x/b"))
   }
 
+  test("exportNQuads round-trips: sharded text re-ingests to the identical state") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "plain"), q("b", "esc\"\n\t\\"),
+      Quad(Term.iri("http://x/g"), Term.iri("http://x/s"),
+        Term.iri("http://x/p"), Term.typed("5", Term.XSD_INTEGER))))
+    val out = Files.createTempDirectory("ntexport").toString
+    graft.rdf.NtWriter.exportNQuads(store.quads(), out)
+    val doc = spark.read.textFile(out).collect().mkString("\n")
+    val re = newStore()
+    re.addQuads(0, NQuadsParser.parse(doc, allowGraph = true))
+    def state(st: QuadStore) = st.quads().collect().map { r =>
+      (Option(r.getStruct(0)).map(_.getString(1)).orNull,
+        r.getStruct(1).getString(1), r.getStruct(2).getString(1),
+        r.getStruct(3).getString(1), r.getStruct(3).getString(2))
+    }.toSet
+    assert(state(re) == state(store) && re.count() == 3)
+  }
+
   test("changes() folds the net op per quad between two batches") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1")))
