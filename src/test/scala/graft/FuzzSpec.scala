@@ -154,6 +154,53 @@ class FuzzSpec extends AnyFunSuite {
     })
   }
 
+  // --- grammar-directed SPARQL: well-formed random queries ------------------
+
+  /** Conservative generator of VALID queries: BGP (1-3 triples over a
+    * shared var pool), optional OPTIONAL/UNION/FILTER/BIND, optional
+    * DISTINCT/ORDER BY/LIMIT. Everything it emits must compile and
+    * execute — an exception here is a compiler bug, not fuzz noise.
+    */
+  private val genSparql: Gen[(String, Option[Int], Boolean)] = {
+    val vars = Seq("?a", "?b", "?c")
+    val genVar = Gen.oneOf(vars)
+    val genSubj = Gen.oneOf(genVar, Gen.const("<http://x/s>"))
+    val genPred = Gen.oneOf(genVar, Gen.const("<http://x/p>"))
+    val genObj = Gen.oneOf(genVar, Gen.const("\"o\""), Gen.const("3"))
+    val genTriple = for { s <- genSubj; p <- genPred; o <- genObj }
+      yield s"$s $p $o ."
+    val genFilter = for {
+      v <- genVar
+      f <- Gen.oneOf(s"BOUND($v)", s"$v = 3", s"isIRI($v)",
+        s"STRLEN(STR($v)) >= 0", s"$v != <http://x/q>")
+    } yield s"FILTER($f)"
+    for {
+      triples <- Gen.choose(1, 3).flatMap(Gen.listOfN(_, genTriple))
+      opt <- Gen.option(genTriple.map(t => s"OPTIONAL { $t }"))
+      uni <- Gen.option(genTriple.map(t => s"{ $t } UNION { $t }"))
+      filt <- Gen.option(genFilter)
+      bind <- Gen.option(genVar.map(v => s"BIND(STR($v) AS ?z)"))
+      distinct <- Gen.oneOf("", "DISTINCT ")
+      order <- Gen.option(genVar.map(v => s" ORDER BY $v"))
+      limit <- Gen.option(Gen.choose(0, 5))
+    } yield {
+      val body = (triples ++ opt.toSeq ++ uni.toSeq ++ bind.toSeq ++ filt.toSeq)
+        .mkString(" ")
+      (s"SELECT $distinct* { $body }${order.getOrElse("")}" +
+        limit.map(n => s" LIMIT $n").getOrElse(""),
+        limit, distinct.nonEmpty)
+    }
+  }
+
+  test("well-formed generated SPARQL compiles, executes, and honors LIMIT/DISTINCT") {
+    val quads = fuzzStore.quads()
+    check(Prop.forAll(genSparql) { case (q, limit, distinct) =>
+      val rows = Sparql.execute(quads, q).collect()
+      limit.forall(rows.length <= _) &&
+        (!distinct || rows.map(_.toString).distinct.length == rows.length)
+    }, n = 60) // each sample runs compile + a Spark job
+  }
+
   test("Turtle parser is total over token soup") {
     val turtleTokens = Gen.oneOf(
       "@prefix", "@base", "ex:", ":", "ex:s", "a", "<http://x/s>", "_:b",
