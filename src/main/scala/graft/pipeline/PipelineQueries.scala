@@ -204,6 +204,24 @@ object PipelineQueries {
           count_distinct(col("doc_id")).as("n_docs"),
           max(col("epoch")).as("max_epoch"))
         .orderBy(col("lang"))
+    },
+    // the full curation pipeline COMPOSED as one lazy plan:
+    // exact-dedup keepers → quality filter → stratified sample →
+    // sequence packing. No materialization between stages — the whole
+    // chain is a single DAG Catalyst optimizes end-to-end, which is
+    // the point of expressing curation relationally. The oracle
+    // replays every stage in SQL.
+    "pl_curation_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val quality = kept
+        .withColumn("stats", TextAnalysis.tokenStats(col("text")))
+        .filter(TextAnalysis.qualityBucketFromStats(col("stats")) === "ok")
+        .drop("stats")
+      val sampled = Sampling.sampleStratified(quality, SAMPLE_RATES,
+        stratumCol = "lang")
+      TextAnalysis.packSequences(sampled).orderBy(col("doc_id"))
     }
   )
 
@@ -467,6 +485,28 @@ object PipelineQueries {
               ORDER BY ${hkSql("doc_id")}, doc_id) AS rank
             FROM documents)
           WHERE rank <= 10 ORDER BY source, rank""",
+    "pl_curation_e2e" ->
+      s"""WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         kept AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+                  JOIN keepers k USING (doc_id)),
+         quality AS (
+           SELECT doc_id, text, lang FROM (
+             SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM kept)
+           WHERE NOT (len(w) < 20)
+             AND NOT (len(list_filter(w, x -> list_contains([$STOPWORDS], x)))::DOUBLE / len(w) > 0.5)
+             AND NOT (len(list_distinct(w))::DOUBLE / len(w) < 0.3)),
+         sampled AS (
+           SELECT doc_id, text FROM quality
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+             ${caseSql(SAMPLE_RATES, r => rateThreshold(r), rateThreshold(1.0))})
+         SELECT doc_id::BIGINT AS doc_id, t AS n_tokens, shard,
+                (shard * 1000000 + ((cum - t) // 512))::BIGINT AS pack_id
+         FROM (SELECT doc_id, t, shard,
+                      sum(t) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+               FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS t,
+                            (doc_id % 16)::INT AS shard
+                     FROM sampled))
+         ORDER BY doc_id""",
     "pl_mixture" ->
       s"""SELECT lang, SUM(n_epochs)::BIGINT AS n_rows,
                  COUNT(*)::BIGINT AS n_docs,
