@@ -34,7 +34,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c profiles a subset (builder-side
+    // iteration; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup, untimed: a join+agg touching the big tables, plus one
     // SPARQL and one projector entry — engine JIT/codegen cost is
     // shared JVM-wide and otherwise lands on whichever timed entry

@@ -18,21 +18,31 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects as a
-    * timestamp type. Read it as a nanos long and convert to a microsecond
-    * TimestampType column (the data is µs-granular, so this is lossless
-    * and agrees with DuckDB's native nanos read). Exact integer `div`,
-    * not `/`: float division of 1.7e18-scale nanos exceeds double's
-    * 53-bit exact range and can truncate a µs low on boundaries.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
-    * session builder (set by Verify/Bench/test harnesses; asserted here
-    * rather than mutated so a library session is never side-effected).
+  /** events.parquet has carried its `ts` column as TIMESTAMP(NANOS) in
+    * some generator versions (which Spark 4 rejects as a timestamp type)
+    * and TIMESTAMP(MICROS) in others, so the loader adapts to the file's
+    * physical schema and always yields a session-zone TimestampType
+    * column:
+    *  - nanos → read as long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    *    asserted, not mutated — a library session is never side-effected)
+    *    and convert with exact integer `div` (float division of
+    *    1.7e18-scale nanos exceeds double's 53-bit exact range and can
+    *    truncate a µs low on boundaries);
+    *  - micros → arrives as TIMESTAMP_NTZ (no zone in the file); cast to
+    *    TimestampType, value-preserving because every harness pins
+    *    `spark.sql.session.timeZone=UTC`, matching DuckDB's zoneless read.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true to read events")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "session must be built with spark.sql.legacy.parquet.nanosAsLong=true to read events")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact-decimal view of a 2dp double column. */

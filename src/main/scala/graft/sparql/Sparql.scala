@@ -1277,10 +1277,11 @@ object Sparql {
         // §17.4.5 date/time accessors, evaluated on the LEXICAL form of
         // xsd:dateTime (YEAR/MONTH/DAY/TZ also xsd:date) — no timezone
         // conversion, exactly the component the literal spells
-        case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS" | "TZ" =>
+        case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS" | "TZ"
+           | "TIMEZONE" =>
           val dt = a(0).getField("datatype")
           val okType = func match {
-            case "YEAR" | "MONTH" | "DAY" | "TZ" =>
+            case "YEAR" | "MONTH" | "DAY" | "TZ" | "TIMEZONE" =>
               dt === Term.XSD_DATETIME || dt === Term.XSD_DATE
             case _ => dt === Term.XSD_DATETIME
           }
@@ -1289,6 +1290,25 @@ object Sparql {
           func match {
             case "TZ" => // "" when the literal carries no zone (spec)
               when(ok, plainStrTerm(part("(Z|[+-]\\d{2}:\\d{2})$")))
+                .otherwise(nullTerm)
+            case "TIMEZONE" =>
+              // xsd:dayTimeDuration in canonical form: Z/±00:00 → PT0S,
+              // else [-]PT<h>H[<m>M] with zero components omitted; a
+              // literal with NO zone is an expression error (§17.4.5.7)
+              val zone = part("(Z|[+-]\\d{2}:\\d{2})$")
+              val hh = regexp_extract(zone, "^[+-](\\d{2}):", 1).try_cast("int")
+              val mm = regexp_extract(zone, ":(\\d{2})$", 1).try_cast("int")
+              val durLex =
+                when(zone === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+                  .otherwise(concat(
+                    when(zone.startsWith("-"), lit("-")).otherwise(lit("")),
+                    lit("PT"),
+                    when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+                    when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
+              when(ok && zone =!= "",
+                struct(lit(Term.LIT).as("termType"), durLex.as("lex"),
+                  lit(Term.XSD + "dayTimeDuration").as("datatype"),
+                  lit(null).cast("string").as("lang")))
                 .otherwise(nullTerm)
             case "SECONDS" =>
               val sec = part("T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)")
@@ -2360,7 +2380,7 @@ object Sparql {
       Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR",
         "IRI", "URI", "ENCODE_FOR_URI",
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE")
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
         "STRDT", "STRLANG")

@@ -17,11 +17,14 @@ import graft.queries.Tables.{d, dec}
   */
 object StreamingQueries {
 
-  /** events.parquet schema as read by the stream source (ts is the
-    * raw TIMESTAMP(NANOS) long — see Tables.events).
+  /** events.parquet schema for the stream source. `ts` varies by
+    * generator version — TIMESTAMP(NANOS) (read as long) or
+    * TIMESTAMP(MICROS) (read as NTZ) — so probe the file's batch-read
+    * type and mirror Tables.events' conversion to session-zone
+    * TimestampType.
     */
-  private val EVENTS_SCHEMA = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -31,8 +34,13 @@ object StreamingQueries {
     val streamDir = Files.createTempDirectory("events_stream")
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(EVENTS_SCHEMA).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {

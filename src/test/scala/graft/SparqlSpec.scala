@@ -942,6 +942,27 @@ class SparqlSpec extends AnyFunSuite {
     assert((1 to 7).map(f(rows(2), _)).forall(_ == null))
   }
 
+  test("TIMEZONE returns canonical xsd:dayTimeDuration; zone-less is an error") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/t> "2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |<http://x/b> <http://x/t> "2024-03-05T10:30:02+05:30"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |<http://x/c> <http://x/t> "2024-03-05T10:30:02Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |<http://x/d> <http://x/t> "2024-03-05T10:30:02+00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |<http://x/e> <http://x/t> "2024-03-05T10:30:02"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?z { ?s <http://x/t> ?v BIND(TIMEZONE(?v) AS ?z) }
+         ORDER BY ?s""").collect()
+    def z(i: Int) = Option(rows(i).getStruct(1))
+    assert(z(0).map(_.getString(1)) == Some("-PT5H"))
+    assert(z(0).map(_.getString(2)) ==
+      Some("http://www.w3.org/2001/XMLSchema#dayTimeDuration"))
+    assert(z(1).map(_.getString(1)) == Some("PT5H30M"))
+    assert(z(2).map(_.getString(1)) == Some("PT0S"))   // Z
+    assert(z(3).map(_.getString(1)) == Some("PT0S"))   // +00:00
+    assert(z(4).isEmpty)                               // no zone → error
+  }
+
   test("predicate-object lists, object lists, blank-node property lists") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
