@@ -475,21 +475,31 @@ object SparqlQueries {
           .orderBy(col("o_orderkey")).limit(50)
           .as[(Long, String)].collect()
         st.addQuads(0, rows.toSeq.flatMap { case (k, d) =>
+          // a dateTime whose zone cycles by key: with-zone rows exercise
+          // TZ/TIMEZONE, the zone-less row the expression-error path
+          val zone = (k % 4) match {
+            case 0 => "Z"; case 1 => "+05:30"; case 2 => "-05:00"; case _ => ""
+          }
           Seq(
             graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}key"),
               Term.typed(k.toString, Term.XSD_INTEGER)),
             graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}date"),
-              Term.typed(d, Term.XSD_DATE)))
+              Term.typed(d, Term.XSD_DATE)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}order/$k"), Term.iri(s"${NS}ts"),
+              Term.typed(s"${d}T10:30:02$zone", Term.XSD_DATETIME)))
         })
       }
       val res = Sparql.execute(store.quads(),
-        s"""SELECT ?k (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dd) {
-              ?s <${NS}key> ?k . ?s <${NS}date> ?d
+        s"""SELECT ?k (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dd)
+                   (TZ(?t) AS ?tz) (TIMEZONE(?t) AS ?tzd) {
+              ?s <${NS}key> ?k . ?s <${NS}date> ?d . ?s <${NS}ts> ?t
             }""")
       res.select(col("k").getField("lex").cast("long").as("k"),
           col("y").getField("lex").cast("int").as("y"),
           col("mo").getField("lex").cast("int").as("mo"),
-          col("dd").getField("lex").cast("int").as("dd"))
+          col("dd").getField("lex").cast("int").as("dd"),
+          col("tz").getField("lex").as("tz"),
+          col("tzd").getField("lex").as("tzd"))
         .orderBy(col("k"))
     },
     // nondeterministic builtins under a FIXED EvalContext (clock +
@@ -737,7 +747,11 @@ object SparqlQueries {
       """SELECT o_orderkey AS k,
                 year(o_orderdate)::INT AS y,
                 month(o_orderdate)::INT AS mo,
-                day(o_orderdate)::INT AS dd
+                day(o_orderdate)::INT AS dd,
+                CASE o_orderkey % 4 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+                                    WHEN 2 THEN '-05:00' ELSE '' END AS tz,
+                CASE o_orderkey % 4 WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT5H30M'
+                                    WHEN 2 THEN '-PT5H' ELSE NULL END AS tzd
          FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
          ORDER BY k""",
     "sparql_nondet" ->
