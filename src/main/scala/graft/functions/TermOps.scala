@@ -135,6 +135,7 @@ object TermOps {
     def rank(t: String): Int = t match {
       case graft.rdf.Term.BLANK => 0
       case graft.rdf.Term.IRI => 1
+      case graft.rdf.Term.TRIPLE => 3 // quoted triples after literals (mirrors Sparql.sortKeys)
       case _ => 2
     }
     val (tA, lexA, dtA, lgA) = (f(a, 0), f(a, 1), f(a, 2), f(a, 3))

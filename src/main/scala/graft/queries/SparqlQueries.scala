@@ -251,6 +251,39 @@ object SparqlQueries {
           col("nd").cast("long").as("nd"))
         .orderBy(col("g"))
     },
+    // RDF-star end-to-end: per-nation provenance stated ABOUT quoted
+    // triples (Turtle-star annotation syntax through the projector),
+    // then SPARQL-star destructures them — << ?s ?p ?o >> pattern
+    // matching, SUBJECT/OBJECT accessors, and an ISTRIPLE filter. The
+    // oracle re-derives the same (nationkey, name, source) rows
+    // relationally.
+    "sparql_star" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqstar", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .as[(Long, String)].collect()
+        // half via annotation syntax (asserts the base triple too),
+        // half as bare quoted-triple statements (base NOT asserted)
+        val doc = rows.toSeq.sortBy(_._1).map { case (k, name) =>
+          if (k % 2 == 0)
+            s"""<${NS}n/$k> <${NS}name> "$name" {| <${NS}src> <${NS}census/$k> |} ."""
+          else
+            s"""<< <${NS}n/$k> <${NS}name> "$name" >> <${NS}src> <${NS}survey/$k> ."""
+        }.mkString("\n")
+        st.addQuads(0, graft.rdf.TurtleParser.parseTurtle(doc))
+      }
+      val res = Sparql.execute(store.quads(),
+        s"""SELECT ?t ?src (SUBJECT(?t) AS ?su) (OBJECT(?t) AS ?nm)
+            { ?t <${NS}src> ?src FILTER(ISTRIPLE(?t)) }""")
+      res.select(
+          regexp_extract(col("su").getField("lex"), "n/(\\d+)$", 1).cast("long").as("k"),
+          col("nm").getField("lex").as("name"),
+          col("src").getField("lex").as("src"),
+          // asserted twin exists only for the annotation-syntax half
+          regexp_extract(col("src").getField("lex"), "(census|survey)", 1).as("kind"))
+        .orderBy(col("k"))
+    },
     // property paths under GRAPH ?var: two disjoint chains in two
     // named graphs; the transitive closure must stay inside each graph
     // (a cross-graph pair like 11→13 would be a correctness bug)
@@ -666,6 +699,13 @@ object SparqlQueries {
                 ((MAX(n_nationkey) - MIN(n_nationkey)) * 2)::BIGINT AS span2,
                 COUNT(*)::BIGINT AS nd
          FROM nation GROUP BY 1 ORDER BY g""",
+    "sparql_star" ->
+      """SELECT n_nationkey AS k, n_name AS name,
+                CASE WHEN n_nationkey % 2 = 0
+                     THEN 'http://graft.example/census/' || n_nationkey
+                     ELSE 'http://graft.example/survey/' || n_nationkey END AS src,
+                CASE WHEN n_nationkey % 2 = 0 THEN 'census' ELSE 'survey' END AS kind
+         FROM nation ORDER BY k""",
     "sparql_path_graph" ->
       """WITH RECURSIVE
            ea AS (SELECT n_nationkey AS s, n_nationkey + 1 AS o FROM nation

@@ -32,7 +32,8 @@ object NQuadsParser {
     s.skipWs()
     if (s.atEnd || s.peek == '#') return
     val subj = s.term()
-    if (!subj.isIri && !subj.isBlank) s.fail("subject must be IRI or blank node")
+    if (!subj.isIri && !subj.isBlank && !subj.isTriple)
+      s.fail("subject must be IRI, blank node, or quoted triple")
     val pred = s.term()
     if (!pred.isIri) s.fail("predicate must be an IRI")
     val obj = s.term()
@@ -51,6 +52,23 @@ object NQuadsParser {
     out += Quad(graph, subj, pred, obj)
   }
 
+  /** Components of a quoted-triple term, parsed back out of its
+    * canonical `<<s p o>>` lex. Inverse of [[Term.quoted]]; used for
+    * blank-node scoping inside quoted triples and by
+    * [[graft.functions.TermStar]]'s SUBJECT/PREDICATE/OBJECT.
+    */
+  def components(t: Term): (Term, Term, Term) = {
+    require(t.isTriple, s"not a quoted triple: ${t.toNT}")
+    val lex = t.lex
+    if (lex == null || lex.length < 4 || !lex.startsWith("<<") || !lex.endsWith(">>"))
+      throw new RdfParseException(s"malformed quoted-triple lex: '$lex'")
+    val s = new Scanner(lex, 2, lex.length - 2, 1)
+    val subj = s.term(); val pred = s.term(); val obj = s.term()
+    s.skipWs()
+    if (!s.atEnd) s.fail("trailing content in quoted triple")
+    (subj, pred, obj)
+  }
+
   /** Scanner over one line; shared with the RDF Patch parser. */
   private[rdf] final class Scanner(doc: String, from: Int, val to: Int, lineNo: Int) {
     var pos: Int = from
@@ -67,6 +85,22 @@ object NQuadsParser {
       skipWs()
       if (atEnd) fail("unexpected end of line")
       peek match {
+        // RDF-star quoted triple `<< s p o >>` — '<<' never begins an
+        // IRIREF (IRIs are absolute, and '<' is excluded from IRIREF
+        // anyway), so one char of lookahead disambiguates
+        case '<' if pos + 1 < to && doc.charAt(pos + 1) == '<' =>
+          pos += 2
+          val s = term()
+          if (!s.isIri && !s.isBlank && !s.isTriple)
+            fail("quoted-triple subject must be IRI, blank node, or quoted triple")
+          val p = term()
+          if (!p.isIri) fail("quoted-triple predicate must be an IRI")
+          val o = term()
+          skipWs()
+          if (pos + 1 >= to || peek != '>' || doc.charAt(pos + 1) != '>')
+            fail("unterminated quoted triple: expected '>>'")
+          pos += 2
+          Term.quoted(s, p, o)
         case '<' =>
           advance()
           val sb = new StringBuilder
@@ -128,7 +162,8 @@ object NQuadsParser {
 
     private def isTermEnd(c: Char): Boolean =
       c == ' ' || c == '\t' || c == '\r' || c == '.' ||
-      c == '<' || c == '"' || c == '#'
+      c == '<' || c == '"' || c == '#' ||
+      c == '>' // a quoted triple's '>>' may directly follow a blank label
 
     private def unescape(): String = {
       if (atEnd) fail("dangling escape")

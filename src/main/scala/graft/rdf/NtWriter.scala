@@ -34,6 +34,8 @@ object NtWriter {
         concat(lit("<"), lex, lit(">")))
       .when(c.getField("termType") === Term.BLANK,
         concat(lit("_:"), lex))
+      // quoted triple: lex IS the canonical `<<s p o>>` token
+      .when(c.getField("termType") === Term.TRIPLE, lex)
       .otherwise(concat(lit("\""), esc(lex), lit("\""),
         when(lang.isNotNull, concat(lit("@"), lang))
           .when(dt.isNotNull && dt =!= Term.XSD_STRING,

@@ -81,7 +81,15 @@ object RdfParse {
   }
 
   private def scopeTerm(t: Term, scope: String): Term =
-    if (t != null && t.isBlank) Term.blank(scope + ":" + t.lex) else t
+    if (t == null) t
+    else if (t.isBlank) Term.blank(scope + ":" + t.lex)
+    else if (t.isTriple) {
+      // blanks EMBEDDED in a quoted triple must scope with their
+      // asserted siblings, or `<< _:b … >>` and `_:b` in one event
+      // would silently disconnect
+      val (s, p, o) = NQuadsParser.components(t)
+      Term.quoted(scopeTerm(s, scope), scopeTerm(p, scope), scopeTerm(o, scope))
+    } else t
 
   private def scopeBlanks(quads: Seq[Quad], scope: String): Seq[Quad] =
     if (scope == null || scope.isEmpty) quads

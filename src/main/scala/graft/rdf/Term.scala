@@ -13,13 +13,16 @@ final case class Term(termType: String, lex: String, datatype: String, lang: Str
   def isIri: Boolean = termType == Term.IRI
   def isBlank: Boolean = termType == Term.BLANK
   def isLit: Boolean = termType == Term.LIT
+  def isTriple: Boolean = termType == Term.TRIPLE
 
   /** Canonical N-Triples serialization (also used for DLQ echoes and
-    * deterministic hashing).
+    * deterministic hashing). A quoted triple's lex IS its canonical
+    * `<< s p o >>` form (see [[Term.quoted]]), so it passes through.
     */
   def toNT: String = termType match {
-    case Term.IRI   => s"<$lex>"
-    case Term.BLANK => s"_:$lex"
+    case Term.IRI    => s"<$lex>"
+    case Term.BLANK  => s"_:$lex"
+    case Term.TRIPLE => lex
     case _ =>
       val escaped = Term.escapeLiteral(lex)
       if (lang != null) s""""$escaped"@$lang"""
@@ -32,6 +35,16 @@ object Term {
   val IRI = "iri"
   val BLANK = "blank"
   val LIT = "lit"
+  /** RDF-star quoted triple (Jena: `Node_Triple`, used by the
+    * reference stack's RIOT parsers for Turtle-star/N-Triples-star
+    * payloads). Kept IN the flat 4-field struct: lex carries the
+    * canonical `<<s p o>>` N-Triples-star string (single spaces,
+    * canonical component serialization), so Catalyst equality, joins,
+    * shuffles and hashing work on quoted triples with zero schema
+    * change, and nesting is just nesting in the string. Components
+    * are recovered by [[graft.functions.TermStar]].
+    */
+  val TRIPLE = "triple"
 
   val XSD = "http://www.w3.org/2001/XMLSchema#"
   val XSD_STRING: String = XSD + "string"
@@ -50,6 +63,12 @@ object Term {
 
   def iri(lex: String): Term = Term(IRI, lex, null, null)
   def blank(label: String): Term = Term(BLANK, label, null, null)
+  /** Quoted triple from its components (canonical encoding — equal
+    * component terms ⇒ byte-equal lex, so struct equality IS RDF-star
+    * term equality).
+    */
+  def quoted(s: Term, p: Term, o: Term): Term =
+    Term(TRIPLE, s"<<${s.toNT} ${p.toNT} ${o.toNT}>>", null, null)
   def lit(lex: String): Term = Term(LIT, lex, null, null)
   def typed(lex: String, dt: String): Term = Term(LIT, lex, dt, null)
   def langLit(lex: String, lang: String): Term = Term(LIT, lex, null, lang)

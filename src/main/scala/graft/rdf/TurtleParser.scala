@@ -111,7 +111,8 @@ final class TurtleParser(input: String, trig: Boolean) {
         if (pos < len && peek() != '.' && peek() != '}') predicateObjectList(b)
         return
       } else parseTerm(allowLiteral = false)
-    if (!subj.isIri && !subj.isBlank) fail(s"subject must be IRI or blank node, got ${subj.toNT}")
+    if (!subj.isIri && !subj.isBlank && !subj.isTriple)
+      fail(s"subject must be IRI, blank node, or quoted triple, got ${subj.toNT}")
     predicateObjectList(subj)
   }
 
@@ -125,8 +126,9 @@ final class TurtleParser(input: String, trig: Boolean) {
       if (pos < len && peek() == ';') {
         pos += 1
         skipWs()
-        // trailing ';' before '.' is legal
-        more = pos < len && peek() != '.' && peek() != '}' && peek() != ']'
+        // trailing ';' before '.' (or an annotation's '|}') is legal
+        more = pos < len && peek() != '.' && peek() != '}' && peek() != ']' &&
+          peek() != '|'
       } else more = false
     }
   }
@@ -138,6 +140,18 @@ final class TurtleParser(input: String, trig: Boolean) {
       val obj = parseObject()
       quads += Quad(graph, subj, pred, obj)
       skipWs()
+      // Turtle-star annotation `{| p o ; … |}`: asserts the enclosing
+      // triple (already emitted above) AND states the annotation
+      // triples about it, subject = the quoted form
+      if (pos + 1 < len && peek() == '{' && input.charAt(pos + 1) == '|') {
+        pos += 2
+        predicateObjectList(Term.quoted(subj, pred, obj))
+        skipWs()
+        if (!(pos + 1 < len && peek() == '|' && input.charAt(pos + 1) == '}'))
+          fail("unterminated annotation: expected '|}'")
+        pos += 2
+        skipWs()
+      }
       if (pos < len && peek() == ',') { pos += 1; more = true } else more = false
     }
   }
@@ -203,10 +217,29 @@ final class TurtleParser(input: String, trig: Boolean) {
 
   // --- terms --------------------------------------------------------------
 
+  /** RDF-star quoted triple `<< qtSubject verb qtObject >>` — the
+    * embedded terms are plain nodes (no property-list/collection sugar
+    * inside, per the Turtle-star grammar).
+    */
+  private def quotedTriple(): Term = {
+    pos += 2 // '<<'
+    val s = parseTerm(allowLiteral = false)
+    if (!s.isIri && !s.isBlank && !s.isTriple)
+      fail("quoted-triple subject must be IRI, blank node, or quoted triple")
+    val p = parsePredicate()
+    val o = parseTerm(allowLiteral = true)
+    skipWs()
+    if (!(pos + 1 < len && peek() == '>' && input.charAt(pos + 1) == '>'))
+      fail("unterminated quoted triple: expected '>>'")
+    pos += 2
+    Term.quoted(s, p, o)
+  }
+
   private def parseTerm(allowLiteral: Boolean): Term = {
     skipWs()
     if (pos >= len) fail("unexpected end of input")
     peek() match {
+      case '<' if pos + 1 < len && input.charAt(pos + 1) == '<' => quotedTriple()
       case '<' => Term.iri(resolve(parseIriRef()))
       case '_' =>
         if (pos + 1 < len && input.charAt(pos + 1) == ':') {

@@ -36,6 +36,11 @@ object Sparql {
   sealed trait Node
   final case class Var(name: String) extends Node
   final case class Const(term: Term) extends Node
+  /** SPARQL-star quoted-triple pattern with at least one variable
+    * inside (an all-constant `<<…>>` folds to [[Const]] of a quoted
+    * [[Term]] at parse time, keeping the pushable leaf-field match).
+    */
+  final case class QTriple(s: Node, p: Node, o: Node) extends Node
 
   final case class TriplePattern(graph: Option[Node], s: Node, p: Node, o: Node)
 
@@ -622,6 +627,7 @@ object Sparql {
     val rank = when(c.isNull, 0)
       .when(c.getField("termType") === Term.BLANK, 1)
       .when(c.getField("termType") === Term.IRI, 2)
+      .when(c.getField("termType") === Term.TRIPLE, 4) // after literals (spec leaves triples unordered; lex keeps it total)
       .otherwise(3)
     // numeric order via TWO keys: a double primary (monotonic cast,
     // covers the full range — "1e30" is real data the exact key can't
@@ -740,6 +746,14 @@ object Sparql {
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
         case PathElem(graph, s, path, o) =>
           var pairs = pathPairs(quads, graph, path)
+          // (constant quoted triples arrive as Const and filter like
+          // any term; a variable-carrying QTriple endpoint is out of
+          // this subset — fail loudly rather than dropping it)
+          Seq(s, o).foreach {
+            case QTriple(_, _, _) => throw new RdfParseException(
+              "quoted-triple patterns are not supported as property-path endpoints")
+            case _ => ()
+          }
           s match {
             case Const(t) => pairs = pairs.filter(col("ps") <=> termLit(t))
             case _ => ()
@@ -824,6 +838,7 @@ object Sparql {
       case None => quads.filter(col("graph").isNull)
       case Some(Const(g)) => quads.filter(termEqFields("graph", g))
       case Some(Var(_)) => quads.filter(col("graph").isNotNull)
+      case Some(QTriple(_, _, _)) => quads.limit(0) // graph label is never a triple
     }
 
   private def pathGrouped(graph: Option[Node]): Boolean =
@@ -1274,6 +1289,17 @@ object Sparql {
             case other => sha2(encode(lex(0), "UTF-8"), other.drop(3).toInt)
           }
           when(okStr, plainStrTerm(digest)).otherwise(nullTerm)
+        // SPARQL-star quoted-triple accessors/constructor: components
+        // parse out of the canonical lex (TermStar expression, null =
+        // expression error on a non-triple term); TRIPLE() re-quotes
+        // three bound terms
+        case "SUBJECT" => graft.functions.TermStar.componentOf(a(0), 0)
+        case "PREDICATE" => graft.functions.TermStar.componentOf(a(0), 1)
+        case "OBJECT" => graft.functions.TermStar.componentOf(a(0), 2)
+        case "TRIPLE" =>
+          if (args.length != 3)
+            throw new RdfParseException("TRIPLE takes exactly 3 arguments")
+          graft.functions.TermStar.quotedOf(a(0), a(1), a(2))
         // §17.4.5 date/time accessors, evaluated on the LEXICAL form of
         // xsd:dateTime (YEAR/MONTH/DAY/TZ also xsd:date) — no timezone
         // conversion, exactly the component the literal spells
@@ -1501,6 +1527,8 @@ object Sparql {
   private def operandCol(n: Node, resolve: String => Column): Column = n match {
     case Var(v) => resolve(v)
     case Const(t) => termLit(t)
+    case QTriple(_, _, _) =>
+      throw new RdfParseException("quoted-triple patterns are not filter operands; use TRIPLE()")
   }
 
   private def compileFilter(f: FExpr, resolve: String => Column): Column = f match {
@@ -1530,6 +1558,7 @@ object Sparql {
         case "ISLITERAL" => c.getField("termType") === Term.LIT
         // a numeric TERM whose lexical form actually parses
         case "ISNUMERIC" => isNumericLit(c) && numValueOf(c).isNotNull
+        case "ISTRIPLE" => c.getField("termType") === Term.TRIPLE
         case other => throw new RdfParseException(s"unsupported test $other")
       }
     case FIn(e, items, positive) =>
@@ -1659,16 +1688,25 @@ object Sparql {
       val slots = Seq(
         tp.graph.getOrElse(Const(null)) -> "graph",
         tp.s -> "subject", tp.p -> "predicate", tp.o -> "obj")
-      val vars = slots.collect { case (Var(n), _) => n }
+      def varsIn(n: Node): Seq[String] = n match {
+        case Var(v) => Seq(v)
+        case QTriple(s, p, o) => Seq(s, p, o).flatMap(varsIn)
+        case _ => Seq.empty
+      }
+      val vars = slots.flatMap { case (n, _) => varsIn(n) }
       // a template var absent from the solutions is unbound in every
       // row → the whole pattern instantiates to nothing
       if (vars.exists(v => !sols.columns.contains(v))) None
       else {
-        val cols = slots.map {
-          case (Var(n), as) => col(n).as(as)
-          case (Const(null), as) => lit(null).cast(termType).as(as)
-          case (Const(t), as) => termLit(t).as(as)
+        def nodeCol(n: Node): Column = n match {
+          case Var(v) => col(v)
+          case Const(null) => lit(null).cast(termType)
+          case Const(t) => termLit(t)
+          // CONSTRUCT-star: re-quote per row from the bound components
+          case QTriple(s, p, o) =>
+            graft.functions.TermStar.quotedOf(nodeCol(s), nodeCol(p), nodeCol(o))
         }
+        val cols = slots.map { case (n, as) => nodeCol(n).as(as) }
         val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
         Some(bound.select(cols: _*))
       }
@@ -1699,23 +1737,42 @@ object Sparql {
       case None => quads.filter(col("graph").isNull)
       case Some(Const(t)) => quads.filter(termEqFields("graph", t))
       case Some(Var(_)) => quads.filter(col("graph").isNotNull)
+      case Some(QTriple(_, _, _)) => quads.limit(0) // graph label is never a triple
     }
     val slots: Seq[(String, Node)] = Seq(
       "subject" -> tp.s, "predicate" -> tp.p, "obj" -> tp.o) ++
       tp.graph.collect { case v: Var => "graph" -> (v: Node) }
-    slots.foreach {
-      case (c, Const(t)) => df = df.filter(termEqFields(c, t))
-      case _ => ()
+    // walk each slot: top-level constants stay LEAF-FIELD filters
+    // (parquet-pushable); SPARQL-star quoted-triple patterns narrow to
+    // termType='triple' (still a leaf predicate) then destructure via
+    // TermStar component extraction — variable bindings collect as
+    // (name, column-expression) pairs either way
+    val binds = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    def walk(c: Column, n: Node): Unit = n match {
+      case Const(t) =>
+        df = df.filter(c.getField("termType") === t.termType &&
+          c.getField("lex") === t.lex &&
+          c.getField("datatype") <=> lit(t.datatype).cast("string") &&
+          c.getField("lang") <=> lit(t.lang).cast("string"))
+      case Var(n0) => binds += n0 -> c
+      case QTriple(s, p, o) =>
+        df = df.filter(c.getField("termType") === Term.TRIPLE)
+        walk(graft.functions.TermStar.componentOf(c, 0), s)
+        walk(graft.functions.TermStar.componentOf(c, 1), p)
+        walk(graft.functions.TermStar.componentOf(c, 2), o)
     }
-    // bind variables; repeated vars within the pattern force equality
-    val varSlots = slots.collect { case (c, Var(n)) => (c, n) }
-    varSlots.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
-      dup.sliding(2).foreach {
-        case Seq((c1, _), (c2, _)) => df = df.filter(col(c1) <=> col(c2))
+    slots.foreach {
+      case (cName, Const(t)) => df = df.filter(termEqFields(cName, t))
+      case (cName, node) => walk(col(cName), node)
+    }
+    // repeated vars within the pattern force equality
+    binds.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+      dup.toSeq.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(c1 <=> c2)
         case _ => ()
       }
     }
-    val proj = varSlots.map { case (c, n) => (n, col(c)) }.toMap
+    val proj = binds.toMap
     df.select(proj.toSeq.map { case (n, c) => c.as(n) }: _*)
   }
 
@@ -2313,7 +2370,7 @@ object Sparql {
         FLangMatches(t, r)
       } else if (tryKeyword("BOUND") || tryKeyword("ISIRI") || tryKeyword("ISURI") ||
                  tryKeyword("ISBLANK") || tryKeyword("ISLITERAL") ||
-                 tryKeyword("ISNUMERIC")) {
+                 tryKeyword("ISNUMERIC") || tryKeyword("ISTRIPLE")) {
         val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
         expect('('); val v = parseVar(); expect(')')
         FTest(func, v)
@@ -2380,10 +2437,11 @@ object Sparql {
       Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR",
         "IRI", "URI", "ENCODE_FOR_URI",
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE")
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
+        "SUBJECT", "PREDICATE", "OBJECT")
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
-        "STRDT", "STRLANG")
+        "STRDT", "STRLANG", "TRIPLE")
     // nondeterministic builtins (§17.4.2 / §17.4.5): zero-argument;
     // BNODE is handled separately (0 or 1 argument)
     private val NILADIC_FNS = Seq("NOW", "UUID", "STRUUID", "RAND")
@@ -2481,6 +2539,29 @@ object Sparql {
       skipWs()
       peek match {
         case '?' => Var(parseVar())
+        // SPARQL-star quoted triple pattern `<< s p o >>`
+        case '<' if pos + 1 < text.length && text.charAt(pos + 1) == '<' =>
+          pos += 2
+          val s = parseNode()
+          val p = parseNode()
+          val o = parseNode()
+          skipWs()
+          if (!(pos + 1 < text.length && peek == '>' && text.charAt(pos + 1) == '>'))
+            fail("unterminated quoted triple: expected '>>'")
+          pos += 2
+          s match {
+            case Const(t) if !t.isIri && !t.isBlank && !t.isTriple =>
+              fail("quoted-triple subject must be an IRI, blank node, or quoted triple")
+            case _ => ()
+          }
+          p match {
+            case Const(t) if !t.isIri => fail("quoted-triple predicate must be an IRI")
+            case _ => ()
+          }
+          (s, p, o) match {
+            case (Const(st), Const(pt), Const(ot)) => Const(Term.quoted(st, pt, ot))
+            case _ => QTriple(s, p, o)
+          }
         case '<' =>
           pos += 1
           val end = text.indexOf('>', pos)

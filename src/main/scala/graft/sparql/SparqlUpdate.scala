@@ -219,6 +219,10 @@ object SparqlUpdate {
         case Const(t) => t
         case Var(v) =>
           throw new RdfParseException(s"quad data must be ground, found ?$v")
+        case Sparql.QTriple(_, _, _) =>
+          // an all-constant quoted triple folds to Const at parse time;
+          // reaching here means it embedded a variable
+          throw new RdfParseException(s"quad data must be ground ($slot quoted triple has variables)")
       }
       Quad(tp.graph.map(ground(_, "graph")).orNull,
         ground(tp.s, "subject"), ground(tp.p, "predicate"), ground(tp.o, "obj"))

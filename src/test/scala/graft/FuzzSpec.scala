@@ -70,10 +70,19 @@ class FuzzSpec extends AnyFunSuite {
     }
   } yield term
 
-  private val genQuad: Gen[Quad] = for {
-    s <- Gen.oneOf(genIri, genBlank)
+  /** RDF-star quoted triple, depth-bounded so nesting stays shallow. */
+  private def genQuoted(depth: Int): Gen[Term] = for {
+    s <- if (depth > 0) Gen.frequency(4 -> genIri, 2 -> genBlank, 1 -> genQuoted(depth - 1))
+         else Gen.oneOf(genIri, genBlank)
     p <- genIri
-    o <- Gen.oneOf(genIri, genBlank, genLiteral)
+    o <- if (depth > 0) Gen.frequency(3 -> genIri, 2 -> genLiteral, 1 -> genQuoted(depth - 1))
+         else Gen.oneOf(genIri, genLiteral)
+  } yield Term.quoted(s, p, o)
+
+  private val genQuad: Gen[Quad] = for {
+    s <- Gen.frequency(5 -> genIri, 3 -> genBlank, 1 -> genQuoted(1))
+    p <- genIri
+    o <- Gen.frequency(3 -> genIri, 2 -> genBlank, 3 -> genLiteral, 1 -> genQuoted(1))
     g <- Gen.option(genIri)
   } yield Quad(g.map(_.lex).map(Term.iri).orNull, s, p, o)
 
@@ -109,8 +118,12 @@ class FuzzSpec extends AnyFunSuite {
       def fix(t: Term): Term =
         if (t.termType == Term.LIT)
           t.copy(lex = t.lex.map(c => if (Character.isSurrogate(c)) 'x' else c))
-        else t
-      q.copy(obj = fix(q.obj))
+        else if (t.isTriple) {
+          // literals may hide INSIDE a quoted triple's canonical lex
+          val (s, p, o) = NQuadsParser.components(t)
+          Term.quoted(fix(s), fix(p), fix(o))
+        } else t
+      q.copy(subject = fix(q.subject), obj = fix(q.obj))
     }
     // each sample runs a Spark job — bounded count, still 4 terms/quad
     check(Prop.forAll(Gen.listOfN(4, validQuad)) { qs =>

@@ -572,6 +572,64 @@ class RdfParserSpec extends AnyFunSuite {
     val back = NQuadsParser.parse(nt, allowGraph = true).map(_.obj)
     assert(back == terms)
   }
+
+  test("rdf-star: n-triples quoted triples parse, nest, and round-trip") {
+    val doc =
+      """<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+        |<http://x/bob> <http://x/claims> << <http://x/s> <http://x/p> "v"@en >> .
+        |<< << <http://x/a> <http://x/b> <http://x/c> >> <http://x/q> _:b0 >> <http://x/d> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |""".stripMargin
+    val qs = NQuadsParser.parse(doc, allowGraph = true)
+    assert(qs.length == 3)
+    val q0 = qs(0)
+    assert(q0.subject == Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit("v")))
+    assert(qs(1).obj.isTriple)
+    // nested: subject of the quoted subject is itself quoted
+    val (ns, _, no) = NQuadsParser.components(qs(2).subject)
+    assert(ns == Term.quoted(Term.iri("http://x/a"), Term.iri("http://x/b"), Term.iri("http://x/c")))
+    assert(no == Term.blank("b0"))
+    // round-trip: serialize every quad and reparse
+    val back = NQuadsParser.parse(qs.map(_.toNQ).mkString("\n"), allowGraph = true)
+    assert(back == qs)
+  }
+
+  test("rdf-star: turtle quoted triples and annotation syntax") {
+    val doc =
+      """@prefix ex: <http://x/> .
+        |<< ex:s ex:p "v" >> ex:saidBy ex:alice .
+        |ex:s ex:age 42 {| ex:source ex:census ; ex:year 2020 |} .
+        |""".stripMargin
+    val qs = TurtleParser.parseTurtle(doc)
+    val quoted = Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit("v"))
+    assert(qs.contains(Quad(null, quoted, Term.iri("http://x/saidBy"), Term.iri("http://x/alice"))))
+    // annotation asserts the base triple AND the two annotation triples
+    val age = Term.typed("42", Term.XSD_INTEGER)
+    val qAge = Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/age"), age)
+    assert(qs.contains(Quad(null, Term.iri("http://x/s"), Term.iri("http://x/age"), age)))
+    assert(qs.contains(Quad(null, qAge, Term.iri("http://x/source"), Term.iri("http://x/census"))))
+    assert(qs.contains(Quad(null, qAge, Term.iri("http://x/year"), Term.typed("2020", Term.XSD_INTEGER))))
+    assert(qs.length == 4)
+  }
+
+  test("rdf-star: blank nodes inside quoted triples scope with their siblings") {
+    val doc = "<< _:b <http://x/p> <http://x/o> >> <http://x/q> _:b .\n"
+    val dec = RdfParse.decode(doc.getBytes("UTF-8"), "application/n-quads", "ev7")
+    assert(dec._corrupt == null)
+    val q = dec.quads.head
+    val (s, _, _) = NQuadsParser.components(q.subject)
+    // embedded and asserted _:b must stay THE SAME scoped label
+    assert(s == q.obj && s == Term.blank("ev7:b"))
+  }
+
+  test("rdf-star: malformed quoted triples are parse errors") {
+    val bads = Seq(
+      "<< <http://x/s> <http://x/p> \"v\" <http://x/o> .",        // unterminated
+      "<< \"lit\" <http://x/p> <http://x/o> >> <http://x/q> <http://x/z> .", // literal subject
+      "<< <http://x/s> \"p\" <http://x/o> >> <http://x/q> <http://x/z> .")   // literal predicate
+    bads.foreach { b =>
+      intercept[RdfParseException](NQuadsParser.parse(b, allowGraph = true))
+    }
+  }
 }
 
 class QuadStoreSpec extends AnyFunSuite {

@@ -963,6 +963,72 @@ class SparqlSpec extends AnyFunSuite {
     assert(z(4).isEmpty)                               // no zone → error
   }
 
+  test("sparql-star: quoted-triple patterns match, destructure, and join") {
+    val store = ingest(
+      ("""<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+         |<< <http://x/s2> <http://x/p> "w" >> <http://x/saidBy> <http://x/bob> .
+         |<http://x/s> <http://x/p> "v" .
+         |""".stripMargin) -> "application/n-quads")
+    // constant quoted triple → plain pushable term match
+    val c = Sparql.execute(store.quads(),
+      """SELECT ?w { << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> ?w }""").collect()
+    assert(c.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/alice"))
+    // variable components destructure and bind
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?o ?w { << ?s <http://x/p> ?o >> <http://x/saidBy> ?w }
+         ORDER BY ?s""").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getStruct(0).getString(1) == "http://x/s")
+    assert(rows(0).getStruct(1).getString(1) == "v")
+    assert(rows(0).getStruct(2).getString(1) == "http://x/alice")
+    assert(rows(1).getStruct(0).getString(1) == "http://x/s2")
+    // the destructured subject joins back to the asserted triple
+    val joined = Sparql.execute(store.quads(),
+      """SELECT ?s ?w { << ?s <http://x/p> ?o >> <http://x/saidBy> ?w .
+                        ?s <http://x/p> ?o }""").collect()
+    assert(joined.length == 1 && joined(0).getStruct(0).getString(1) == "http://x/s")
+  }
+
+  test("sparql-star: TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE builtins") {
+    val store = ingest(
+      ("""<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+         |<http://x/plain> <http://x/saidBy> <http://x/carol> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?su ?pr ?ob { ?t <http://x/saidBy> ?w FILTER(ISTRIPLE(?t))
+           BIND(SUBJECT(?t) AS ?su) BIND(PREDICATE(?t) AS ?pr) BIND(OBJECT(?t) AS ?ob) }""")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getStruct(0).getString(1) == "http://x/s")
+    assert(rows(0).getStruct(1).getString(1) == "http://x/p")
+    assert(rows(0).getStruct(2).getString(1) == "v")
+    // TRIPLE() rebuilds the quoted term, and equality matches the stored one
+    val rebuilt = Sparql.execute(store.quads(),
+      """SELECT ?w { ?t <http://x/saidBy> ?w
+           FILTER(ISTRIPLE(?t))
+           FILTER(?t = TRIPLE(SUBJECT(?t), PREDICATE(?t), OBJECT(?t))) }""").collect()
+    assert(rebuilt.length == 1 && rebuilt(0).getStruct(0).getString(1) == "http://x/alice")
+    // SUBJECT of a non-triple term is an expression error → row dropped
+    val err = Sparql.execute(store.quads(),
+      """SELECT ?w { ?t <http://x/saidBy> ?w . ?x <http://x/saidBy> ?w
+           BIND(SUBJECT(?t) AS ?su) FILTER(BOUND(?su)) }""").collect()
+    assert(err.forall(_.getStruct(0).getString(1) == "http://x/alice"))
+  }
+
+  test("sparql-star: CONSTRUCT with quoted-triple templates") {
+    val store = ingest(
+      ("""<http://x/s> <http://x/score> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |""".stripMargin) -> "application/n-quads")
+    val out = Sparql.execute(store.quads(),
+      """CONSTRUCT { << ?s <http://x/score> ?v >> <http://x/assessedBy> <http://x/judge> }
+         WHERE { ?s <http://x/score> ?v }""").collect()
+    assert(out.length == 1)
+    val subj = out(0).getStruct(1)
+    assert(subj.getString(0) == "triple")
+    assert(subj.getString(1) ==
+      "<<<http://x/s> <http://x/score> \"7\"^^<http://www.w3.org/2001/XMLSchema#integer>>>")
+  }
+
   test("predicate-object lists, object lists, blank-node property lists") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .

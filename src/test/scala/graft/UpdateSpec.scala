@@ -50,6 +50,22 @@ class UpdateSpec extends AnyFunSuite {
       ("http://example/g", "http://example/s2", "http://example/p", "w")))
   }
 
+  test("INSERT DATA / DELETE WHERE handle quoted triples (update-star)") {
+    val store = ingest(
+      ("""INSERT DATA {
+         |  << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+         |  <http://x/s> <http://x/p> "v" .
+         |}""".stripMargin) -> CT_RU,
+      // constant quoted triple in a WHERE-driven delete
+      ("""DELETE WHERE { << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> ?w }""")
+        -> CT_RU)
+    val st = stateNT(store)
+    assert(st == Set((null: String, "http://x/s", "http://x/p", "v")))
+    // variables inside a quoted triple of INSERT DATA are rejected
+    intercept[RdfParseException](SparqlUpdate.parse(
+      """INSERT DATA { << ?s <http://x/p> "v" >> <http://x/q> <http://x/z> . }"""))
+  }
+
   test("DELETE DATA removes exactly the listed quads; blank nodes rejected") {
     val store = ingest(
       """INSERT DATA { <http://x/a> <http://x/p> "1" . <http://x/b> <http://x/p> "2" } ;
