@@ -221,6 +221,27 @@ class SparqlSpec extends AnyFunSuite {
       scan.contains("subject.termType"), s"missing leaf pushdown:\n$scan")
   }
 
+  test("constant quoted-triple patterns stay leaf-field pushdowns; star narrows on termType") {
+    val store = ingest(
+      ("""<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+         |""".stripMargin) -> "application/n-quads")
+    store.compact()
+    // all-constant << >> folds to ONE constant term → subject.lex
+    // equality on the canonical form, parquet-evaluable
+    val const = Sparql.execute(store.quads(),
+      """SELECT ?w { << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> ?w }""")
+    val constScan = const.queryExecution.executedPlan.toString
+    assert(constScan.contains("PushedFilters: [") &&
+      constScan.contains("subject.lex"), s"missing quoted-const pushdown:\n$constScan")
+    // variable components still narrow the scan on subject.termType
+    // before any component extraction runs
+    val star = Sparql.execute(store.quads(),
+      """SELECT ?s ?w { << ?s <http://x/p> ?o >> <http://x/saidBy> ?w }""")
+    val starScan = star.queryExecution.executedPlan.toString
+    assert(starScan.contains("PushedFilters: [") &&
+      starScan.contains("subject.termType"), s"missing termType pushdown:\n$starScan")
+  }
+
   test("FROM graph predicates reach the parquet scan") {
     val store = ingest(PATCH1 -> "application/rdf-patch")
     store.compact()
