@@ -1791,6 +1791,7 @@ object Sparql {
     def parseRequest(): Request = {
       parsePrologue()
       if (tryKeyword("ASK")) {
+        tryKeyword("WHERE") // `ASK WHERE { … }` — WHERE is optional (§19.8 AskQuery)
         val pattern = parseGroup()
         expectEnd()
         AskReq(pattern)
@@ -1822,12 +1823,27 @@ object Sparql {
       } else if (tryKeyword("DESCRIBE")) {
         val nodes = scala.collection.mutable.ArrayBuffer[Node]()
         skipWs()
-        while (pos < text.length && (peek == '?' || peek == '<')) {
-          nodes += parseNode(); skipWs()
+        // VarOrIri list: ?var, <iri>, or prefixed name — stop at WHERE
+        // or '{' (a keyword-check that consumes nothing on WHERE match
+        // would mis-read `WHERE` as a pname)
+        var more = true
+        while (more) {
+          skipWs()
+          if (pos >= text.length || peek == '{') more = false
+          else if (peek == '?' || peek == '<') nodes += parseNode()
+          else {
+            val save = pos
+            if (tryKeyword("WHERE")) { pos = save; more = false }
+            else if (peek.isLetter || peek == ':') nodes += parseNode()
+            else more = false
+          }
         }
         if (nodes.isEmpty) fail("DESCRIBE needs at least one IRI or variable")
-        val pattern =
-          if (tryKeyword("WHERE")) Some(parseGroup()) else None
+        skipWs()
+        val pattern = // WHERE is optional before the group (§19.8 WhereClause)
+          if (tryKeyword("WHERE") || (pos < text.length && peek == '{'))
+            Some(parseGroup())
+          else None
         expectEnd()
         DescribeReq(nodes.toSeq, pattern)
       } else SelectReq(parseQuery())
@@ -1851,7 +1867,9 @@ object Sparql {
       * queries and sub-SELECTs (which stop at the enclosing '}').
       */
     private def parseSelectTail(): Query = {
-      val distinct = tryKeyword("DISTINCT")
+      // REDUCED *permits* duplicate elimination (§15.3.2); eliminating
+      // them fully is a conformant answer and reuses the DISTINCT path
+      val distinct = tryKeyword("DISTINCT") || tryKeyword("REDUCED")
       val projection = parseProjection()
       // DatasetClause* (spec §13.2)
       val from = scala.collection.mutable.ArrayBuffer[Term]()

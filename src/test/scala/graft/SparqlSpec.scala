@@ -984,6 +984,31 @@ class SparqlSpec extends AnyFunSuite {
     assert(z(4).isEmpty)                               // no zone → error
   }
 
+  test("ASK WHERE, DESCRIBE with prefixed names and bare group") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |""".stripMargin) -> "application/n-quads")
+    val ask = Sparql.execute(store.quads(),
+      """PREFIX ex: <http://x/> ASK WHERE { ex:a ex:p ?v }""").collect()
+    assert(ask.head.getBoolean(0))
+    val desc = Sparql.execute(store.quads(),
+      """PREFIX ex: <http://x/> DESCRIBE ex:a""").collect()
+    assert(desc.length == 1)
+    val descVar = Sparql.execute(store.quads(),
+      """DESCRIBE ?s { ?s <http://x/p> "1" }""").collect()
+    assert(descVar.length == 1)
+  }
+
+  test("SELECT REDUCED eliminates duplicates (conformant §15.3.2 choice)") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "v" .
+         |<http://x/b> <http://x/p> "v" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      "SELECT REDUCED ?v { ?s <http://x/p> ?v }").collect()
+    assert(rows.length == 1 && rows(0).getStruct(0).getString(1) == "v")
+  }
+
   test("sparql-star: quoted-triple patterns match, destructure, and join") {
     val store = ingest(
       ("""<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
