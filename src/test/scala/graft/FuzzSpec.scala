@@ -218,7 +218,8 @@ class FuzzSpec extends AnyFunSuite {
     val turtleTokens = Gen.oneOf(
       "@prefix", "@base", "ex:", ":", "ex:s", "a", "<http://x/s>", "_:b",
       "\"lit\"", "'''long'''", "42", "3.14", "true", "(", ")", "[", "]",
-      ".", ";", ",", "@en", "^^ex:dt", "#c", "\\", "é", "\"", "")
+      ".", ";", ",", "@en", "^^ex:dt", "#c", "\\", "é", "\"", "",
+      "<<", ">>", "{|", "|}") // RDF-star / annotation tokens
     check(Prop.forAll(Gen.listOfN(20, turtleTokens)) { toks =>
       totalParse(TurtleParser.parseTurtle(toks.mkString(" ")))
     })
