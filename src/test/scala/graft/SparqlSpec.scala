@@ -886,6 +886,12 @@ class SparqlSpec extends AnyFunSuite {
     // round-7: SELECT * cannot project over a grouped query (18.2.4.4)
     bad("SELECT * { ?s ?p ?o } GROUP BY ?s")
     bad("SELECT * { ?s ?p ?o } HAVING(COUNT(*) > 1)")
+    // round-7 star syntax: malformed quoted triples
+    bad("SELECT ?w { << ?s ?p >> <http://x/q> ?w }")        // two terms
+    bad("SELECT ?w { << ?s ?p ?o <http://x/q> ?w }")        // unterminated
+    bad("""SELECT ?w { << "lit" ?p ?o >> <http://x/q> ?w }""") // literal subject
+    bad("""SELECT ?w { << ?s "p" ?o >> <http://x/q> ?w }""")   // literal predicate
+    bad("SELECT ?x { ?s ?p ?o BIND(TRIPLE(?s, ?p) AS ?x) }")   // TRIPLE arity
   }
 
   test("sameTerm vs value =, LANGMATCHES, isNUMERIC") {
