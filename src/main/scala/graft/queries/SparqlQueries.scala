@@ -595,6 +595,38 @@ object SparqlQueries {
         .unionByName(probe("all", s"FROM <${NS}g/even> FROM <${NS}g/odd>"))
         .orderBy(col("part"), col("n_regionkey"))
     },
+    // RDF-star at event-table scale: quoted-triple provenance terms
+    // are BUILT in executors (TermStar.quotedOf — a codegen'd concat
+    // over the parquet scan, no store, no driver hop) and destructured
+    // back by the SPARQL-star pattern (per-row canonical-lex parse via
+    // the TermStarComponent expression); 10k/100k rows, exact oracle
+    "scale_star" -> { (s, dir) =>
+      val termType = "struct<termType:string,lex:string,datatype:string,lang:string>"
+      def iriCol(lex: org.apache.spark.sql.Column) = struct(
+        lit(Term.IRI).as("termType"), lex.as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def litCol(lex: org.apache.spark.sql.Column) = struct(
+        lit(Term.LIT).as("termType"), lex.as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val quads = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("id"), col("event_type"))
+        .select(
+          lit(null).cast(termType).as("graph"),
+          graft.functions.TermStar.quotedOf(
+            iriCol(concat(lit(s"${NS}e/"), col("id").cast("string"))),
+            iriCol(lit(s"${NS}type")),
+            litCol(col("event_type"))).as("subject"),
+          iriCol(lit(s"${NS}observed")).as("predicate"),
+          litCol(lit("1")).as("obj"))
+      val res = Sparql.execute(quads,
+        s"SELECT ?e ?t { << ?e <${NS}type> ?t >> <${NS}observed> ?c }")
+      res.select(
+          regexp_extract(col("e").getField("lex"), "e/(\\d+)$", 1).cast("long").as("e"),
+          col("t").getField("lex").as("t"))
+        .orderBy(col("e"))
+    },
     // the transitive-closure fixpoint at event-table scale: ~10k/100k
     // edge quads built DISTRIBUTED straight from the parquet scan (no
     // store, no driver-side quad collection — Sparql.execute is
@@ -807,6 +839,8 @@ object SparqlQueries {
            SELECT 'all', n_regionkey, COUNT(*)::BIGINT
            FROM nation GROUP BY n_regionkey)
          ORDER BY part, n_regionkey""",
+    "scale_star" ->
+      "SELECT event_id AS e, event_type AS t FROM events ORDER BY e",
     "scale_sparql_path" ->
       """WITH RECURSIVE
            e AS (SELECT event_id AS s, event_id + 1 AS o FROM events

@@ -621,6 +621,20 @@ class RdfParserSpec extends AnyFunSuite {
     assert(s == q.obj && s == Term.blank("ev7:b"))
   }
 
+  test("rdf-star: patch A/D ops carry quoted triples (shared scanner)") {
+    val doc =
+      """TX .
+        |A << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+        |D << <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/bob> <http://x/g> .
+        |TC .
+        |""".stripMargin
+    val ops = RdfPatchParser.parse(doc)
+    assert(ops.map(_.op) == Seq("TX", "A", "D", "TC"))
+    val quoted = Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit("v"))
+    assert(ops(1).subject == quoted && ops(1).graph == null)
+    assert(ops(2).subject == quoted && ops(2).graph == Term.iri("http://x/g"))
+  }
+
   test("rdf-star: malformed quoted triples are parse errors") {
     val bads = Seq(
       "<< <http://x/s> <http://x/p> \"v\" <http://x/o> .",        // unterminated
