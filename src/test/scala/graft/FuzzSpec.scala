@@ -155,8 +155,11 @@ class FuzzSpec extends AnyFunSuite {
   private lazy val fuzzStore: QuadStore = {
     val st = new QuadStore(TestSpark.spark,
       Files.createTempDirectory("fuzzstore").toString)
-    st.addQuads(0, Seq(Quad(null, Term.iri("http://x/s"),
-      Term.iri("http://x/p"), Term.lit("o"))))
+    st.addQuads(0, Seq(
+      Quad(null, Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit("o")),
+      // a quoted-triple subject so generated star patterns can match
+      Quad(null, Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/p"),
+        Term.lit("o")), Term.iri("http://x/p"), Term.typed("3", Term.XSD_INTEGER))))
     st
   }
 
@@ -180,8 +183,15 @@ class FuzzSpec extends AnyFunSuite {
     val genSubj = Gen.oneOf(genVar, Gen.const("<http://x/s>"))
     val genPred = Gen.oneOf(genVar, Gen.const("<http://x/p>"))
     val genObj = Gen.oneOf(genVar, Gen.const("\"o\""), Gen.const("3"))
-    val genTriple = for { s <- genSubj; p <- genPred; o <- genObj }
+    val genTriple0 = for { s <- genSubj; p <- genPred; o <- genObj }
       yield s"$s $p $o ."
+    // SPARQL-star: a quoted-triple pattern in subject position (mixed
+    // const/var components exercise both the fold-to-constant and the
+    // destructuring compile paths)
+    val genStarTriple = for {
+      qs <- genSubj; qp <- genPred; qo <- genObj; p <- genPred; o <- genObj
+    } yield s"<< $qs $qp $qo >> $p $o ."
+    val genTriple = Gen.frequency(5 -> genTriple0, 1 -> genStarTriple)
     val genFilter = for {
       v <- genVar
       f <- Gen.oneOf(s"BOUND($v)", s"$v = 3", s"isIRI($v)",
