@@ -1750,10 +1750,10 @@ object Sparql {
     val binds = scala.collection.mutable.ArrayBuffer[(String, Column)]()
     def walk(c: Column, n: Node): Unit = n match {
       case Const(t) =>
-        df = df.filter(c.getField("termType") === t.termType &&
-          c.getField("lex") === t.lex &&
-          c.getField("datatype") <=> lit(t.datatype).cast("string") &&
-          c.getField("lang") <=> lit(t.lang).cast("string"))
+        // ONE struct comparison, not four field reads: `c` may be a
+        // component-extraction expression, and field-wise compare
+        // would re-parse the quoted lex once per field
+        df = df.filter(c <=> termLit(t))
       case Var(n0) => binds += n0 -> c
       case QTriple(s, p, o) =>
         df = df.filter(c.getField("termType") === Term.TRIPLE)
