@@ -232,7 +232,9 @@ object Sparql {
   final case class ConstructReq(tpl: Seq[TriplePattern], pattern: Pattern,
       limit: Option[Int]) extends Request
   /** DESCRIBE: resources by IRI and/or variables bound by WHERE. */
-  final case class DescribeReq(nodes: Seq[Node], pattern: Option[Pattern])
+  /** `all` = `DESCRIBE *`: every variable the WHERE pattern binds. */
+  final case class DescribeReq(nodes: Seq[Node], pattern: Option[Pattern],
+      all: Boolean = false)
     extends Request
 
   /** Per-query evaluation context for the nondeterministic builtins
@@ -294,7 +296,7 @@ object Sparql {
           .map(_.dropDuplicates()) // a constructed graph is a SET of quads
           .getOrElse(quads.limit(0).select(
             Seq("graph", "subject", "predicate", "obj").map(col): _*))
-      case DescribeReq(nodes, pattern) =>
+      case DescribeReq(nodes, pattern, all) =>
         // minimal (non-CBD) description: every quad whose subject is a
         // described resource. Constant IRIs become pushable subject
         // filters; WHERE-bound variables a distinct semi-join.
@@ -302,9 +304,13 @@ object Sparql {
         val constPart = consts
           .map(t => quads.filter(termEqFields("subject", t)))
           .reduceOption(_.unionByName(_))
-        val varNames = nodes.collect { case Var(n) => n }
-        val varPart = pattern.filter(_ => varNames.nonEmpty).flatMap { p =>
+        val explicitVars = nodes.collect { case Var(n) => n }
+        val varPart = pattern.filter(_ => all || explicitVars.nonEmpty).flatMap { p =>
           val sols = compile(quads, p)
+          // DESCRIBE *: every visible variable the pattern bound
+          val varNames =
+            if (all) sols.columns.filterNot(_.startsWith("#")).toSeq
+            else explicitVars
           varNames.filter(sols.columns.contains)
             .map(n => sols.select(col(n).as("s")).filter(col("s").isNotNull))
             .reduceOption(_.unionByName(_)).map(_.distinct())
@@ -1821,6 +1827,16 @@ object Sparql {
           ConstructReq(tpl, pattern, limit)
         }
       } else if (tryKeyword("DESCRIBE")) {
+        skipWs()
+        if (pos < text.length && peek == '*') { // DESCRIBE * — all WHERE vars
+          pos += 1
+          skipWs()
+          if (!tryKeyword("WHERE") && (pos >= text.length || peek != '{'))
+            fail("DESCRIBE * needs a WHERE pattern")
+          val pattern = parseGroup()
+          expectEnd()
+          return DescribeReq(Seq.empty, Some(pattern), all = true)
+        }
         val nodes = scala.collection.mutable.ArrayBuffer[Node]()
         skipWs()
         // VarOrIri list: ?var, <iri>, or prefixed name — stop at WHERE

@@ -1005,6 +1005,20 @@ class SparqlSpec extends AnyFunSuite {
     assert(descVar.length == 1)
   }
 
+  test("DESCRIBE * describes every WHERE-bound variable") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/knows> <http://x/b> .
+         |<http://x/a> <http://x/age> "30" .
+         |<http://x/b> <http://x/age> "31" .
+         |<http://x/c> <http://x/age> "32" .
+         |""".stripMargin) -> "application/n-quads")
+    // ?s and ?o both bind → quads about a AND b (c is not bound)
+    val rows = Sparql.execute(store.quads(),
+      "DESCRIBE * WHERE { ?s <http://x/knows> ?o }").collect()
+    val subjects = rows.map(_.getStruct(1).getString(1)).toSet
+    assert(subjects == Set("http://x/a", "http://x/b") && rows.length == 3)
+  }
+
   test("SELECT REDUCED eliminates duplicates (conformant §15.3.2 choice)") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "v" .
