@@ -230,7 +230,8 @@ object Sparql {
   final case class SelectReq(q: Query) extends Request
   final case class AskReq(pattern: Pattern) extends Request
   final case class ConstructReq(tpl: Seq[TriplePattern], pattern: Pattern,
-      limit: Option[Int]) extends Request
+      orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Int] = None,
+      offset: Option[Int] = None) extends Request
   /** DESCRIBE: resources by IRI and/or variables bound by WHERE. */
   /** `all` = `DESCRIBE *`: every variable the WHERE pattern binds. */
   final case class DescribeReq(nodes: Seq[Node], pattern: Option[Pattern],
@@ -289,9 +290,22 @@ object Sparql {
         // first solution, the aggregate turns presence into a boolean
         compile(quads, pattern).select(lit(1).as("x")).limit(1)
           .agg((count(lit(1)) > 0).as("ask"))
-      case ConstructReq(tpl, pattern, limit) =>
+      case ConstructReq(tpl, pattern, orderBy, limit, offset) =>
         val sols0 = compile(quads, pattern)
-        val sols = limit.fold(sols0)(sols0.limit)
+        // solution modifiers apply BEFORE instantiation (§16.2):
+        // ORDER BY only observably matters with LIMIT/OFFSET since the
+        // constructed graph is a set — value-space keys as in SELECT
+        val cset = sols0.columns.toSet
+        def resolve(n: String): Column =
+          if (cset.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)
+        val ordered =
+          if (orderBy.isEmpty) sols0
+          else sols0.orderBy(orderBy.flatMap { k =>
+            sortKeys(compileExpr(k.expr, resolve))
+              .map(c => if (k.descending) c.desc else c.asc)
+          }: _*)
+        val offsetted = offset.fold(ordered)(ordered.offset)
+        val sols = limit.fold(offsetted)(offsetted.limit)
         instantiate(sols, tpl).reduceOption(_.unionByName(_))
           .map(_.dropDuplicates()) // a constructed graph is a SET of quads
           .getOrElse(quads.limit(0).select(
@@ -1812,19 +1826,34 @@ object Sparql {
         }
         // `CONSTRUCT WHERE { tps }` shorthand (§16.2.4): the pattern
         // doubles as the template
+        // SolutionModifier: ORDER BY, then LIMIT/OFFSET in either order
+        def modifiers(): (Seq[OrderKey], Option[Int], Option[Int]) = {
+          val order =
+            if (tryKeyword("ORDER")) { keyword("BY"); parseOrderKeys() }
+            else Seq.empty
+          var limit: Option[Int] = None
+          var offset: Option[Int] = None
+          var more = true
+          while (more) {
+            if (limit.isEmpty && tryKeyword("LIMIT")) limit = Some(parseInt())
+            else if (offset.isEmpty && tryKeyword("OFFSET")) offset = Some(parseInt())
+            else more = false
+          }
+          (order, limit, offset)
+        }
         if (tryKeyword("WHERE")) {
           val pattern = parseGroup()
           val tpl = triplesOf(pattern)
-          val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+          val (order, limit, offset) = modifiers()
           expectEnd()
-          ConstructReq(tpl, pattern, limit)
+          ConstructReq(tpl, pattern, order, limit, offset)
         } else {
           val tpl = triplesOf(parseGroup())
           keyword("WHERE")
           val pattern = parseGroup()
-          val limit = if (tryKeyword("LIMIT")) Some(parseInt()) else None
+          val (order, limit, offset) = modifiers()
           expectEnd()
-          ConstructReq(tpl, pattern, limit)
+          ConstructReq(tpl, pattern, order, limit, offset)
         }
       } else if (tryKeyword("DESCRIBE")) {
         skipWs()

@@ -1005,6 +1005,20 @@ class SparqlSpec extends AnyFunSuite {
     assert(descVar.length == 1)
   }
 
+  test("CONSTRUCT honors ORDER BY + LIMIT/OFFSET solution modifiers") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/v> "1" .
+         |<http://x/b> <http://x/v> "2" .
+         |<http://x/c> <http://x/v> "3" .
+         |""".stripMargin) -> "application/n-quads")
+    // top-2 by descending value, skipping the first solution
+    val out = Sparql.execute(store.quads(),
+      """CONSTRUCT { ?s <http://x/keep> ?v } WHERE { ?s <http://x/v> ?v }
+         ORDER BY DESC(?v) LIMIT 2 OFFSET 1""").collect()
+    val kept = out.map(_.getStruct(3).getString(1)).toSet
+    assert(kept == Set("2", "1"))
+  }
+
   test("DESCRIBE * describes every WHERE-bound variable") {
     val store = ingest(
       ("""<http://x/a> <http://x/knows> <http://x/b> .
