@@ -1095,6 +1095,17 @@ class SparqlSpec extends AnyFunSuite {
     assert(err.forall(_.getStruct(0).getString(1) == "http://x/alice"))
   }
 
+  test("sparql-star: constant quoted triples in VALUES data") {
+    val store = ingest(
+      ("""<< <http://x/s> <http://x/p> "v" >> <http://x/saidBy> <http://x/alice> .
+         |<< <http://x/s2> <http://x/p> "w" >> <http://x/saidBy> <http://x/bob> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?w { ?t <http://x/saidBy> ?w
+           VALUES ?t { << <http://x/s> <http://x/p> "v" >> } }""").collect()
+    assert(rows.length == 1 && rows(0).getStruct(0).getString(1) == "http://x/alice")
+  }
+
   test("sparql-star: CONSTRUCT with quoted-triple templates") {
     val store = ingest(
       ("""<http://x/s> <http://x/score> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
