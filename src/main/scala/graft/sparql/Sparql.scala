@@ -2303,9 +2303,49 @@ object Sparql {
           case '+' => pos += 1; PPlus(prim)
           case '*' => pos += 1; PStar(prim)
           case '?' => pos += 1; POpt(prim)
+          case '{' => pos += 1; parseRepeat(prim)
           case _ => prim
         } else prim
       if (inv) PInv(modified) else modified
+    }
+
+    /** `p{n}` / `p{n,m}` / `p{n,}` repetition (the widely-used ARQ
+      * extension; dropped from the final SPARQL 1.1 grammar) —
+      * REWRITTEN onto the standard combinators so the engine needs no
+      * new operator: bounded forms become an alternation of sequence
+      * chains (optionally `?`-wrapped when n=0), `{n,}` becomes
+      * `p/…/p/p+`. Bounds cap at 16: the rewrite is exponential-free
+      * but a chain of joins, and beyond that `+`/`*`'s doubling
+      * closure is the right tool.
+      */
+    private def parseRepeat(p: PathExpr): PathExpr = {
+      skipWs()
+      val lo = parseInt()
+      skipWs()
+      val hi: Option[Int] = // None = unbounded {n,}
+        if (peek == ',') {
+          pos += 1; skipWs()
+          if (peek == '}') None else Some(parseInt())
+        } else Some(lo)
+      skipWs()
+      expect('}')
+      val cap = 16
+      if (lo > cap || hi.exists(_ > cap))
+        fail(s"path repetition bounds cap at $cap (use + or * beyond)")
+      if (hi.exists(_ < lo)) fail(s"path repetition {$lo,${hi.get}} is empty")
+      if (lo == 0 && hi.contains(0))
+        fail("path repetition {0} (the zero-length path) is not supported")
+      def chain(k: Int): PathExpr = (2 to k).foldLeft(p: PathExpr)((e, _) => PSeq(e, p))
+      hi match {
+        case None => // {n,}: n-1 fixed hops, then one-or-more
+          if (lo <= 0) PStar(p)
+          else if (lo == 1) PPlus(p)
+          else PSeq(chain(lo - 1), PPlus(p))
+        case Some(m) => // {n,m}: alternation of chains, ?-wrapped if n=0
+          val from = math.max(lo, 1)
+          val alts = (from to m).map(chain).reduce(PAlt(_, _))
+          if (lo == 0) POpt(alts) else alts
+      }
     }
 
     /** After '!': a single (possibly inverted) IRI or a '('-list of

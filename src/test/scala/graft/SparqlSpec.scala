@@ -1005,6 +1005,38 @@ class SparqlSpec extends AnyFunSuite {
     assert(descVar.length == 1)
   }
 
+  test("path repetition {n}, {n,m}, {n,} rewrites onto the combinators") {
+    // chain 1 → 2 → 3 → 4 → 5
+    val store = ingest(
+      ((1 to 4).map(i =>
+        s"<http://x/n$i> <http://x/next> <http://x/n${i + 1}> .").mkString("\n") + "\n")
+        -> "application/n-quads")
+    def pairs(q: String): Set[(String, String)] =
+      Sparql.execute(store.quads(), q).collect()
+        .map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    def n(i: Int) = s"http://x/n$i"
+    // exactly two hops
+    assert(pairs("SELECT ?s ?o { ?s <http://x/next>{2} ?o }") ==
+      Set(n(1) -> n(3), n(2) -> n(4), n(3) -> n(5)))
+    // two to three hops
+    assert(pairs("SELECT ?s ?o { ?s <http://x/next>{2,3} ?o }") ==
+      Set(n(1) -> n(3), n(2) -> n(4), n(3) -> n(5),
+          n(1) -> n(4), n(2) -> n(5)))
+    // zero to two hops from a fixed start (zero-length binds the start)
+    assert(pairs(s"SELECT ?s ?o { ?s <http://x/next>{0,2} ?o . FILTER(?s = <${n(1)}>) }") ==
+      Set(n(1) -> n(1), n(1) -> n(2), n(1) -> n(3)))
+    // at least three hops
+    assert(pairs("SELECT ?s ?o { ?s <http://x/next>{3,} ?o }") ==
+      Set(n(1) -> n(4), n(2) -> n(5), n(1) -> n(5)))
+    // malformed / unsupported forms fail cleanly
+    intercept[graft.rdf.RdfParseException](
+      Sparql.execute(store.quads(), "SELECT ?s ?o { ?s <http://x/next>{0} ?o }"))
+    intercept[graft.rdf.RdfParseException](
+      Sparql.execute(store.quads(), "SELECT ?s ?o { ?s <http://x/next>{3,2} ?o }"))
+    intercept[graft.rdf.RdfParseException](
+      Sparql.execute(store.quads(), "SELECT ?s ?o { ?s <http://x/next>{2,99} ?o }"))
+  }
+
   test("CONSTRUCT honors ORDER BY + LIMIT/OFFSET solution modifiers") {
     val store = ingest(
       ("""<http://x/a> <http://x/v> "1" .
