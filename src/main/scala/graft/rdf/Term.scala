@@ -57,6 +57,14 @@ object Term {
   val XSD_DATE: String = XSD + "date"
   val RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   val RDF_TYPE: String = RDF_NS + "type"
+  /** Datatype of a language-tagged literal (RDF 1.1 §3.3). */
+  val RDF_LANGSTRING: String = RDF_NS + "langString"
+  /** Datatype of a language+direction literal, `"x"@en--ltr`
+    * (RDF 1.2; the reference stack's Jena 6 parses these). The engine
+    * stores the combined `lang--dir` in the lang field — parsers and
+    * serializers pass it through; LANG/LANGDIR/DATATYPE split it.
+    */
+  val RDF_DIRLANGSTRING: String = RDF_NS + "dirLangString"
   val RDF_FIRST: String = RDF_NS + "first"
   val RDF_REST: String = RDF_NS + "rest"
   val RDF_NIL: String = RDF_NS + "nil"

@@ -1111,14 +1111,24 @@ object Sparql {
       func match {
         case "STR" => strTerm(a.getField("lex"))
         case "LANG" =>
-          // only defined for literals; "" when no language tag
+          // only defined for literals; "" when no language tag. An
+          // RDF 1.2 base direction (`en--ltr`) is NOT part of the
+          // language — LANG strips it (LANGDIR reads it)
           when(a.getField("termType") === Term.LIT,
-            strTerm(coalesce(a.getField("lang"), lit(""))))
+            strTerm(regexp_replace(coalesce(a.getField("lang"), lit("")),
+              "--(ltr|rtl)$", "")))
             .otherwise(nullTerm)
         case "DATATYPE" =>
+          // lang-tagged → rdf:langString, lang+dir → rdf:dirLangString
+          // (RDF 1.1 §3.3 / RDF 1.2), else the stated datatype, else
+          // xsd:string
+          val lg = a.getField("lang")
+          val dt = when(lg.isNotNull,
+              when(lg.rlike("--(ltr|rtl)$"), Term.RDF_DIRLANGSTRING)
+                .otherwise(Term.RDF_LANGSTRING))
+            .otherwise(coalesce(a.getField("datatype"), lit(Term.XSD_STRING)))
           when(a.getField("termType") === Term.LIT,
-            struct(lit(Term.IRI).as("termType"),
-              coalesce(a.getField("datatype"), lit(Term.XSD_STRING)).as("lex"),
+            struct(lit(Term.IRI).as("termType"), dt.as("lex"),
               lit(null).cast("string").as("datatype"),
               lit(null).cast("string").as("lang")))
             .otherwise(nullTerm)
@@ -1313,6 +1323,26 @@ object Sparql {
         // parse out of the canonical lex (TermStar expression, null =
         // expression error on a non-triple term); TRIPLE() re-quotes
         // three bound terms
+        // RDF 1.2 / SPARQL 1.2 direction accessors and constructor
+        case "LANGDIR" =>
+          // "" for a literal with no direction; error on non-literals
+          when(a(0).getField("termType") === Term.LIT,
+            plainStrTerm(regexp_extract(
+              coalesce(a(0).getField("lang"), lit("")), "--(ltr|rtl)$", 1)))
+            .otherwise(nullTerm)
+        case "STRLANGDIR" =>
+          if (args.length != 3)
+            throw new RdfParseException("STRLANGDIR takes exactly 3 arguments")
+          // simple-literal lex + language + direction ("ltr"/"rtl")
+          val okLex = isPlainString(a(0))
+          val lang = a(1).getField("lex")
+          val dir = a(2).getField("lex")
+          when(okLex && isPlainString(a(1)) && isPlainString(a(2)) &&
+              lang =!= "" && dir.isin("ltr", "rtl"),
+            struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
+              lit(null).cast("string").as("datatype"),
+              concat(lang, lit("--"), dir).as("lang")))
+            .otherwise(nullTerm)
         case "SUBJECT" => graft.functions.TermStar.componentOf(a(0), 0)
         case "PREDICATE" => graft.functions.TermStar.componentOf(a(0), 1)
         case "OBJECT" => graft.functions.TermStar.componentOf(a(0), 2)
@@ -1579,6 +1609,12 @@ object Sparql {
         // a numeric TERM whose lexical form actually parses
         case "ISNUMERIC" => isNumericLit(c) && numValueOf(c).isNotNull
         case "ISTRIPLE" => c.getField("termType") === Term.TRIPLE
+        // SPARQL 1.2: does the literal carry a language / a direction
+        case "HASLANG" =>
+          c.getField("termType") === Term.LIT && c.getField("lang").isNotNull
+        case "HASLANGDIR" =>
+          c.getField("termType") === Term.LIT &&
+            c.getField("lang").rlike("--(ltr|rtl)$")
         case other => throw new RdfParseException(s"unsupported test $other")
       }
     case FIn(e, items, positive) =>
@@ -2473,7 +2509,8 @@ object Sparql {
         FLangMatches(t, r)
       } else if (tryKeyword("BOUND") || tryKeyword("ISIRI") || tryKeyword("ISURI") ||
                  tryKeyword("ISBLANK") || tryKeyword("ISLITERAL") ||
-                 tryKeyword("ISNUMERIC") || tryKeyword("ISTRIPLE")) {
+                 tryKeyword("ISNUMERIC") || tryKeyword("ISTRIPLE") ||
+                 tryKeyword("HASLANGDIR") || tryKeyword("HASLANG")) {
         val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
         expect('('); val v = parseVar(); expect(')')
         FTest(func, v)
@@ -2541,10 +2578,10 @@ object Sparql {
         "IRI", "URI", "ENCODE_FOR_URI",
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
-        "SUBJECT", "PREDICATE", "OBJECT")
+        "SUBJECT", "PREDICATE", "OBJECT", "LANGDIR")
     private val NARY_FNS =
       Seq("CONCAT", "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
-        "STRDT", "STRLANG", "TRIPLE")
+        "STRDT", "STRLANG", "TRIPLE", "STRLANGDIR")
     // nondeterministic builtins (§17.4.2 / §17.4.5): zero-argument;
     // BNODE is handled separately (0 or 1 argument)
     private val NILADIC_FNS = Seq("NOW", "UUID", "STRUUID", "RAND")

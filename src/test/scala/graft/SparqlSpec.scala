@@ -337,8 +337,51 @@ class SparqlSpec extends AnyFunSuite {
         |BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?s""".stripMargin).collect()
     def f(r: org.apache.spark.sql.Row, i: Int) = r.getStruct(i).getString(1)
     assert(f(rows(0), 1) == "hej" && f(rows(0), 2) == "sv")
+    // DATATYPE of a lang-tagged literal is rdf:langString (§17.4.2.7)
+    assert(f(rows(0), 3) == Term.RDF_LANGSTRING)
     assert(f(rows(1), 1) == "7" && f(rows(1), 2) == "" &&
       f(rows(1), 3) == Term.XSD_INTEGER)
+  }
+
+  test("RDF 1.2 directional language tags: LANG/LANGDIR/DATATYPE/STRLANGDIR/hasLANGDIR") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "mrhba"@ar--rtl .
+         |<http://x/b> <http://x/p> "hello"@en .
+         |<http://x/c> <http://x/p> "plain" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?s ?l ?d ?dt { ?s <http://x/p> ?o
+           BIND(LANG(?o) AS ?l) BIND(LANGDIR(?o) AS ?d)
+           BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?s""").collect()
+    def f(r: org.apache.spark.sql.Row, i: Int) = r.getStruct(i).getString(1)
+    // LANG strips the direction; LANGDIR isolates it
+    assert(f(rows(0), 1) == "ar" && f(rows(0), 2) == "rtl" &&
+      f(rows(0), 3) == Term.RDF_DIRLANGSTRING)
+    assert(f(rows(1), 1) == "en" && f(rows(1), 2) == "" &&
+      f(rows(1), 3) == Term.RDF_LANGSTRING)
+    assert(f(rows(2), 1) == "" && f(rows(2), 2) == "" &&
+      f(rows(2), 3) == Term.XSD_STRING)
+    // hasLANG / hasLANGDIR filters
+    val dirOnly = Sparql.execute(store.quads(),
+      "SELECT ?s { ?s <http://x/p> ?o FILTER(hasLANGDIR(?o)) }").collect()
+    assert(dirOnly.map(_.getStruct(0).getString(1)).toSeq == Seq("http://x/a"))
+    val langOnly = Sparql.execute(store.quads(),
+      "SELECT ?s { ?s <http://x/p> ?o FILTER(hasLANG(?o)) } ORDER BY ?s").collect()
+    assert(langOnly.map(_.getStruct(0).getString(1)).toSeq ==
+      Seq("http://x/a", "http://x/b"))
+    // STRLANGDIR constructs a dir-tagged literal that round-trips; a
+    // bad direction is an expression error
+    val built = Sparql.execute(store.quads(),
+      """SELECT ?t ?bad { ?s <http://x/p> ?o FILTER(?s = <http://x/c>)
+           BIND(STRLANGDIR(?o, "he", "rtl") AS ?t)
+           BIND(STRLANGDIR(?o, "he", "up") AS ?bad) }""").collect()
+    assert(built(0).getStruct(0).getString(1) == "plain")
+    assert(built(0).getStruct(0).getString(3) == "he--rtl")
+    assert(built(0).getStruct(1) == null)
+    // serializer round-trip keeps @ar--rtl
+    val nt = graft.rdf.NtWriter.ntLines(store.quads()).collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(nt.contains("@ar--rtl"))
   }
 
   test("FILTER functions: REGEX, CONTAINS, STRSTARTS, BOUND, isIRI, negation") {
