@@ -85,11 +85,15 @@ object NQuadsParser {
       skipWs()
       if (atEnd) fail("unexpected end of line")
       peek match {
-        // RDF-star quoted triple `<< s p o >>` — '<<' never begins an
-        // IRIREF (IRIs are absolute, and '<' is excluded from IRIREF
-        // anyway), so one char of lookahead disambiguates
+        // RDF-star quoted triple `<< s p o >>`, or the RDF 1.2 WG
+        // triple-term spelling `<<( s p o )>>` (Jena 6 accepts both) —
+        // '<<' never begins an IRIREF (IRIs are absolute, and '<' is
+        // excluded from IRIREF anyway), so one char of lookahead
+        // disambiguates; both spellings normalize to the same term
         case '<' if pos + 1 < to && doc.charAt(pos + 1) == '<' =>
           pos += 2
+          val wg = pos < to && peek == '(' // `<<(` triple-term form
+          if (wg) advance()
           val s = term()
           if (!s.isIri && !s.isBlank && !s.isTriple)
             fail("quoted-triple subject must be IRI, blank node, or quoted triple")
@@ -97,6 +101,10 @@ object NQuadsParser {
           if (!p.isIri) fail("quoted-triple predicate must be an IRI")
           val o = term()
           skipWs()
+          if (wg) {
+            if (atEnd || peek != ')') fail("unterminated triple term: expected ')>>'")
+            advance(); skipWs()
+          }
           if (pos + 1 >= to || peek != '>' || doc.charAt(pos + 1) != '>')
             fail("unterminated quoted triple: expected '>>'")
           pos += 2

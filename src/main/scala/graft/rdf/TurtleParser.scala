@@ -223,12 +223,18 @@ final class TurtleParser(input: String, trig: Boolean) {
     */
   private def quotedTriple(): Term = {
     pos += 2 // '<<'
+    val wg = pos < len && peek() == '(' // RDF 1.2 `<<( s p o )>>` spelling
+    if (wg) pos += 1
     val s = parseTerm(allowLiteral = false)
     if (!s.isIri && !s.isBlank && !s.isTriple)
       fail("quoted-triple subject must be IRI, blank node, or quoted triple")
     val p = parsePredicate()
     val o = parseTerm(allowLiteral = true)
     skipWs()
+    if (wg) {
+      expect(')')
+      skipWs()
+    }
     if (!(pos + 1 < len && peek() == '>' && input.charAt(pos + 1) == '>'))
       fail("unterminated quoted triple: expected '>>'")
     pos += 2

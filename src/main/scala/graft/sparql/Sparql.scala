@@ -2659,21 +2659,56 @@ object Sparql {
     /** `PREFIX pfx: <iri>` declarations (SPARQL grammar `Prologue`);
       * populates the pname expansion table used by [[parseNode]].
       */
-    private[sparql] def parsePrologue(): Unit =
-      while (tryKeyword("PREFIX")) {
-        skipWs()
-        val start = pos
-        while (pos < text.length && text.charAt(pos) != ':' &&
-               !text.charAt(pos).isWhitespace) pos += 1
-        val pfx = text.substring(start, pos)
-        expect(':')
-        parseNode() match {
-          case Const(t) if t.isIri => prefixes(pfx) = t.lex
-          case _ => fail("PREFIX expects an IRI")
-        }
+    private[sparql] def parsePrologue(): Unit = {
+      var more = true
+      while (more) {
+        if (tryKeyword("PREFIX")) {
+          skipWs()
+          val start = pos
+          while (pos < text.length && text.charAt(pos) != ':' &&
+                 !text.charAt(pos).isWhitespace) pos += 1
+          val pfx = text.substring(start, pos)
+          expect(':')
+          parseNode() match {
+            case Const(t) if t.isIri => prefixes(pfx) = t.lex
+            case _ => fail("PREFIX expects an IRI")
+          }
+        } else if (tryKeyword("BASE")) {
+          // BASE declarations interleave with PREFIX; later IRIs (and
+          // later PREFIX expansions) resolve against the latest BASE
+          parseNode() match {
+            case Const(t) if t.isIri => base = t.lex
+            case _ => fail("BASE expects an IRI")
+          }
+        } else more = false
       }
+    }
 
     private val prefixes = scala.collection.mutable.Map[String, String]()
+    private var base: String = null
+
+    /** Resolve a (possibly relative) IRI reference against the BASE
+      * declaration — same merge rules as [[graft.rdf.TurtleParser]].
+      */
+    private def resolveIri(iri: String): String = {
+      if (base == null || iri.contains("://") || iri.startsWith("urn:") ||
+          iri.startsWith("mailto:") || iri.startsWith("uuid:")) iri
+      else if (iri.startsWith("#")) {
+        val h = base.indexOf('#')
+        (if (h >= 0) base.substring(0, h) else base) + iri
+      } else if (iri.isEmpty) base
+      else if (iri.startsWith("/")) {
+        val schemeEnd = base.indexOf("://")
+        if (schemeEnd < 0) base + iri
+        else {
+          val pathStart = base.indexOf('/', schemeEnd + 3)
+          (if (pathStart < 0) base else base.substring(0, pathStart)) + iri
+        }
+      } else {
+        val cut = base.lastIndexOf('/')
+        if (cut < 0) base + iri else base.substring(0, cut + 1) + iri
+      }
+    }
 
     private[sparql] def parseNode(): Node = {
       skipWs()
@@ -2707,7 +2742,7 @@ object Sparql {
           val end = text.indexOf('>', pos)
           if (end < 0) fail("unterminated IRI")
           val iri = text.substring(pos, end); pos = end + 1
-          Const(Term.iri(iri))
+          Const(Term.iri(resolveIri(iri)))
         case q @ ('"' | '\'') =>
           pos += 1
           val sb = new StringBuilder

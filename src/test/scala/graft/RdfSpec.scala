@@ -621,6 +621,21 @@ class RdfParserSpec extends AnyFunSuite {
     assert(s == q.obj && s == Term.blank("ev7:b"))
   }
 
+  test("rdf-star: RDF 1.2 <<( )>> triple-term spelling normalizes to the same term") {
+    val quoted = Term.quoted(Term.iri("http://x/s"), Term.iri("http://x/p"), Term.lit("v"))
+    val nq = NQuadsParser.parse(
+      "<http://x/r> <http://x/reifies> <<( <http://x/s> <http://x/p> \"v\" )>> .\n",
+      allowGraph = true)
+    assert(nq.head.obj == quoted)
+    val ttl = TurtleParser.parseTurtle(
+      "@prefix ex: <http://x/> . ex:r ex:reifies <<( ex:s ex:p \"v\" )>> .")
+    assert(ttl.head.obj == quoted)
+    // malformed: missing ')'
+    intercept[RdfParseException](NQuadsParser.parse(
+      "<http://x/r> <http://x/q> <<( <http://x/s> <http://x/p> \"v\" >> .\n",
+      allowGraph = true))
+  }
+
   test("rdf-star: patch A/D ops carry quoted triples (shared scanner)") {
     val doc =
       """TX .

@@ -1033,6 +1033,23 @@ class SparqlSpec extends AnyFunSuite {
     assert(z(4).isEmpty)                               // no zone → error
   }
 
+  test("BASE prologue resolves relative IRIs (and chains with PREFIX)") {
+    val store = ingest(
+      ("""<http://x/data/a> <http://x/data/p> "1" .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """BASE <http://x/data/>
+         PREFIX ex: <rel/>
+         SELECT ?v { <a> <p> ?v }""").collect()
+    assert(rows.length == 1 && rows(0).getStruct(0).getString(1) == "1")
+    // the PREFIX expansion itself resolved against BASE
+    val rows2 = Sparql.execute(store.quads(),
+      """BASE <http://x/>
+         PREFIX d: <data/>
+         SELECT ?v { d:a d:p ?v }""").collect()
+    assert(rows2.length == 1)
+  }
+
   test("ASK WHERE, DESCRIBE with prefixed names and bare group") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .
