@@ -190,6 +190,32 @@ object RdfQueries {
       })
       graft.rdf.NtWriter.ntLines(store.quads()).orderBy(col("line"))
     },
+    // Turtle/TriG egress with prefix compaction: per-(graph,subject)
+    // blocks — rdf:type as `a`, predicate lists `;`, object lists `,`,
+    // longest-namespace prefixed names, unsafe locals fall back to
+    // <full-iri>, named graphs wrap TriG-style. Lines exact-compared
+    // against DuckDB building the same strings.
+    "rdf_export_turtle" -> { (s, dir) =>
+      import s.implicits._
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect() // 5 rows
+      val quads = regions.toSeq.flatMap { case (k, name) =>
+        Seq(
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(Term.RDF_TYPE),
+            Term.iri(s"${NS}Region")),
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"),
+            Term.lit(name)),
+          Quad(Term.iri(s"${NS}g/meta"), Term.iri(s"${NS}region/$k"),
+            Term.iri(s"${NS}esc"), Term.lit(name + "\n")),
+          Quad(Term.iri(s"${NS}g/meta"), Term.iri(s"${NS}region/$k"),
+            Term.iri(s"${NS}esc"), Term.lit("\"" + name)))
+      }
+      val df = s.createDataset(quads).toDF()
+      TurtleWriter.turtleLines(df,
+          Map("grf" -> NS, "reg" -> s"${NS}region/"))
+        .orderBy(col("line"))
+    },
     // CDC feed over the same three batches: net ops in (0, 2] are one
     // Add per region and one Delete per region-0 nation
     "rdf_store_change_feed" -> { (s, dir) =>
@@ -277,6 +303,22 @@ object RdfQueries {
                   chr(92) || chr(34) || r_name || chr(92) || 'n' ||
                   chr(92) || 't' || chr(92) || chr(92) ||
                   chr(34) || ' <http://graft.example/g/meta> .'
+           FROM region)
+         ORDER BY line""",
+    // default-graph block: `reg:K a grf:Region ; grf:name "NAME" .`
+    // (po list sort_array'd: "a …" < "grf:…"); named-graph block:
+    // object list sorted — '"NAME\n"' begins with an uppercase letter
+    // (< 0x5C) so it precedes '"\"NAME"'
+    "rdf_export_turtle" ->
+      """SELECT line FROM (
+           SELECT 'reg:' || r_regionkey || ' a grf:Region ; grf:name ' ||
+                  chr(34) || r_name || chr(34) || ' .' AS line
+           FROM region
+           UNION ALL
+           SELECT '<http://graft.example/g/meta> { reg:' || r_regionkey ||
+                  ' grf:esc ' || chr(34) || r_name || chr(92) || 'n' ||
+                  chr(34) || ', ' || chr(34) || chr(92) || chr(34) ||
+                  r_name || chr(34) || ' . }'
            FROM region)
          ORDER BY line"""
   )

@@ -15,7 +15,7 @@ object NtWriter {
     * twin of `Term.escapeLiteral` (backslash FIRST, then the quote
     * and the three control chars the grammar forbids raw).
     */
-  private def esc(c: Column): Column = {
+  private[rdf] def esc(c: Column): Column = {
     val noBs = regexp_replace(c, "\\\\", "\\\\\\\\")
     val noQ = regexp_replace(noBs, "\"", "\\\\\"")
     val noNl = regexp_replace(noQ, "\n", "\\\\n")

@@ -86,6 +86,23 @@ class FuzzSpec extends AnyFunSuite {
     g <- Gen.option(genIri)
   } yield Quad(g.map(_.lex).map(Term.iri).orNull, s, p, o)
 
+  /** [[genQuad]] restricted to VALID unicode: Spark string columns
+    * are UTF-8 (UTF8String), so a lone UTF-16 surrogate half is
+    * normalized the moment it enters a DataFrame — an engine-wide
+    * data-model invariant, not a serializer property.
+    */
+  private lazy val genValidQuad: Gen[Quad] = genQuad.map { q =>
+    def fix(t: Term): Term =
+      if (t.termType == Term.LIT)
+        t.copy(lex = t.lex.map(c => if (Character.isSurrogate(c)) 'x' else c))
+      else if (t.isTriple) {
+        // literals may hide INSIDE a quoted triple's canonical lex
+        val (s, p, o) = NQuadsParser.components(t)
+        Term.quoted(fix(s), fix(p), fix(o))
+      } else t
+    q.copy(subject = fix(q.subject), obj = fix(q.obj))
+  }
+
   // --- round-trips ----------------------------------------------------------
 
   test("N-Quads round-trip: toNT serialization parses back to the same quads") {
@@ -114,17 +131,7 @@ class FuzzSpec extends AnyFunSuite {
     // invariant (any UTF-8-native store does the same), not an
     // NtWriter property. The JVM-level toNT round-trip above keeps
     // exercising the lone-surrogate case.
-    val validQuad = genQuad.map { q =>
-      def fix(t: Term): Term =
-        if (t.termType == Term.LIT)
-          t.copy(lex = t.lex.map(c => if (Character.isSurrogate(c)) 'x' else c))
-        else if (t.isTriple) {
-          // literals may hide INSIDE a quoted triple's canonical lex
-          val (s, p, o) = NQuadsParser.components(t)
-          Term.quoted(fix(s), fix(p), fix(o))
-        } else t
-      q.copy(subject = fix(q.subject), obj = fix(q.obj))
-    }
+    val validQuad = genValidQuad
     // each sample runs a Spark job — bounded count, still 4 terms/quad
     check(Prop.forAll(Gen.listOfN(4, validQuad)) { qs =>
       val df = qs.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject,
@@ -133,6 +140,48 @@ class FuzzSpec extends AnyFunSuite {
       val doc = rdf.NtWriter.ntLines(df).collect().map(_.getString(0)).mkString("\n")
       NQuadsParser.parse(doc, allowGraph = true).toSet == qs.toSet
     }, n = 40)
+  }
+
+  test("TurtleWriter round-trip: Turtle/TriG blocks parse back to the same quads") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the writer groups by (graph, subject): duplicate quads collapse
+    // into object lists only when byte-identical, so the SET is
+    // preserved; parse back in TriG mode (named-graph blocks)
+    check(Prop.forAll(Gen.listOfN(4, genValidQuad)) { qs =>
+      val df = qs.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject,
+          q.predicate, q.obj)).toDF()
+        .select(col("graph"), col("subject"), col("predicate"), col("obj"))
+      val doc = rdf.TurtleWriter.turtleLines(df, Map.empty)
+        .collect().map(_.getString(0)).mkString("\n")
+      new rdf.TurtleParser(doc, trig = true).parse().toSet == qs.toSet
+    }, n = 30)
+  }
+
+  test("TurtleWriter prefix compaction round-trips through the parser") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ns = "http://graft.example/v/"
+    // locals drawn to straddle the PN_LOCAL-safe boundary: safe ones
+    // compact to pn:local, unsafe ones (slash, colon, leading dot)
+    // must fall back to <full-iri> — either way the parse expands to
+    // the same IRI
+    val genLocal = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString),
+      Gen.const("a/b"), Gen.const("x:y"), Gen.const(".lead"),
+      Gen.const("trail."), Gen.const("mid.dle"), Gen.const(""))
+    val genQ = for {
+      s <- genLocal; o <- genLocal
+    } yield Quad(null, Term.iri(ns + s), Term.iri(Term.RDF_TYPE), Term.iri(ns + o))
+    check(Prop.forAll(Gen.listOfN(4, genQ)) { qs =>
+      val df = qs.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject,
+          q.predicate, q.obj)).toDF()
+        .select(col("graph"), col("subject"), col("predicate"), col("obj"))
+      val hdr = rdf.TurtleWriter.prefixHeader(Map("v" -> ns)).mkString("\n")
+      val doc = hdr + "\n" + rdf.TurtleWriter.turtleLines(df, Map("v" -> ns))
+        .collect().map(_.getString(0)).mkString("\n")
+      new rdf.TurtleParser(doc, trig = true).parse().toSet == qs.toSet
+    }, n = 20)
   }
 
   // --- crash safety ---------------------------------------------------------
