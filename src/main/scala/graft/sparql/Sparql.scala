@@ -2182,6 +2182,13 @@ object Sparql {
             // Quads grammar allows '.' between GRAPH blocks and triples
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
+          } else if (tryKeyword("SERVICE")) {
+            // Federated query (SPARQL 1.1 §) dereferences a remote
+            // endpoint mid-query; this engine has no remote access by
+            // design — same posture as SPARQL Update LOAD. Parse far
+            // enough to give a precise error, never misparse.
+            fail("SERVICE (federated query) is not supported: " +
+              "materialize the remote data as a named graph and query it with GRAPH")
           } else if (tryKeyword("MINUS")) {
             elems += MinusElem(parseGroup())
           } else if (tryKeyword("FILTER")) {
