@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.RdfQueries.queries ++
     graft.queries.ProjectorQueries.queries ++
     graft.queries.SparqlQueries.queries ++
+    graft.queries.ServerQueries.queries ++
     graft.pipeline.PipelineQueries.queries ++
     graft.streaming.StreamingQueries.queries
 
@@ -28,6 +29,7 @@ object SparkEntry {
     graft.queries.RdfQueries.oracle ++
     graft.queries.ProjectorQueries.oracle ++
     graft.queries.SparqlQueries.oracle ++
+    graft.queries.ServerQueries.oracle ++
     graft.pipeline.PipelineQueries.oracle ++
     graft.streaming.StreamingQueries.oracle
 }

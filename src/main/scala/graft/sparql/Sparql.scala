@@ -282,6 +282,28 @@ object Sparql {
     else evalCtx.withValue(Some(EvalContext()))(run())
   }
 
+  /** The query form of a request — `"select"`, `"ask"`, `"construct"`
+    * or `"describe"` — parsed from the full grammar (not a keyword
+    * sniff: a prologue may precede the form keyword). The protocol
+    * layer ([[graft.server.SparqlHttp]]) picks the response
+    * serialization family from this.
+    */
+  def queryForm(queryText: String): String =
+    new Parser(queryText).parseRequest() match {
+      case _: SelectReq => "select"
+      case _: AskReq => "ask"
+      case _: ConstructReq => "construct"
+      case _: DescribeReq => "describe"
+    }
+
+  /** Protocol-level dataset construction (SPARQL Protocol §2.1.4
+    * `default-graph-uri` / `named-graph-uri`): same semantics as the
+    * query-level FROM / FROM NAMED clauses.
+    */
+  def datasetOf(quads: DataFrame, defaultGraphs: Seq[Term],
+      namedGraphs: Seq[Term]): DataFrame =
+    applyDatasetClause(quads, defaultGraphs, namedGraphs)
+
   private def executeParsed(quads: DataFrame, queryText: String): DataFrame =
     new Parser(queryText).parseRequest() match {
       case SelectReq(q) => executeSelect(quads, q)
