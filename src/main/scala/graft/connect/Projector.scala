@@ -53,6 +53,15 @@ final case class MaterialisedEvent(event: Event, decoded: RdfParse.Decoded)
 trait BatchSink {
   /** Atomically apply one batch. `batchId` increments per commit. */
   def apply(batchId: Long, events: Seq[MaterialisedEvent]): Unit
+
+  /** First batch id a NEW projector run should use. Stateful sinks
+    * override this with one past their committed history; without it
+    * a Sync-policy restart would reuse id 0 and its first commit
+    * would REPLAY OVER the first run's epoch segment (idempotent
+    * same-run replay is per-instance: the id only advances after a
+    * successful apply, so abort-and-replay still reuses the same id).
+    */
+  def resumeBatchId: Long = 0L
 }
 
 /** The adaptive-batching projector — the reference's core engine
@@ -111,7 +120,7 @@ final class Projector(
   private val batch = ArrayBuffer[MaterialisedEvent]()
   private var currentBatchSizeBytes = 0L
   private var lastCommitTime = -1L
-  private var nextBatchId = 0L
+  private var nextBatchId = sink.resumeBatchId
 
   private var _commitCount = 0L          // batch (store) commits
   private var _bookkeepingCommits = 0L   // all commit() invocations
@@ -263,6 +272,12 @@ final class Projector(
   private def commit(): Unit = {
     lastCommitTime = clock()
     if (batch.nonEmpty) {
+      // never fall behind the sink's committed history: another writer
+      // (an HTTP mutation on the same dataset) may have appended an
+      // epoch since the last commit, and reusing its id would replay
+      // over it. A FAILED apply leaves both sides unchanged, so the
+      // abort-and-replay path still reuses the same id.
+      nextBatchId = math.max(nextBatchId, sink.resumeBatchId)
       sink.apply(nextBatchId, batch.toSeq)
       nextBatchId += 1
       _commitCount += 1

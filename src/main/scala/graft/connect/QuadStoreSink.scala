@@ -41,6 +41,17 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
     bulkBytesThreshold: Long = QuadStoreSink.DefaultBulkBytes) extends BatchSink {
   import QuadStore.OpRow
 
+  /** One past the store's committed history (un-compacted tail AND
+    * compaction high-water): a projector restart or an HTTP mutation
+    * must APPEND a fresh epoch, never replay over an earlier run's
+    * segment. Set semantics make a same-EVENT re-apply under the
+    * fresh id idempotent in the merged view (latest-op-wins per
+    * quad), so the Replay read policy stays correct too.
+    */
+  override def resumeBatchId: Long = math.max(
+    store.availableBatches().maxOption.getOrElse(-1L),
+    store.highWaterBatchId) + 1
+
   private val QUAD_COLS = QuadStore.QUAD_COLUMNS
 
   /** `state` minus `touched` plus `adds` (both small/derived sides;

@@ -295,13 +295,10 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     val sink =
       if (noBulk) new QuadStoreSink(spark, ds.store, Long.MaxValue)
       else new QuadStoreSink(spark, ds.store)
-    // a FRESH batch id: past the un-compacted tail AND the compaction
-    // high-water (highWaterBatchId alone is the compaction floor — a
-    // tail batch id would REPLAY over an existing segment)
-    val next = math.max(
-      ds.store.availableBatches().maxOption.getOrElse(-1L),
-      ds.store.highWaterBatchId) + 1
-    sink.apply(next, events)
+    // a FRESH batch id past the store's committed history — the same
+    // resume contract a projector restart uses (never replay over an
+    // existing segment)
+    sink.apply(sink.resumeBatchId, events)
   }
 
   private def materialise(value: Array[Byte], ct: String): MaterialisedEvent = {

@@ -85,5 +85,29 @@ class EndToEndSpec extends AnyFunSuite {
     engine2.stop()
     assert(counted() == 4L)
     assert(store.committedSegments().nonEmpty)
+
+    // restart with NEW events past the stored offset: the fresh
+    // projector must APPEND an epoch, not reuse batch id 0 and
+    // replay over the first run's segment (which would silently
+    // replace its quads — the resumeBatchId contract)
+    val more = events :+ Event("RDF", 0, 4L, Array.empty,
+      "<http://example/s9> <http://example/p9> <http://example/o9> .\n"
+        .getBytes("UTF-8"), Map("Content-Type" -> "application/n-quads"))
+    val factory3 = new EventSourceFactory {
+      override def create(cfg: ConnectorConfig, policy: ReadPolicy,
+          start: Map[(String, Int), Long]): EventSource =
+        new MemoryEventSource(more.filter(_.offset >= start.getOrElse(("RDF", 0), 0L)))
+    }
+    val engine3 = new Engine(factory3, cfg => new QuadStoreSink(spark, store))
+    engine3.start(configs)
+    val dl3 = System.currentTimeMillis() + 15000
+    var n3 = counted()
+    while (n3 != 5L && System.currentTimeMillis() < dl3) {
+      Thread.sleep(250); n3 = counted()
+    }
+    engine3.stop()
+    assert(n3 == 5L)
+    // the first run's quads survived the restart commit
+    assert(ask("ASK { <http://example/s1> <http://example/p1> <http://example/o1> }"))
   }
 }

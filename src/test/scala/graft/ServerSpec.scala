@@ -208,6 +208,52 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftServer: config TTL boots engine + HTTP; ingest visible over /query") {
+    import graft.connect._
+    val stateDir = Files.createTempDirectory("gsrv")
+    val ttl =
+      s"""@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+         |@prefix fk: <http://jena.apache.org/fuseki/kafka#> .
+         |<#conn> rdf:type fk:Connector ;
+         |  fk:bootstrapServers "localhost:9092" ;
+         |  fk:topic "RDF" ;
+         |  fk:fusekiServiceName "/ds" ;
+         |  fk:groupId "gsrv-group" ;
+         |  fk:stateFile "$stateDir/RDF.state" .
+         |""".stripMargin
+    val events = Seq(
+      ("<http://example/s1> <http://example/p1> <http://example/o1> .\n",
+        "application/n-quads"),
+      ("@prefix ex: <http://example/> .\nex:s ex:p ex:o .\n", "text/turtle")
+    ).zipWithIndex.map { case ((body, ct), i) =>
+      Event("RDF", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
+        Map("Content-Type" -> ct))
+    }
+    val factory = new EventSourceFactory {
+      override def create(cfg: ConnectorConfig, policy: ReadPolicy,
+          start: Map[(String, Int), Long]): EventSource =
+        new MemoryEventSource(events.filter(_.offset >= start.getOrElse(("RDF", 0), 0L)))
+    }
+    val srv = new graft.server.GraftServer(spark, factory,
+      Files.createTempDirectory("gsrvstores"))
+    val port = srv.start(ttl)
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val q = java.net.URLEncoder.encode(
+        "SELECT (count(*) AS ?C) { ?s ?p ?o }", "UTF-8")
+      def count(): String = get(s"$base/ds/query?query=$q", "text/csv")
+        .body.linesIterator.toSeq.last
+      val deadline = System.currentTimeMillis + 15000
+      while (count() != "2" && System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(count() == "2")
+      // HTTP update lands in the SAME store the connector feeds
+      assert(post(s"$base/ds/update", "application/sparql-update",
+        "INSERT DATA { <http://example/u> <http://example/p> \"via-http\" }")
+        .statusCode == 204)
+      assert(count() == "3")
+    } finally srv.stop()
+  }
+
   // --- ResultsWriter unit behavior (no HTTP) --------------------------------
 
   test("results JSON escapes and omits unbound; lang literals tagged") {
