@@ -122,6 +122,13 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 20 === 0))
         .orderBy(col("doc_id"))
     },
+    // exact-substring span dedup: every token covered by a duplicated
+    // 5-gram (corpus-wide count >= 2) drops; DuckDB re-derives the
+    // duplicated windows, the covered positions, and the rebuilt text
+    "pl_dedup_spans" -> { (s, dir) =>
+      TextAnalysis.dedupSpans(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
     // duplicate-cluster resolution: connected components over the
     // EXACT ngram-Jaccard pair graph (so DuckDB can re-derive both the
     // pairs and, via a recursive CTE, the min-reachable-id labels)
@@ -450,6 +457,32 @@ object PipelineQueries {
                             for i in range(1, 17) ])::DOUBLE / 16 AS mean_byte
                FROM documents)
          GROUP BY source ORDER BY source""",
+    "pl_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           toks AS (SELECT doc_id, w[i] AS tok, i - 1 AS pos, len(w) AS n
+                    FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+           gr AS (SELECT doc_id, pos, n,
+                    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS gram
+                  FROM toks),
+           valid AS (SELECT doc_id, pos, gram FROM gr WHERE pos + 5 <= n),
+           dupg AS (SELECT gram FROM valid GROUP BY gram HAVING count(*) >= 2),
+           ds AS (SELECT v.doc_id, v.pos FROM valid v JOIN dupg USING (gram)),
+           dropped AS (SELECT DISTINCT t.doc_id, t.pos FROM toks t
+                       JOIN ds ON ds.doc_id = t.doc_id
+                              AND t.pos BETWEEN ds.pos AND ds.pos + 4),
+           kept AS (SELECT t.doc_id, t.tok, t.pos FROM toks t
+                    LEFT JOIN dropped dr
+                      ON dr.doc_id = t.doc_id AND dr.pos = t.pos
+                    WHERE dr.pos IS NULL),
+           agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+                          count(*) AS nk
+                   FROM kept GROUP BY doc_id)
+         SELECT d.doc_id::BIGINT AS doc_id,
+                coalesce(agg.ct, '') AS clean_text,
+                (len(d.w) - coalesce(agg.nk, 0))::BIGINT AS n_dropped
+         FROM d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "pl_repetition" ->
       """WITH e AS (
            SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]

@@ -233,6 +233,75 @@ object TextAnalysis {
         col("top_frac") > topFracMax || col("dup_frac") > dupFracMax)
   }
 
+  /** Cross-document repeated-span removal — the exact-substring
+    * dedup tier (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": remove every span whose `k`-token
+    * window occurs ≥ `minCount` times corpus-wide; the reference
+    * implementation builds a suffix array, the distributed
+    * re-expression is window-hash counting). Every token covered by
+    * any duplicated `k`-gram is dropped — ALL occurrences, as in the
+    * paper's ExactSubstr variant — and the surviving tokens rejoin in
+    * order. Output (doc_id, clean_text, n_dropped).
+    *
+    * Scale shape: one token-linear pass builds the per-position
+    * `k`-gram windows with array ops (no self-join); the corpus-wide
+    * occurrence count shuffles ONLY an (xxhash64, sha256) pair per
+    * position — text never rides the frequency shuffle (the
+    * [[Dedup.exact]] content-addressing basis), and map-side partial
+    * aggregation collapses repeats before the exchange. Duplicated
+    * starts come back as an ids-only semi join, and the span-union /
+    * text rebuild is a per-document linear fold (`aggregate` over the
+    * sorted start list) — no window function, no driver hop, so the
+    * whole plan is shuffle-linear in corpus tokens: the published
+    * algorithm's cost envelope, distributed.
+    */
+  def dedupSpans(docs: DataFrame, k: Int = 5, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).cast("long").as(idCol),
+        posexplode(when(size(toks) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .as(Seq("gpos", "g")))
+      .select(col(idCol), col("gpos"),
+        xxhash64(col("g")).as("h64"), sha2(col("g"), 256).as("h256"))
+    val dup = grams.groupBy(col("h64"), col("h256"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount)
+      .select(col("h64"), col("h256"))
+    val dupStarts = grams.join(dup, Seq("h64", "h256"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("gpos"))).as("dups"))
+    val joined = docs
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(dupStarts, Seq(idCol), "left_outer")
+    // interval-union fold over the sorted duplicated starts: state =
+    // (cur: first position not yet emitted-or-dropped, acc: kept
+    // tokens); each start j emits toks[cur, j) and advances cur past
+    // the span end j+k (overlaps only extend)
+    val w = split(col(textCol), " ")
+    val folded = aggregate(
+      col("dups"),
+      struct(lit(0).as("cur"), array().cast("array<string>").as("acc")),
+      (st, j) => {
+        val cur = st.getField("cur")
+        val acc = st.getField("acc")
+        when(j < cur, struct(greatest(cur, j + k).as("cur"), acc.as("acc")))
+          .otherwise(struct((j + k).as("cur"),
+            concat(acc, slice(w, cur + 1, j - cur)).as("acc")))
+      },
+      st => {
+        val cur = st.getField("cur")
+        concat(st.getField("acc"),
+          when(cur >= size(w), array().cast("array<string>"))
+            .otherwise(slice(w, cur + 1, size(w) - cur)))
+      })
+    joined
+      .withColumn("kept", when(col("dups").isNull, w).otherwise(folded))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(w) - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Boilerplate line removal: drop every line that occurs in at
     * least `minDf` distinct documents (headers, footers, cookie
     * banners — the C4-style cleanup), preserving the remaining lines

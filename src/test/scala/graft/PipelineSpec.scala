@@ -224,6 +224,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(wiped == Seq((1L, "", 1L), (2L, "", 1L)))
   }
 
+  test("dedupSpans drops every token covered by a duplicated k-gram, merges overlaps") {
+    import spark.implicits._
+    // "a b c" is a shared 3-gram between docs 1 and 2; doc 3 repeats
+    // its own 3-gram internally; doc 4 is clean; doc 5 is too short
+    val docs = Seq(
+      (1L, "x a b c y z w"),
+      (2L, "p q a b c r s"),
+      (3L, "m n o k m n o k"),
+      (4L, "all fresh words here nothing shared"),
+      (5L, "hi")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(docs, k = 3, minCount = 2)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got(0) == ((1L, "x y z w", 3L)))
+    assert(got(1) == ((2L, "p q r s", 3L)))
+    // doc 3: "m n o" starts at 0 and 4 (2 occurrences), "n o k" at
+    // 1 and 5 — overlapping spans merge: positions 0-3 and 4-7 all
+    // covered → everything drops
+    assert(got(2) == ((3L, "", 8L)))
+    assert(got(3)._2 == "all fresh words here nothing shared" && got(3)._3 == 0L)
+    assert(got(4) == ((5L, "hi", 0L)))
+    // adjacent-not-overlapping spans keep the gap tokens
+    val gap = Seq(
+      (1L, "a b c GAP d e f"),
+      (2L, "a b c X Y d e f")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.dedupSpans(gap, k = 3, minCount = 2)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(g2(0) == ((1L, "GAP", 6L)))
+    assert(g2(1) == ((2L, "X Y", 6L)))
+    // scale-shape pin: no Window operator anywhere, and the frequency
+    // aggregation exchanges on the hash pair, never the gram text
+    val plan = TextAnalysis.dedupSpans(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("xxhash64"))
+  }
+
   test("packSequences assigns docs to packs by per-shard running token offset") {
     import spark.implicits._
     // one shard (ids ≡ 0 mod 16) so offsets are easy to follow:
