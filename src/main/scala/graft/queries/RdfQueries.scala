@@ -145,6 +145,44 @@ object RdfQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicate"))
     },
+    // Incrementally-maintained aggregate view: per-predicate counts
+    // refreshed from the CDC feed — batch 1 mixes REAL ops with
+    // set-level no-ops (a re-add of a present quad, a delete of an
+    // absent one) so the presence-exact delta logic is what the
+    // oracle checks, not just the happy path.
+    "rdf_store_agg_view" -> { (s, dir) =>
+      import s.implicits._
+      val store = new QuadStore(s, Files.createTempDirectory("avstore").toString)
+      val view = new graft.store.AggView(s, store,
+        Files.createTempDirectory("avview").toString, Seq("predicate"))
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .as[(Long, String, Long)].collect() // 25 rows; driver-side by design
+      store.addQuads(0, nations.toSeq.flatMap { case (k, n, rk) => Seq(
+        Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}name"), Term.lit(n)),
+        Quad(null, Term.iri(s"${NS}nation/$k"), Term.iri(s"${NS}regionkey"),
+          Term.typed(rk.toString, Term.XSD_INTEGER))) })
+      view.refresh() // full init at batch 0
+      // batch 1: delete region-0 nations' name triples (real), re-add
+      // every region-1 name triple (no-op), delete a never-present
+      // quad (no-op), add one fresh triple (real)
+      val ops = nations.toSeq.collect { case (k, n, 0L) =>
+        QuadStore.OpRow("D", k, null, Term.iri(s"${NS}nation/$k"),
+          Term.iri(s"${NS}name"), Term.lit(n)) } ++
+        nations.toSeq.collect { case (k, n, 1L) =>
+          QuadStore.OpRow("A", 100 + k, null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}name"), Term.lit(n)) } ++
+        Seq(
+          QuadStore.OpRow("D", 200L, null, Term.iri(s"${NS}nation/999"),
+            Term.iri(s"${NS}regionkey"), Term.lit("9")),
+          QuadStore.OpRow("A", 201L, null, Term.iri(s"${NS}meta"),
+            Term.iri(s"${NS}version"), Term.lit("2")))
+      store.commitOps(1, ops.toDF())
+      view.refresh() // incremental
+      view.result()
+        .select(col("predicate.lex").as("predicate"), col("cnt"))
+        .orderBy(col("predicate"))
+    },
     // Time travel (Delta-style versionAsOf over the epoch log): three
     // batches — nations added, regions added, region-0 nations
     // deleted — each as-of state counted from ONE union plan. The
@@ -276,6 +314,14 @@ object RdfQueries {
     "rdf_patch_semantics" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
          WHERE o_orderstatus <> 'F' GROUP BY 1 ORDER BY o_orderpriority""",
+    "rdf_store_agg_view" ->
+      s"""SELECT predicate, cnt FROM (
+          SELECT '${NS}name' AS predicate,
+                 (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)::BIGINT AS cnt
+          UNION ALL SELECT '${NS}regionkey',
+                 (SELECT COUNT(*) FROM nation)::BIGINT
+          UNION ALL SELECT '${NS}version', 1::BIGINT)
+          ORDER BY predicate""",
     "rdf_store_time_travel" ->
       """SELECT 0::BIGINT AS as_of,
                 (SELECT COUNT(*) FROM nation)::BIGINT AS n

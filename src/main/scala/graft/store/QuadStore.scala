@@ -267,6 +267,29 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
 
   def quads(): DataFrame = merge(readVersion(), None)
 
+  /** [[quadsAt]] restricted to a hash-bucket subset: the base read
+    * partition-prunes to the selected `bucket=k` directories and the
+    * tail filters on the same key, so the scan cost tracks the bucket
+    * subset, not the store. The incremental-view refresh
+    * ([[AggView]]) uses this to make a presence check against an
+    * as-of state cost O(touched buckets): a change feed only ever
+    * needs state rows hashing to its own quads' buckets.
+    */
+  def quadsAtBuckets(asOfBatch: Long, buckets: Seq[Int]): DataFrame = {
+    val v = readVersion()
+    if (v.highWater >= 0 && asOfBatch < v.highWater)
+      throw new IllegalArgumentException(
+        s"time travel to batch $asOfBatch is unavailable: compaction folded " +
+        s"batches <= ${v.highWater} into the base")
+    merge(v, Some(asOfBatch), Some(buckets))
+  }
+
+  /** The bucket a quad row hashes to — the partition key of the
+    * compacted base ([[compact]] writes `bucket=k` directories with
+    * exactly this expression).
+    */
+  def bucketOf: org.apache.spark.sql.Column = bucketCol
+
   /** Time travel: the dataset as it stood AFTER `asOfBatch` committed
     * (Delta-style `versionAsOf`) — replay/audit queries against an
     * earlier Kafka offset without restoring state files.
@@ -321,20 +344,28 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
       .select(col("op") +: QUAD_COLUMNS.map(col): _*)
   }
 
-  private def merge(v: Version, asOf: Option[Long]): DataFrame = {
+  private def merge(v: Version, asOf: Option[Long],
+      only: Option[Seq[Int]] = None): DataFrame = {
     val (bases, tail0) = v.segments.partition(_.isBase)
-    val tail = asOf match {
+    val tail1 = asOf match {
       case Some(b) => tail0.filter(_.batchId.exists(_ <= b))
       case None => tail0
     }
+    // bucket restriction: the base read partition-prunes; the (small)
+    // tail filters on the same hash expression
+    def prune(df: DataFrame): DataFrame = only match {
+      case Some(sel) => df.filter(bucketCol.isin(sel: _*))
+      case None => df
+    }
+    val tail = tail1
     if (bases.isEmpty && tail.isEmpty) emptyQuads()
-    else if (bases.isEmpty) foldOps(readSegments(tail))
+    else if (bases.isEmpty) prune(foldOps(readSegments(tail)))
     else {
-      val base = baseQuads(bases)
+      val base = baseQuads(bases, only)
       if (tail.isEmpty) base
       else {
         // tailState: latest op per quad key touched since compaction
-        val tailState = readSegments(tail)
+        val tailState = prune(readSegments(tail))
           .groupBy(QUAD_COLUMNS.map(col): _*)
           .agg(max_by(col("op"), col("gseq")).as("last_op"))
         val b = base.alias("b")

@@ -83,6 +83,30 @@ object StreamingQueries {
           col("n"), col("v"))
         .orderBy(col("user_id"), col("session_start"))
     },
+    // Stream-stream interval join (click→purchase attribution):
+    // two watermarked streams over the same source, inner-joined on
+    // user with an event-time range — the state-bounded join kind
+    // (both sides buffer only inside the watermark + interval bound,
+    // so state is O(rate × window), not O(stream))
+    "streaming_join" -> { (s, dir) =>
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("interval 10 minutes"))
+      runToTable(joined, "append")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
     // Streaming stateful dedup: every event is duplicated in-stream,
     // then dropDuplicates over (event_id, ts) with a watermark removes
     // the copies; the result must equal the plain per-type counts.
@@ -107,6 +131,13 @@ object StreamingQueries {
     "streaming_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "streaming_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, purchase_id""",
     "streaming_session" ->
       """WITH brk AS (
            SELECT user_id, ts, value,

@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.connect.OffsetStore
 import graft.rdf.{NQuadsParser, Quad, Term}
-import graft.store.QuadStore
+import org.apache.spark.sql.functions.col
+import graft.store.{AggView, QuadStore}
 
 /** QuadStore scale/robustness behavior added in round 2, plus the
   * offset-key and blank-node-label fixes.
@@ -343,6 +344,81 @@ class StoreSpec extends AnyFunSuite {
     assert(OffsetStore.decodeKey("topic-12-123").contains(("topic", 12)))
     assert(OffsetStore.decodeKey("t-x-g").isEmpty)
     assert(OffsetStore.decodeKey("t-0").isEmpty)
+  }
+
+  test("AggView: incremental refresh equals full recompute, presence-exact") {
+    import spark.implicits._
+    val store = newStore()
+    val view = new AggView(spark, store,
+      Files.createTempDirectory("aggview").toString, Seq("predicate"))
+    def p(n: String) = Term.iri(s"http://x/$n")
+    def quad(s: String, pred: String, o: String) =
+      Quad(null, Term.iri(s"http://x/$s"), p(pred), Term.lit(o))
+    store.addQuads(0, Seq(quad("a", "p1", "1"), quad("b", "p1", "1"),
+      quad("c", "p2", "1")))
+    assert(view.refresh() == 0L)
+    def counts(): Map[String, Long] = view.result().collect()
+      .map(r => r.getStruct(0).getString(1) -> r.getLong(1)).toMap
+    assert(counts() == Map("http://x/p1" -> 2L, "http://x/p2" -> 1L))
+    // batch 1: a RE-ADD of a present quad (set no-op), a delete of an
+    // ABSENT quad (set no-op), one real add, one real delete — only
+    // the real ops may move the counts
+    store.commitOps(1, Seq(
+      QuadStore.OpRow("A", 0L, null, Term.iri("http://x/a"), p("p1"), Term.lit("1")),
+      QuadStore.OpRow("D", 1L, null, Term.iri("http://x/zz"), p("p2"), Term.lit("1")),
+      QuadStore.OpRow("A", 2L, null, Term.iri("http://x/d"), p("p3"), Term.lit("1")),
+      QuadStore.OpRow("D", 3L, null, Term.iri("http://x/c"), p("p2"), Term.lit("1"))
+    ).toDF())
+    assert(view.refresh() == 1L)
+    // p2 dropped to zero → its row disappears
+    assert(counts() == Map("http://x/p1" -> 2L, "http://x/p3" -> 1L))
+    // equals a from-scratch full aggregate
+    val full = store.quads().groupBy(col("predicate"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
+      .map(r => r.getStruct(0).getString(1) -> r.getLong(1)).toMap
+    assert(counts() == full)
+    // idempotent no-change refresh
+    assert(view.refresh() == 1L)
+    assert(counts() == full)
+  }
+
+  test("AggView: refresh presence check partition-prunes to touched buckets") {
+    import spark.implicits._
+    val store = newStore() // 16 buckets
+    val quads = (0 until 64).map(i => q(s"s$i", i.toString))
+    store.addQuads(0, quads)
+    store.compact() // bucketed base
+    val view = new AggView(spark, store,
+      Files.createTempDirectory("aggview2").toString, Seq("predicate"))
+    view.refresh()
+    // one changed quad → its bucket only
+    store.commitOps(2, Seq(QuadStore.OpRow("D", 0L, null,
+      Term.iri("http://x/s0"), Term.iri("http://x/p"), Term.lit("0"))).toDF())
+    val cdc = store.changes(0L, 2L)
+    val buckets = cdc.select(store.bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(buckets.size == 1)
+    val pruned = store.quadsAtBuckets(0L, buckets)
+    // the base read PARTITION-PRUNES to the selected bucket directory:
+    // the scan's resolved file listing (post partition filters) holds
+    // only bucket=<sel> files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains(s"bucket=${buckets.head}")), scanned)
+    // and the pruned state agrees with the full state on those buckets
+    val fullCnt = store.quadsAt(0L)
+      .filter(store.bucketOf === buckets.head).count()
+    assert(pruned.count() == fullCnt)
+    // the incremental refresh lands on the right answer
+    view.refresh()
+    assert(view.result().agg(org.apache.spark.sql.functions.sum("cnt"))
+      .collect().head.getLong(0) == 63L)
   }
 
   test("blank node labels: medial dot legal, terms self-delimiting") {
