@@ -122,6 +122,13 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 20 === 0))
         .orderBy(col("doc_id"))
     },
+    // Gopher rule panel at corpus-fitted thresholds (the synthetic
+    // docs average ~54 words): word-count bounds catch short docs,
+    // the stopword test splits on presence of >=2 canonical stopwords
+    "pl_quality_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 20)
+        .orderBy(col("doc_id"))
+    },
     // exact-substring span dedup: every token covered by a duplicated
     // 5-gram (corpus-wide count >= 2) drops; DuckDB re-derives the
     // duplicated windows, the covered positions, and the rebuilt text
@@ -457,6 +464,26 @@ object PipelineQueries {
                             for i in range(1, 17) ])::DOUBLE / 16 AS mean_byte
                FROM documents)
          GROUP BY source ORDER BY source""",
+    "pl_quality_rules" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), t -> t <> '') AS w
+             FROM documents),
+           m AS (SELECT doc_id, len(w) AS n,
+                   list_sum(list_transform(w, t -> length(t)))::DOUBLE
+                     / len(w) AS mean_len,
+                   len(list_filter(w, t -> contains(t, '#')
+                       OR contains(t, '...')))::DOUBLE / len(w) AS sym,
+                   len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                     / len(w) AS alpha,
+                   len(list_intersect(list_distinct(w),
+                     ['the','be','to','of','and','that','have','with'])) AS stops
+                 FROM d)
+         SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_words,
+                mean_len AS mean_word_len, sym AS symbol_frac,
+                alpha AS alpha_frac, stops::BIGINT AS n_stop_hits,
+                ((n BETWEEN 20 AND 100000) AND (mean_len BETWEEN 3 AND 10)
+                  AND sym <= 0.1 AND alpha >= 0.8 AND stops >= 2) AS keep
+         FROM m ORDER BY doc_id""",
     "pl_dedup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            toks AS (SELECT doc_id, w[i] AS tok, i - 1 AS pos, len(w) AS n

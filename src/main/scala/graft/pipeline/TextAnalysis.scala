@@ -94,6 +94,44 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  /** Gopher-style quality rule panel (Rae et al. 2021 §A1.1, the
+    * standard pre-training document filter): per-document word count
+    * bounds, mean word length bounds, symbol-to-word ratio, alphabetic
+    * word fraction, and the ≥2-of-8 canonical stopword test — each
+    * reported as its own column plus the conjunctive `keep` flag, so
+    * a pipeline can tune thresholds from the same scan.
+    *
+    * All pure array/HOF column ops over one tokenization — a single
+    * projection per row, no shuffle, no UDF; at 100 TB this is a
+    * map-only pass fused into whatever scan feeds it.
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = filter(split(col(textCol), " "), t => t =!= "")
+    docs.select(col(idCol).cast("long").as(idCol), w.as("w"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        (aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("w"))).as("mean_word_len"),
+        (size(filter(col("w"), t => t.contains("#") || t.contains("...")))
+          .cast("double") / size(col("w"))).as("symbol_frac"),
+        (size(filter(col("w"), t => t.rlike("[A-Za-z]")))
+          .cast("double") / size(col("w"))).as("alpha_frac"),
+        size(array_intersect(col("w"),
+          lit(stop.toArray))).cast("long").as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_frac") <= maxSymbolFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stop_hits") >= minStopHits)
+  }
+
   /** PII / boilerplate scrub: redact URLs, email addresses, IPv4
     * addresses, and long digit runs (phone numbers, account ids) with
     * typed placeholders — the standard pre-training privacy pass.

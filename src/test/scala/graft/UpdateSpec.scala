@@ -84,7 +84,7 @@ class UpdateSpec extends AnyFunSuite {
     assert(store.count() == 0)
   }
 
-  test("a replayed update batch (same batchId) is idempotent, incl. WHERE-driven ops") {
+  test("a crash-recovery replay of an update event leaves the state unchanged") {
     val store = new QuadStore(spark, Files.createTempDirectory("updreplay").toString)
     val body =
       """INSERT DATA { <http://x/a> <http://x/old> "1" . <http://x/b> <http://x/old> "2" } ;
@@ -101,13 +101,17 @@ class UpdateSpec extends AnyFunSuite {
     assert(first == Set(
       (null, "http://x/a", "http://x/new", "1"),
       (null, "http://x/b", "http://x/new", "2")))
-    // crash-recovery replay of the same epoch: the WHERE re-resolves
-    // against the run-1 state (read lazily from the very segment the
-    // replayed commit retires) and the copy-on-write commit keeps that
-    // read consistent; the epoch replaces itself, state unchanged
+    // crash-recovery replay (a FRESH projector re-reads the event,
+    // offsets were never saved): the restart APPENDS a new epoch past
+    // the committed history — resumeBatchId; reusing id 0 would have
+    // replaced run 1's segment, which silently loses data when the
+    // re-read window differs — and the re-applied script resolves
+    // against the run-1 state, landing on the same final state (the
+    // reference's set-semantics idempotence guarantee,
+    // README.md:148-150)
     run()
     assert(stateNT(store) == first)
-    assert(store.committedSegments().size == 1)
+    assert(store.committedSegments().size == 2)
   }
 
   test("an INSERT DATA after a DELETE WHERE in the same script survives") {
