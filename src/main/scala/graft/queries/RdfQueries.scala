@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.rdf._
@@ -17,6 +17,14 @@ object RdfQueries {
   import Tables._
 
   private val NS = "http://graft.example/"
+
+  /** Memoized scale fixture for scale_view_refresh: (store, view,
+    * rep counter) built once per JVM per sfDir — the bench should
+    * time the incremental REFRESH, not a per-rep store rebuild.
+    */
+  private val viewFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, (QuadStore, graft.store.AggView,
+      java.util.concurrent.atomic.AtomicLong)]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // N-Quads parser round-trip: nation → NT docs (one per partition) →
@@ -183,6 +191,61 @@ object RdfQueries {
         .select(col("predicate.lex").as("predicate"), col("cnt"))
         .orderBy(col("predicate"))
     },
+    // Incremental refresh at scale: a lineitem-derived store (~2
+    // quads/row, built EXECUTOR-SIDE as one ops DataFrame, then
+    // compacted to the bucketed base) and a view over it; every call
+    // commits a net-zero two-op delta (swap one meta quad) and
+    // refreshes — so the measured cost is the O(changes + touched
+    // buckets) refresh path, never a rescan, and the counts the
+    // oracle checks stay constant across reps.
+    "scale_view_refresh" -> { (s, dir) =>
+      import s.implicits._
+      def termI(lex: Column) = struct(lit(Term.IRI).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def termL(lex: Column) = struct(lit(Term.LIT).as("termType"),
+        lex.cast("string").as("lex"),
+        lit(Term.XSD_INTEGER).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val (store, view, ctr) = viewFixtures.computeIfAbsent(dir, { _ =>
+        val st = new QuadStore(s, Files.createTempDirectory("svr").toString)
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("long").as("ln"),
+          col("l_quantity").cast("long").as("qty"))
+        val subj = termI(concat(lit(s"${NS}li/"), col("ok"), lit("_"), col("ln")))
+        val quantity = li.select(lit("A").as("op"),
+          (col("ok") * 100 + col("ln") * 2).as("seq"),
+          lit(null).cast("struct<termType:string,lex:string,datatype:string,lang:string>").as("graph"), subj.as("subject"),
+          termI(lit(s"${NS}quantity")).as("predicate"), termL(col("qty")).as("obj"))
+        val inOrder = li.select(lit("A").as("op"),
+          (col("ok") * 100 + col("ln") * 2 + 1).as("seq"),
+          lit(null).cast("struct<termType:string,lex:string,datatype:string,lang:string>").as("graph"), subj.as("subject"),
+          termI(lit(s"${NS}inOrder")).as("predicate"),
+          termI(concat(lit(s"${NS}order/"), col("ok"))).as("obj"))
+        val meta = Seq(QuadStore.OpRow("A", -1L, null,
+          Term.iri(s"${NS}meta/0"), Term.iri(s"${NS}quantity"),
+          Term.typed("0", Term.XSD_INTEGER))).toDF()
+        st.commitOps(0, quantity.unionByName(inOrder).unionByName(meta))
+        st.compact() // bucketed base → pruned presence reads
+        val v = new graft.store.AggView(s, st,
+          Files.createTempDirectory("svrview").toString, Seq("predicate"))
+        v.refresh() // full init, outside the timed delta path
+        (st, v, new java.util.concurrent.atomic.AtomicLong(0))
+      })
+      val n = ctr.incrementAndGet()
+      val batch = math.max(store.availableBatches().maxOption.getOrElse(-1L),
+        store.highWaterBatchId) + 1
+      store.commitOps(batch, Seq(
+        QuadStore.OpRow("D", 0L, null, Term.iri(s"${NS}meta/${n - 1}"),
+          Term.iri(s"${NS}quantity"), Term.typed("0", Term.XSD_INTEGER)),
+        QuadStore.OpRow("A", 1L, null, Term.iri(s"${NS}meta/$n"),
+          Term.iri(s"${NS}quantity"), Term.typed("0", Term.XSD_INTEGER))).toDF())
+      view.refresh()
+      view.result()
+        .select(col("predicate.lex").as("predicate"), col("cnt"))
+        .orderBy(col("predicate"))
+    },
     // Time travel (Delta-style versionAsOf over the epoch log): three
     // batches — nations added, regions added, region-0 nations
     // deleted — each as-of state counted from ONE union plan. The
@@ -314,6 +377,18 @@ object RdfQueries {
     "rdf_patch_semantics" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
          WHERE o_orderstatus <> 'F' GROUP BY 1 ORDER BY o_orderpriority""",
+    // the generator does NOT keep (orderkey, linenumber) unique, so
+    // the RDF set semantics dedup the derived quads — the oracle
+    // counts the same distinct keys
+    "scale_view_refresh" ->
+      s"""SELECT predicate, cnt FROM (
+          SELECT '${NS}inOrder' AS predicate,
+                 (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber))
+                  FROM lineitem)::BIGINT AS cnt
+          UNION ALL SELECT '${NS}quantity',
+                 (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber, l_quantity)) + 1
+                  FROM lineitem)::BIGINT)
+          ORDER BY predicate""",
     "rdf_store_agg_view" ->
       s"""SELECT predicate, cnt FROM (
           SELECT '${NS}name' AS predicate,

@@ -109,9 +109,19 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     def bodyText: String = new String(body, StandardCharsets.UTF_8)
   }
 
+  /** Request-body ceiling (256 MiB): an embedded endpoint must not
+    * buffer an unbounded POST on the driver — the reference's batch
+    * envelope thinking (50 MiB default batch bytes) applied to the
+    * protocol surface. Bulk loads belong on the event path.
+    */
+  private val MaxBodyBytes: Int = 256 << 20
+
   private def readReq(ex: HttpExchange): Req = {
     val ct = RdfParse.normalize(ex.getRequestHeaders.getFirst("Content-Type"))
-    val bodyBytes = ex.getRequestBody.readAllBytes()
+    val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (bodyBytes.length > MaxBodyBytes)
+      bad(413, s"request body exceeds $MaxBodyBytes bytes; " +
+        "bulk loads belong on the event-source path")
     def parse(s: String): Seq[(String, String)] =
       if (s == null || s.isEmpty) Seq.empty
       else s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
@@ -232,6 +242,18 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     val dflt = req.params.getOrElse("default-graph-uri", Seq.empty).map(Term.iri)
     val named = req.params.getOrElse("named-graph-uri", Seq.empty).map(Term.iri)
     val quads = Sparql.datasetOf(ds.store.quads(), dflt, named)
+
+    // ?explain=1 — the compiled Spark plan instead of results (the
+    // engine's analogue of Fuseki's arq:queryExplain): lets a user
+    // check pushdown/broadcast shape of a query before running it on
+    // the full dataset
+    if (req.param("explain").exists(v => v == "1" || v == "true")) {
+      val df = Sparql.execute(quads, queryText)
+      respond(ex, 200, "text/plain",
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      return
+    }
 
     Sparql.queryForm(queryText) match {
       case "select" =>

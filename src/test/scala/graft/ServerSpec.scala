@@ -104,6 +104,19 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("explain param returns the formatted Spark plan, not results") {
+    withServer { (_, base, store) =>
+      seed(store)
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?s ?o { ?s <http://x/p> ?o }", "UTF-8")
+      val resp = get(s"$base/ds/query?query=$q&explain=1")
+      assert(resp.statusCode == 200)
+      assert(resp.headers.firstValue("Content-Type").get.startsWith("text/plain"))
+      assert(resp.body.contains("Physical Plan"))
+      assert(!resp.body.contains("\"bindings\""))
+    }
+  }
+
   test("POST query (raw and form), ASK, aggregate columns") {
     withServer { (_, base, store) =>
       seed(store)
