@@ -62,6 +62,16 @@ trait BatchSink {
     * successful apply, so abort-and-replay still reuses the same id).
     */
   def resumeBatchId: Long = 0L
+
+  /** Run `f` mutually exclusive with every other writer of this sink's
+    * backing state. Stateful sinks override so the read of
+    * [[resumeBatchId]] and the [[apply]] that consumes it form one
+    * atomic section — without it, two in-process writers (connector
+    * poll thread + HTTP mutation) can allocate the same id and one
+    * copy-on-write-"replays" over the other's fresh epoch. Default:
+    * no shared state, no exclusion needed.
+    */
+  def exclusively[T](f: => T): T = f
 }
 
 /** The adaptive-batching projector — the reference's core engine
@@ -275,10 +285,14 @@ final class Projector(
       // never fall behind the sink's committed history: another writer
       // (an HTTP mutation on the same dataset) may have appended an
       // epoch since the last commit, and reusing its id would replay
-      // over it. A FAILED apply leaves both sides unchanged, so the
+      // over it — the id re-read and the apply form ONE atomic section
+      // under the sink's writer lock so no writer can slip between
+      // them. A FAILED apply leaves both sides unchanged, so the
       // abort-and-replay path still reuses the same id.
-      nextBatchId = math.max(nextBatchId, sink.resumeBatchId)
-      sink.apply(nextBatchId, batch.toSeq)
+      sink.exclusively {
+        nextBatchId = math.max(nextBatchId, sink.resumeBatchId)
+        sink.apply(nextBatchId, batch.toSeq)
+      }
       nextBatchId += 1
       _commitCount += 1
     }

@@ -48,9 +48,13 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
     * fresh id idempotent in the merged view (latest-op-wins per
     * quad), so the Replay read policy stays correct too.
     */
-  override def resumeBatchId: Long = math.max(
-    store.availableBatches().maxOption.getOrElse(-1L),
-    store.highWaterBatchId) + 1
+  override def resumeBatchId: Long = store.nextBatchId
+
+  /** Writer exclusion delegates to the store's lock, shared by every
+    * sink instance over the same store (HTTP mutations build fresh
+    * sinks per request).
+    */
+  override def exclusively[T](f: => T): T = store.writeLock.synchronized(f)
 
   private val QUAD_COLS = QuadStore.QUAD_COLUMNS
 

@@ -113,15 +113,20 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val w = filter(split(col(textCol), " "), t => t =!= "")
+    // an empty/whitespace-only doc has zero words: its fractions are
+    // NULL (matching SQL divide-by-zero), never a runtime error under
+    // ANSI mode — `keep` still evaluates false via the word-count bound
+    def frac(num: Column): Column =
+      when(size(col("w")) > 0, num.cast("double") / size(col("w")))
     docs.select(col(idCol).cast("long").as(idCol), w.as("w"))
       .select(col(idCol),
         size(col("w")).cast("long").as("n_words"),
-        (aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / size(col("w"))).as("mean_word_len"),
-        (size(filter(col("w"), t => t.contains("#") || t.contains("...")))
-          .cast("double") / size(col("w"))).as("symbol_frac"),
-        (size(filter(col("w"), t => t.rlike("[A-Za-z]")))
-          .cast("double") / size(col("w"))).as("alpha_frac"),
+        frac(aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)))
+          .as("mean_word_len"),
+        frac(size(filter(col("w"), t => t.contains("#") || t.contains("..."))))
+          .as("symbol_frac"),
+        frac(size(filter(col("w"), t => t.rlike("[A-Za-z]"))))
+          .as("alpha_frac"),
         size(array_intersect(col("w"),
           lit(stop.toArray))).cast("long").as("n_stop_hits"))
       .withColumn("keep",

@@ -234,8 +234,7 @@ object RdfQueries {
         (st, v, new java.util.concurrent.atomic.AtomicLong(0))
       })
       val n = ctr.incrementAndGet()
-      val batch = math.max(store.availableBatches().maxOption.getOrElse(-1L),
-        store.highWaterBatchId) + 1
+      val batch = store.nextBatchId
       store.commitOps(batch, Seq(
         QuadStore.OpRow("D", 0L, null, Term.iri(s"${NS}meta/${n - 1}"),
           Term.iri(s"${NS}quantity"), Term.typed("0", Term.XSD_INTEGER)),

@@ -106,10 +106,19 @@ object TurtleWriter {
   /** Write sharded Turtle (default graph only — named-graph rows are
     * an error in Turtle; use [[exportTriG]]). Each part file gets
     * the prefix header, so every shard parses standalone.
+    *
+    * A dataset containing named-graph quads FAILS the export rather
+    * than silently dropping them (the check is a short-circuiting
+    * take(1) over a single pruned column, not a full scan).
     */
   def exportTurtle(quads: DataFrame, prefixes: Map[String, String], path: String): Unit = {
     val hdr = prefixHeader(prefixes)
     import quads.sparkSession.implicits._
+    if (!quads.filter(col("graph").isNotNull).isEmpty)
+      throw new IllegalArgumentException(
+        "exportTurtle: dataset contains named-graph quads, which Turtle " +
+        "cannot represent — use exportTriG (or filter to the default graph " +
+        "explicitly before exporting)")
     turtleLines(quads.filter(col("graph").isNull), prefixes)
       .select(col("line")).as[String]
       .mapPartitions(it => hdr.iterator ++ it)

@@ -87,7 +87,11 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
 
   private final class Router extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
-      try route(ex)
+      // per-request closure scope: a property-path query's fixpoint
+      // checkpoints free when the response finishes streaming, so a
+      // long-running server never accumulates pinned blocks across
+      // requests (the bench-harness leak fix, applied per request)
+      try Sparql.withClosureScope(route(ex))
       catch {
         case e: HttpError => respond(ex, e.code, "text/plain", e.getMessage)
         case e: RdfParseException => respond(ex, 400, "text/plain", e.getMessage)
@@ -319,8 +323,11 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
       else new QuadStoreSink(spark, ds.store)
     // a FRESH batch id past the store's committed history — the same
     // resume contract a projector restart uses (never replay over an
-    // existing segment)
-    sink.apply(sink.resumeBatchId, events)
+    // existing segment). The id read + apply run under the store's
+    // writer lock: a connector poll thread feeding the same dataset
+    // commits through the same lock, so neither writer can allocate
+    // the other's id or interleave the pointer update.
+    sink.exclusively { sink.apply(sink.resumeBatchId, events) }
   }
 
   private def materialise(value: Array[Byte], ct: String): MaterialisedEvent = {

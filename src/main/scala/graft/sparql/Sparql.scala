@@ -994,8 +994,34 @@ object Sparql {
       if (n == size) { Checkpoints.unpersist(next); fixed = true }
       else { size = n; Checkpoints.unpersist(cur); cur = next }
     }
-    liveClosures.synchronized { liveClosures += cur }
+    Option(closureScope.get()) match {
+      case Some(scope) => scope += cur
+      case None => liveClosures.synchronized { liveClosures += cur }
+    }
     cur
+  }
+
+  private val closureScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** Run `f` with every closure fixpoint materialized on THIS thread
+    * collected into a scope freed when `f` completes — the per-request
+    * discipline for long-running multi-tenant callers (the HTTP
+    * server wraps each request): one request's path queries cannot pin
+    * blocks past their response, and releasing them never touches a
+    * concurrent request's still-streaming closures, which the global
+    * [[releaseClosures]] would. The compile AND the result consumption
+    * must both happen inside `f` (both do, for a request handler).
+    */
+  def withClosureScope[T](f: => T): T = {
+    val outer = closureScope.get()
+    val mine = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    closureScope.set(mine)
+    try f
+    finally {
+      closureScope.set(outer)
+      mine.foreach(Checkpoints.unpersist(_))
+    }
   }
 
   /** Fixpoint results whose checkpoint blocks are still pinned (the
@@ -1786,7 +1812,14 @@ object Sparql {
         }
         val cols = slots.map { case (n, as) => nodeCol(n).as(as) }
         val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
-        Some(bound.select(cols: _*))
+        // a quoted-triple template whose bound components don't form a
+        // valid RDF-star triple (e.g. a literal subject) instantiates
+        // to NULL — that solution produces no triple (§16.2), rather
+        // than a quad with a null slot
+        val starSlots = slots.collect {
+          case (QTriple(_, _, _), as) => as }
+        val out = bound.select(cols: _*)
+        Some(starSlots.foldLeft(out)((d, c) => d.filter(col(c).isNotNull)))
       }
     }
   }
@@ -2870,7 +2903,13 @@ object Sparql {
       val start = pos
       while (pos < text.length && text.charAt(pos).isDigit) pos += 1
       if (pos == start) fail("expected integer")
-      text.substring(start, pos).toInt
+      val digits = text.substring(start, pos)
+      // a bound past Int range is a clean parse error, not a raw
+      // NumberFormatException escaping the parse-or-RdfParseException
+      // totality contract (LIMIT/OFFSET, path {n,m} bounds)
+      try digits.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"integer out of range: $digits") }
     }
 
     private[sparql] def peek: Char = if (pos < text.length) text.charAt(pos) else '\u0000'

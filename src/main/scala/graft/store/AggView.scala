@@ -87,9 +87,7 @@ final class AggView(spark: SparkSession, store: QuadStore, path: String,
     * compaction passed the view's as-of point).
     */
   def refresh(): Long = synchronized {
-    val to = math.max(
-      store.availableBatches().maxOption.getOrElse(-1L),
-      store.highWaterBatchId)
+    val to = store.currentBatchId
     val current = readPointer()
     val from = current.map(_._1).getOrElse(-1L)
     if (to <= from) return from

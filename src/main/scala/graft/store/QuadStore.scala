@@ -94,6 +94,34 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
   /** Committed segment names in commit order (tests/introspection). */
   def committedSegments(): Seq[String] = readVersion().segments.map(_.name)
 
+  /** Serializes every pointer read-modify-write ([[commitOps]],
+    * [[compact]], [[gc]], [[updatePrefixes]]) and, via
+    * [[graft.connect.BatchSink.exclusively]], the surrounding
+    * allocate-id-then-commit sections of concurrent IN-PROCESS writers
+    * (a connector poll thread and HTTP mutation threads share one
+    * store in [[graft.server.GraftServer]]). Without it, interleaved
+    * readVersion/writeVersion drops the other writer's segment from
+    * the pointer, and a stale batch-id read makes one writer
+    * copy-on-write-"replay" over the other's fresh epoch. CROSS-process
+    * writers remain out of scope (one driver owns a store directory —
+    * Spark's own deployment model).
+    */
+  private[graft] val writeLock = new Object
+
+  /** Latest committed batch id: the un-compacted tail's max or the
+    * compaction high-water, -1 for an empty store — the "as of now"
+    * point for [[AggView]]-style consumers.
+    */
+  def currentBatchId: Long =
+    math.max(availableBatches().maxOption.getOrElse(-1L), highWaterBatchId)
+
+  /** One past committed history: the id a FRESH writer (projector
+    * restart, HTTP mutation) must append under, so it never replays
+    * over an earlier run's segment. Read it under [[writeLock]] (via
+    * `BatchSink.exclusively`) when other writers may be live.
+    */
+  def nextBatchId: Long = currentBatchId + 1
+
   /** Replayed-epoch cutoff: batchIds at or below this were folded into
     * the base by [[compact]] and must not be re-applied.
     */
@@ -123,7 +151,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     * Spark epoch replay is therefore safe in both regimes (replaces the
     * reference's abort/replay machinery, FusekiProjector.java:362-379).
     */
-  def commitOps(batchId: Long, ops: DataFrame): Unit = {
+  def commitOps(batchId: Long, ops: DataFrame): Unit = writeLock.synchronized {
     val v = readVersion()
     if (batchId <= v.highWater) return // already compacted into base
     // COPY-ON-WRITE replay: a replayed epoch writes a FRESH directory
@@ -386,7 +414,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     * touched (the new segment's name records them), so compaction cost
     * tracks the delta, not the base.
     */
-  def compact(): Unit = {
+  def compact(): Unit = writeLock.synchronized {
     val v = readVersion()
     val (bases, tail) = v.segments.partition(_.isBase)
     if (tail.isEmpty) return
@@ -446,7 +474,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     * no plan is in flight. `nowMillis` is injectable for tests.
     */
   def gc(graceMillis: Long = 0L,
-      nowMillis: Long = System.currentTimeMillis()): Int = {
+      nowMillis: Long = System.currentTimeMillis()): Int = writeLock.synchronized {
     val v = readVersion()
     val live = v.segments.map(_.name).toSet
     val owner = bucketOwner(v.segments.filter(_.isBase))
@@ -529,7 +557,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
   }
 
   /** Apply PA (add) / PD (delete) prefix ops in order. */
-  def updatePrefixes(ops: Seq[(String, String, String)]): Unit = {
+  def updatePrefixes(ops: Seq[(String, String, String)]): Unit = writeLock.synchronized {
     if (ops.isEmpty) return
     var m = prefixes()
     ops.foreach {

@@ -382,4 +382,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(3) == "ref <NUM> but keep 12345")
     assert(rows(4) == "clean text stays clean")
   }
+
+  test("gopherRules: empty/whitespace-only docs get NULL fractions, keep=false") {
+    import spark.implicits._
+    // zero-word docs must not throw DIVIDE_BY_ZERO under ANSI mode;
+    // their fractions are NULL (SQL divide-by-zero) and the word-count
+    // bound alone forces keep=false
+    val docs = Seq((1L, ""), (2L, "   "),
+      (3L, Seq.fill(60)("the word be to of and that have with ok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.gopherRules(docs)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    Seq(0, 1).foreach { i =>
+      assert(out(i).getLong(1) == 0L)          // n_words
+      assert(out(i).isNullAt(2), "mean_word_len should be NULL")
+      assert(out(i).isNullAt(3), "symbol_frac should be NULL")
+      assert(out(i).isNullAt(4), "alpha_frac should be NULL")
+      assert(!out(i).getBoolean(6), "empty doc must not pass the filter")
+    }
+    assert(out(2).getBoolean(6), "the normal doc still passes")
+  }
 }

@@ -468,6 +468,66 @@ class SparqlSpec extends AnyFunSuite {
       "releaseClosures did not return the block manager to its pre-query size")
   }
 
+  test("withClosureScope frees a request's closures without touching others") {
+    // the HTTP server's per-request discipline: closures made inside
+    // the scope unpersist when it exits; a closure pinned OUTSIDE the
+    // scope (another in-flight request, here the global registry)
+    // survives
+    Sparql.releaseClosures()
+    val chain = (0 until 9).map(i =>
+      s"<http://x/c$i> <http://x/next> <http://x/c${i + 1}> .").mkString("\n")
+    val store = ingest((chain + "\n") -> "application/n-quads")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // "other request": global-registry closure, stays pinned
+    val outside = Sparql.execute(store.quads(),
+      "SELECT ?s ?o { ?s <http://x/next>+ ?o }")
+    assert(outside.count() == 45)
+    val pinnedOutside = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedOutside.nonEmpty)
+    Sparql.withClosureScope {
+      val rows = Sparql.execute(store.quads(),
+        "SELECT ?s ?o { ?s <http://x/next>+ ?o }").collect()
+      assert(rows.length == 45)
+    }
+    // scope exit freed only the scoped closure (async — poll)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while ((spark.sparkContext.getPersistentRDDs.keySet -- before)
+        .size > pinnedOutside.size && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before) == pinnedOutside,
+      "scope exit should free exactly the scoped closure")
+    // the outside plan still reads from its pinned checkpoint
+    assert(outside.count() == 45)
+    Sparql.releaseClosures()
+  }
+
+  test("out-of-range integer bounds are clean parse errors") {
+    val store = ingest(DATA_TTL -> "text/turtle")
+    // LIMIT and path-repetition bounds past Int range must raise
+    // RdfParseException, not a bare NumberFormatException (the HTTP
+    // endpoint maps parse errors to 400, anything else to 500)
+    intercept[graft.rdf.RdfParseException](Sparql.execute(store.quads(),
+      "SELECT ?s { ?s ?p ?o } LIMIT 99999999999999999999"))
+    intercept[graft.rdf.RdfParseException](Sparql.execute(store.quads(),
+      "SELECT ?o { ?s <http://x/p>{99999999999} ?o }"))
+  }
+
+  test("CONSTRUCT-star skips solutions whose quoted template is invalid") {
+    // ?o binds a literal: << ?o ... >> cannot form an RDF-star triple
+    // (literal subject) — that solution produces NO triple (§16.2),
+    // never a quad with a null subject slot
+    val store = ingest(
+      ("""<http://x/s1> <http://x/p> "lit" .
+         |<http://x/s2> <http://x/p> <http://x/o2> .
+         |""".stripMargin) -> "application/n-quads")
+    val rows = Sparql.execute(store.quads(),
+      """CONSTRUCT { << ?o <http://x/q> <http://x/z> >> <http://x/m> <http://x/n> }
+        |WHERE { ?s <http://x/p> ?o }""".stripMargin).collect()
+    assert(rows.length == 1, "only the IRI-object solution instantiates")
+    assert(rows.forall(r => r.getStruct(1) != null && !r.isNullAt(1)))
+    assert(rows.head.getStruct(1).getString(0) == "triple")
+  }
+
   test("VALUES restricts solutions to the inline data") {
     val store = ingest(
       ("""<http://x/a> <http://x/p> "1" .

@@ -430,4 +430,47 @@ class StoreSpec extends AnyFunSuite {
     assert(qs2.head.subject == Term.blank("a"))
     assert(qs2.head.predicate == Term.iri("http://x/p"))
   }
+
+  test("concurrent writers serialize: no segment lost, no id collision") {
+    // a connector poll thread and HTTP mutation threads share one
+    // store in GraftServer; each commit = read resumeBatchId + apply
+    // under the sink's writer lock. Unsynchronized, interleaved
+    // readVersion/writeVersion drops segments from the pointer and a
+    // stale id read makes one writer COW-"replay" over the other's
+    // fresh epoch. 4 threads × 4 commits of 1 quad each must land all
+    // 16 quads in 16 distinct epoch segments.
+    val store = newStore()
+    val sink = new graft.connect.QuadStoreSink(spark, store)
+    import spark.implicits._
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        try (0 until 4).foreach { i =>
+          sink.exclusively {
+            store.commitOps(store.nextBatchId, Seq(QuadStore.OpRow(
+              "A", 0L, null, Term.iri(s"http://x/w$t-$i"),
+              Term.iri("http://x/p"), Term.lit("1"))).toDF())
+          }
+        } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer thread failed: ${errs.peek()}")
+    assert(store.count() == 16L)
+    assert(store.availableBatches() == (0L until 16L))
+  }
+
+  test("exportTurtle fails loudly on named-graph quads (no silent drop)") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"),
+      Quad(Term.iri("http://x/g"), Term.iri("http://x/s"),
+        Term.iri("http://x/p"), Term.lit("2"))))
+    val out = Files.createTempDirectory("ttl").toString
+    val e = intercept[IllegalArgumentException](
+      graft.rdf.TurtleWriter.exportTurtle(store.quads(), Map.empty, out))
+    assert(e.getMessage.contains("exportTriG"))
+    // default-graph-only data exports fine through the same call
+    graft.rdf.TurtleWriter.exportTurtle(
+      store.quads().filter(col("graph").isNull), Map.empty, out)
+    assert(spark.read.text(out).count() >= 1)
+  }
 }
