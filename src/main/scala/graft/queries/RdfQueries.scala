@@ -316,6 +316,42 @@ object RdfQueries {
           Map("grf" -> NS, "reg" -> s"${NS}region/"))
         .orderBy(col("line"))
     },
+    // RDF/XML egress: striped rdf:Description lines with inline
+    // namespace declarations, XML text escaping (& < >) exercised by a
+    // planted literal — lines exact-compared vs DuckDB-built strings
+    "rdf_export_rdfxml" -> { (s, dir) =>
+      import s.implicits._
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect()
+      val quads = regions.toSeq.flatMap { case (k, name) =>
+        Seq(
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"),
+            Term.lit(name)),
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}esc"),
+            Term.lit(s"$name&x<y>\"z")))
+      }
+      graft.rdf.XmlWriter.rdfXmlLines(s.createDataset(quads).toDF())
+        .orderBy(col("line"))
+    },
+    // JSON-LD egress: expanded node-object lines (named graph wraps in
+    // @graph); string escaping is Spark's own JSON writer, compared
+    // byte-exact against DuckDB building the same escape sequences
+    "rdf_export_jsonld" -> { (s, dir) =>
+      import s.implicits._
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .as[(Long, String)].collect()
+      val quads = regions.toSeq.flatMap { case (k, name) =>
+        Seq(
+          Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}name"),
+            Term.lit(name)),
+          Quad(Term.iri(s"${NS}g/meta"), Term.iri(s"${NS}region/$k"),
+            Term.iri(s"${NS}esc"), Term.lit("\"" + name + "\n\t\\")))
+      }
+      graft.rdf.JsonLdWriter.jsonLdLines(s.createDataset(quads).toDF())
+        .orderBy(col("line"))
+    },
     // CDC feed over the same three batches: net ops in (0, 2] are one
     // Add per region and one Delete per region-0 nation
     "rdf_store_change_feed" -> { (s, dir) =>
@@ -429,6 +465,32 @@ object RdfQueries {
     // (po list sort_array'd: "a …" < "grf:…"); named-graph block:
     // object list sorted — '"NAME\n"' begins with an uppercase letter
     // (< 0x5C) so it precedes '"\"NAME"'
+    "rdf_export_rdfxml" ->
+      """SELECT line FROM (
+           SELECT '<rdf:Description rdf:about="http://graft.example/region/'
+                  || r_regionkey || '"><n:name xmlns:n="http://graft.example/">'
+                  || r_name || '</n:name></rdf:Description>' AS line
+           FROM region
+           UNION ALL
+           SELECT '<rdf:Description rdf:about="http://graft.example/region/'
+                  || r_regionkey || '"><n:esc xmlns:n="http://graft.example/">'
+                  || r_name || '&amp;x&lt;y&gt;"z</n:esc></rdf:Description>'
+           FROM region)
+         ORDER BY line""",
+    "rdf_export_jsonld" ->
+      """SELECT line FROM (
+           SELECT '{"@id":"http://graft.example/region/' || r_regionkey ||
+                  '","http://graft.example/name":[{"@value":"' || r_name ||
+                  '"}]}' AS line
+           FROM region
+           UNION ALL
+           SELECT '{"@id":"http://graft.example/g/meta","@graph":[{"@id":' ||
+                  '"http://graft.example/region/' || r_regionkey ||
+                  '","http://graft.example/esc":[{"@value":"' || chr(92) ||
+                  '"' || r_name || chr(92) || 'n' || chr(92) || 't' ||
+                  chr(92) || chr(92) || '"}]}]}'
+           FROM region)
+         ORDER BY line""",
     "rdf_export_turtle" ->
       """SELECT line FROM (
            SELECT 'reg:' || r_regionkey || ' a grf:Region ; grf:name ' ||

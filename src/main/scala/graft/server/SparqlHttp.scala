@@ -228,7 +228,9 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     "application/n-quads" -> "nquads",
     "application/n-triples" -> "ntriples",
     "text/turtle" -> "turtle",
-    "application/trig" -> "trig")
+    "application/trig" -> "trig",
+    "application/rdf+xml" -> "rdfxml",
+    "application/ld+json" -> "jsonld")
 
   // canonical response media type per format key = FIRST offer listed
   private val RESULT_CT = RESULT_OFFERS.map(_.swap).reverse.toMap
@@ -302,6 +304,23 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
         respondLines(ex, GRAPH_CT("trig"),
           TurtleWriter.prefixHeader(pfx).iterator ++
             lineIt(TurtleWriter.turtleLines(quads, pfx)), "\n")
+      case "rdfxml" =>
+        // RDF/XML is triples-only: graphs merge (the ntriples view);
+        // un-representable content (star terms, local-name-less
+        // predicates) is a 500 contract error, never a silent drop
+        val triples = quads
+          .withColumn("graph", org.apache.spark.sql.functions.lit(null)
+            .cast(quads.schema("graph").dataType))
+          .dropDuplicates()
+        graft.rdf.XmlWriter.requireRepresentable(triples)
+        respondLines(ex, GRAPH_CT("rdfxml"),
+          graft.rdf.XmlWriter.HEADER.iterator ++
+            lineIt(graft.rdf.XmlWriter.rdfXmlLines(triples)) ++
+            graft.rdf.XmlWriter.FOOTER.iterator, "\n")
+      case "jsonld" =>
+        graft.rdf.JsonLdWriter.requireRepresentable(quads)
+        respondLines(ex, GRAPH_CT("jsonld"),
+          graft.rdf.JsonLdWriter.documentLines(quads), "\n")
       case _ =>
         respondLines(ex, GRAPH_CT("nquads"), lineIt(NtWriter.ntLines(quads)), "\n")
     }

@@ -142,6 +142,23 @@ class FuzzSpec extends AnyFunSuite {
     }, n = 40)
   }
 
+  test("JsonLdWriter round-trip: expanded node objects parse back to the same quads") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // star-free: quoted-triple terms have no JSON-LD 1.1 mapping and
+    // the writer rejects them by contract (requireRepresentable)
+    val starFree = genValidQuad.retryUntil(
+      q => !q.subject.isTriple && !q.obj.isTriple, 100)
+    check(Prop.forAll(Gen.listOfN(4, starFree)) { qs =>
+      val df = qs.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject,
+          q.predicate, q.obj)).toDF()
+        .select(col("graph"), col("subject"), col("predicate"), col("obj"))
+      val doc = "[" + rdf.JsonLdWriter.jsonLdLines(df)
+        .collect().map(_.getString(0)).mkString(",") + "]"
+      rdf.JsonLdParser.parse(doc).toSet == qs.toSet
+    }, n = 30)
+  }
+
   test("TurtleWriter round-trip: Turtle/TriG blocks parse back to the same quads") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -722,3 +722,79 @@ class QuadStoreSpec extends AnyFunSuite {
     assert(store.count() == before)
   }
 }
+
+/** Round-trip properties for the RDF/XML and JSON-LD egress writers:
+  * serialize a store's quads through the distributed line projection,
+  * re-parse the document with the engine's own parser, and require the
+  * identical quad set — covering IRIs, blank nodes, plain / typed /
+  * lang-tagged literals, and escaping-hostile content.
+  */
+class RdfWritersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val mixedTriples = Seq(
+    Quad(null, Term.iri("http://x/s1"), Term.iri("http://x/ns#p"),
+      Term.lit("plain \"quoted\" & <tagged> text\nline2\tend\\")),
+    Quad(null, Term.iri("http://x/s1"), Term.iri("http://x/ns#count"),
+      Term.typed("01", Term.XSD_INTEGER)),
+    Quad(null, Term.iri("http://x/s2"), Term.iri("http://x/label"),
+      Term.langLit("grüß", "de")),
+    Quad(null, Term.blank("b0"), Term.iri("http://x/link"),
+      Term.iri("http://x/o?q=1&r=2")),
+    Quad(null, Term.iri("http://x/s2"), Term.iri("http://x/ref"),
+      Term.blank("b0")))
+
+  private def df(quads: Seq[Quad]) = {
+    import spark.implicits._
+    quads.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject, q.predicate, q.obj))
+      .toDF().select(org.apache.spark.sql.functions.col("graph"),
+        org.apache.spark.sql.functions.col("subject"),
+        org.apache.spark.sql.functions.col("predicate"),
+        org.apache.spark.sql.functions.col("obj"))
+  }
+
+  private def lines(d: org.apache.spark.sql.DataFrame): Seq[String] =
+    d.collect().map(_.getString(0)).toSeq
+
+  test("rdf/xml round-trip: serialize → RdfXmlParser → identical triples") {
+    val doc = (XmlWriter.HEADER ++
+      lines(XmlWriter.rdfXmlLines(df(mixedTriples))) ++
+      XmlWriter.FOOTER).mkString("\n")
+    val back = RdfXmlParser.parse(doc)
+    assert(back.toSet == mixedTriples.toSet)
+  }
+
+  test("rdf/xml export fails loudly on named graphs, star terms, bad predicates") {
+    val named = Seq(Quad(Term.iri("http://x/g"), Term.iri("http://x/s"),
+      Term.iri("http://x/p"), Term.lit("v")))
+    intercept[IllegalArgumentException](XmlWriter.requireRepresentable(df(named)))
+    val star = Seq(Quad(null,
+      Term(Term.TRIPLE, "<<<http://x/a> <http://x/p> \"v\">>", null, null),
+      Term.iri("http://x/q"), Term.lit("v")))
+    intercept[IllegalArgumentException](XmlWriter.requireRepresentable(df(star)))
+    // predicate IRI ending in '/' has no XML local name
+    val slash = Seq(Quad(null, Term.iri("http://x/s"),
+      Term.iri("http://x/p/"), Term.lit("v")))
+    intercept[IllegalArgumentException](XmlWriter.requireRepresentable(df(slash)))
+    XmlWriter.requireRepresentable(df(mixedTriples)) // sanity: clean data passes
+  }
+
+  test("json-ld round-trip: serialize → JsonLdParser → identical quads incl. named graphs") {
+    val quads = mixedTriples ++ Seq(
+      Quad(Term.iri("http://x/g1"), Term.iri("http://x/s3"),
+        Term.iri("http://x/p"), Term.lit("in graph \"one\"")),
+      Quad(Term.blank("gb"), Term.iri("http://x/s4"),
+        Term.iri("http://x/p"), Term.typed("2.5", "http://www.w3.org/2001/XMLSchema#decimal")))
+    val doc = ("[" + lines(JsonLdWriter.jsonLdLines(df(quads))).mkString(",") + "]")
+    val back = JsonLdParser.parse(doc)
+    assert(back.toSet == quads.toSet)
+  }
+
+  test("json-ld documentLines frames a valid one-array document") {
+    val doc = JsonLdWriter.documentLines(df(mixedTriples.take(2))).mkString("\n")
+    val back = JsonLdParser.parse(doc)
+    assert(back.toSet == mixedTriples.take(2).toSet)
+    // and an empty dataset is an empty array, still valid
+    assert(JsonLdWriter.documentLines(df(Seq.empty).limit(0)).mkString("") == "[]")
+  }
+}

@@ -303,4 +303,32 @@ class ServerSpec extends AnyFunSuite {
     assert(parsed.head.subject == Term.iri("http://x/a"))
     assert(parsed.head.obj == Term.typed("3.14", Term.XSD_DECIMAL))
   }
+
+  test("GSP negotiates rdf/xml and json-ld; both re-parse to the stored data") {
+    withServer { (_, base, store) =>
+      seed(store)
+      // rdf/xml: triples-only view — graphs merge, quad set re-parses
+      val xml = get(s"$base/ds/data", accept = "application/rdf+xml")
+      assert(xml.statusCode == 200)
+      assert(xml.headers.firstValue("Content-Type").orElse("")
+        .startsWith("application/rdf+xml"))
+      val xmlBack = graft.rdf.RdfXmlParser.parse(xml.body)
+      assert(xmlBack.toSet == Set(
+        Quad(null, Term.iri("http://x/a"), Term.iri("http://x/p"), Term.lit("hello")),
+        Quad(null, Term.iri("http://x/b"), Term.iri("http://x/p"),
+          Term.typed("42", Term.XSD_INTEGER)),
+        Quad(null, Term.iri("http://x/c"), Term.iri("http://x/p"),
+          Term.langLit("bonjour", "fr"))))
+      // json-ld: full dataset incl. the named graph
+      val jld = get(s"$base/ds/data", accept = "application/ld+json")
+      assert(jld.statusCode == 200)
+      val jldBack = graft.rdf.JsonLdParser.parse(jld.body)
+      assert(jldBack.toSet == Set(
+        Quad(null, Term.iri("http://x/a"), Term.iri("http://x/p"), Term.lit("hello")),
+        Quad(null, Term.iri("http://x/b"), Term.iri("http://x/p"),
+          Term.typed("42", Term.XSD_INTEGER)),
+        Quad(Term.iri("http://x/g"), Term.iri("http://x/c"), Term.iri("http://x/p"),
+          Term.langLit("bonjour", "fr"))))
+    }
+  }
 }
