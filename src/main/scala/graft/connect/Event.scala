@@ -33,9 +33,13 @@ final case class Event(
   *
   * == Kafka adapter contract ==
   *
-  * The container ships no kafka-clients jar, so the Kafka adapter is
-  * intentionally absent; this is the exact consumer mapping it must
-  * implement behind this trait (reference wiring FKS.java:117-127):
+  * Implemented by [[KafkaEventSource]], which binds to the public
+  * kafka-clients consumer API REFLECTIVELY (the build container ships
+  * no kafka-clients jar; the adapter activates at runtime when one is
+  * present — `KafkaEventSource.isAvailable`). This is the exact
+  * consumer mapping behind this trait (reference wiring
+  * FKS.java:117-127), exercised end-to-end by KafkaSpec against a
+  * stub of the same public API:
   *
   *  - '''construction''': one `KafkaConsumer[Bytes, Bytes]` with
   *    `group.id` = the connector's consumerGroupId and the connector's

@@ -30,7 +30,8 @@ final class GraftServer(
     spark: SparkSession,
     sourceFactory: EventSourceFactory,
     storeRoot: Path,
-    httpPort: Int = 0) {
+    httpPort: Int = 0,
+    topicExistsFor: (ConnectorConfig, String) => Boolean = (_, _) => true) {
 
   private val stores = scala.collection.mutable.Map[String, QuadStore]()
   private val http = new SparqlHttp(spark, httpPort)
@@ -62,7 +63,11 @@ final class GraftServer(
     // dataset must still be queryable (Fuseki serves empty datasets)
     configs.foreach(c => store(c.datasetName))
     engine = new Engine(sourceFactory,
-      (c: ConnectorConfig) => new QuadStoreSink(spark, store(c.datasetName)))
+      (c: ConnectorConfig) => new QuadStoreSink(spark, store(c.datasetName)),
+      // the startup topic gate resolves each topic against ITS
+      // connector's cluster (fk:startupTopicCheck, FKS.java:140-194)
+      topicExists = t => configs.find(_.topics.contains(t))
+        .forall(c => topicExistsFor(c, t)))
     engine.start(configs)
     http.start()
     http.boundPort
@@ -75,4 +80,22 @@ final class GraftServer(
   }
 
   def boundPort: Int = http.boundPort
+}
+
+object GraftServer {
+  /** Production boot: the reflective Kafka adapter
+    * ([[graft.connect.KafkaEventSource]]) as the event source and the
+    * broker's topic listing as the startup gate. Requires
+    * kafka-clients on the runtime classpath
+    * ([[graft.connect.KafkaEventSource.isAvailable]]).
+    */
+  def kafka(spark: SparkSession, storeRoot: Path, httpPort: Int = 0): GraftServer = {
+    require(graft.connect.KafkaEventSource.isAvailable,
+      "kafka-clients is not on the classpath; pass an explicit " +
+      "EventSourceFactory (file/memory) or add the kafka-clients jar")
+    new GraftServer(spark, new graft.connect.KafkaEventSourceFactory(),
+      storeRoot, httpPort,
+      topicExistsFor = (c, t) =>
+        graft.connect.KafkaEventSource.topicExists(c.bootstrapServers, t, c.kafkaProps))
+  }
 }
