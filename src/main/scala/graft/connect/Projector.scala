@@ -215,7 +215,22 @@ final class Projector(
     * carried state advances (the caller buffers the event).
     */
   private def validateApply(m: MaterialisedEvent): Unit =
-    if (m.decoded.kind == "patch") {
+    if (m.decoded.kind == "update") {
+      // LOAD documents probe at ARRIVAL (read + parse, result
+      // discarded): the deferred-apply model requires that the commit
+      // apply cannot fail, so a missing/unparseable document must
+      // surface here, where the event routes to the DLQ and the good
+      // prefix commits — the same station patch-marker validation
+      // holds. Cheap pre-filter: scripts without LOAD skip the
+      // re-parse. SILENT loads skip by definition (failure → no-op).
+      val text = new String(m.event.value, java.nio.charset.StandardCharsets.UTF_8)
+      if (text.toUpperCase.contains("LOAD"))
+        graft.sparql.SparqlUpdate.parse(text).foreach {
+          case ld: graft.sparql.SparqlUpdate.LoadOp if !ld.silent =>
+            graft.sparql.SparqlUpdate.resolveLoad(ld, "arrival-probe")
+          case _ => ()
+        }
+    } else if (m.decoded.kind == "patch") {
       var open = carriedTxnOpen
       var openedHere = false
       m.decoded.ops.foreach { o =>

@@ -176,6 +176,16 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
               SparqlUpdate.resolveGraphManage(currentState(), gm, base | oi)
                 .foreach(foldResolved)
               oi += 2
+            case ld: SparqlUpdate.LoadOp =>
+              // blank nodes scope to this load site, like per-event
+              // decode; loaded quads join the driver-local adds (LOAD
+              // shares the event path's batch envelope — bulk corpora
+              // belong on the event source, not update scripts)
+              val loadScope = s"$scope:load$oi"
+              SparqlUpdate.resolveLoad(ld, loadScope).foreach { q =>
+                local += OpRow("A", base | oi, q.graph, q.subject, q.predicate, q.obj)
+                oi += 1
+              }
           }
         case other =>
           throw new ProjectorException(s"unapplied payload kind '$other'")

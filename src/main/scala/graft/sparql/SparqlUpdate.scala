@@ -21,8 +21,13 @@ import graft.rdf.{Quad, RdfParseException, Term}
   *    NAMED and suppress WITH for the WHERE, spec §3.1.3)
   *  - `CLEAR [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)`; `DROP` is
   *    an alias (the store has no empty-graph existence, spec note)
-  *  - `LOAD` is rejected with a clear parse error: document ingest
-  *    goes through the event-source path, not URL dereference
+  *  - `LOAD [SILENT] <file:…> [INTO GRAPH <g>]` (spec §3.1.4): local
+  *    documents load by file extension through the engine's own
+  *    parsers; `INTO GRAPH` re-graphs every loaded quad; SILENT turns
+  *    a missing/unparseable document into a no-op. Remote schemes
+  *    (http/https/…) are rejected with a clear error — this offline
+  *    engine dereferences no URLs; remote ingest goes through the
+  *    event-source path
   *
   * Execution model is Spark-first and fully distributed: data ops are
   * driver-local rows (they came off one event), while WHERE-driven
@@ -62,6 +67,9 @@ object SparqlUpdate {
     */
   final case class GraphManageOp(kind: String, src: Option[Term],
       dst: Option[Term]) extends UpdateOp
+  /** LOAD of a `file:` document (see class doc). */
+  final case class LoadOp(iri: String, into: Option[Term],
+      silent: Boolean) extends UpdateOp
 
   /** Parse an update request (one or more `;`-separated operations). */
   def parse(text: String): Seq[UpdateOp] = {
@@ -160,11 +168,26 @@ object SparqlUpdate {
         ModifyOp(g(del), g(ins), scopeWhere(p.parseGroup(), u, un), u, un)
       }
     } else if (p.tryKeyword("LOAD")) {
-      // LOAD dereferences a document URL into a graph — this engine
-      // ingests documents through the event path (Kafka/file), so the
-      // operation is rejected with a clear error instead of a misparse
-      throw new RdfParseException(
-        "LOAD is not supported: ingest documents via the event source path")
+      val silent = p.tryKeyword("SILENT")
+      val doc = p.parseNode() match {
+        case Const(t) if t.isIri => t.lex
+        case _ => throw new RdfParseException("LOAD expects a document IRI")
+      }
+      // only local documents: this offline engine dereferences no
+      // URLs — remote ingest goes through the event-source path
+      if (!doc.startsWith("file:"))
+        throw new RdfParseException(
+          s"LOAD supports only file: IRIs (got <$doc>): remote documents " +
+          "are ingested via the event source path")
+      val into =
+        if (p.tryKeyword("INTO")) {
+          p.keyword("GRAPH")
+          p.parseNode() match {
+            case Const(t) if t.isIri => Some(t)
+            case _ => throw new RdfParseException("LOAD INTO GRAPH expects an IRI")
+          }
+        } else None
+      LoadOp(doc, into, silent)
     } else if (p.tryKeyword("CLEAR") || p.tryKeyword("DROP")) {
       p.tryKeyword("SILENT")
       if (p.tryKeyword("DEFAULT")) ClearOp("DEFAULT", None)
@@ -250,6 +273,42 @@ object SparqlUpdate {
     * instantiations are left to the store's set semantics rather than
     * paying a dedup shuffle here.
     */
+  /** Resolve a LOAD to the quads to add: read the `file:` document,
+    * parse it by extension through the engine's own format dispatch
+    * (mirroring the reference producer's ctForFile, FKLib.java:55-69),
+    * re-graph under `INTO GRAPH` when given. Blank nodes scope to
+    * `scope` (fresh per load, like per-event decode). SILENT maps a
+    * missing or unparseable document to zero quads (spec §3.1.4's
+    * failure-ignoring variant); otherwise the error propagates and the
+    * batch routes to the DLQ like any apply failure.
+    */
+  def resolveLoad(l: LoadOp, scope: String): Seq[Quad] =
+    try {
+      val path = java.nio.file.Paths.get(java.net.URI.create(l.iri))
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      val name = path.getFileName.toString
+      val ct = name.substring(name.lastIndexOf('.') + 1).toLowerCase match {
+        case "ttl" => "text/turtle"
+        case "nt" => "application/n-triples"
+        case "nq" => "application/n-quads"
+        case "trig" => "application/trig"
+        case "rdf" | "xml" => "application/rdf+xml"
+        case "jsonld" | "json" => "application/ld+json"
+        case _ => "application/n-quads"
+      }
+      val d = graft.rdf.RdfParse.decode(bytes, ct, scope)
+      if (d._corrupt != null) throw new RdfParseException(d._corrupt)
+      l.into match {
+        case Some(g) => d.quads.map(_.copy(graph = g))
+        case None => d.quads
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (l.silent) Seq.empty
+        else throw new RdfParseException(
+          s"LOAD <${l.iri}> failed: ${e.getMessage}")
+    }
+
   def resolveModify(state: DataFrame, m: ModifyOp, seq: Long): Option[DataFrame] = {
     // USING/USING NAMED scope only what the WHERE sees; the templates
     // below instantiate into the real dataset (spec §3.1.3)

@@ -213,11 +213,48 @@ class UpdateSpec extends AnyFunSuite {
     assert(inserted == Set(("http://x/tgt", "http://x/b", "http://x/new", "2")))
   }
 
-  test("LOAD is rejected with a clear parse error") {
+  test("LOAD: remote schemes rejected with a clear parse error") {
     val e = intercept[RdfParseException] {
       SparqlUpdate.parse("LOAD <http://example/doc.nt> INTO GRAPH <http://x/g>")
     }
-    assert(e.getMessage.contains("LOAD is not supported"))
+    assert(e.getMessage.contains("file: IRIs"))
+  }
+
+  test("LOAD file: loads a local document; INTO GRAPH re-graphs it") {
+    val doc = Files.createTempFile("load", ".nt")
+    Files.write(doc,
+      ("<http://x/l1> <http://x/p> \"a\" .\n" +
+       "<http://x/l2> <http://x/p> \"b\" .\n").getBytes("UTF-8"))
+    val store = ingest(
+      s"LOAD <${doc.toUri}>" -> CT_RU,
+      s"LOAD <${doc.toUri}> INTO GRAPH <http://x/g>" -> CT_RU)
+    assert(stateNT(store) == Set(
+      (null, "http://x/l1", "http://x/p", "a"),
+      (null, "http://x/l2", "http://x/p", "b"),
+      ("http://x/g", "http://x/l1", "http://x/p", "a"),
+      ("http://x/g", "http://x/l2", "http://x/p", "b")))
+  }
+
+  test("LOAD SILENT on a missing document is a no-op; non-SILENT routes to DLQ") {
+    val store = ingest(
+      "INSERT DATA { <http://x/s> <http://x/p> \"keep\" }" -> CT_RU,
+      "LOAD SILENT <file:///nonexistent/nope.nt>" -> CT_RU)
+    assert(stateNT(store) == Set((null, "http://x/s", "http://x/p", "keep")))
+    // non-SILENT: the apply fails and the event routes to the DLQ,
+    // the good prefix still commits
+    val store2 = new QuadStore(spark, Files.createTempDirectory("ldq").toString)
+    val evs = Seq(
+      "INSERT DATA { <http://x/s> <http://x/p> \"keep\" }",
+      "LOAD <file:///nonexistent/nope.nt>").zipWithIndex.map { case (b, i) =>
+      Event("t", 0, i.toLong, Array.empty, b.getBytes("UTF-8"),
+        Map("Content-Type" -> CT_RU))
+    }
+    val dlq = new MemoryDlqSink
+    val p = new Projector(new MemoryEventSource(evs),
+      new QuadStoreSink(spark, store2), dlq = Some(dlq))
+    p.runToCompletion()
+    assert(stateNT(store2) == Set((null, "http://x/s", "http://x/p", "keep")))
+    assert(dlq.events.size == 1)
   }
 
   test("WITH <g> scopes templates and WHERE to the graph; INSERT-only WHERE works") {
