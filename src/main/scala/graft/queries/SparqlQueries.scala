@@ -418,6 +418,39 @@ object SparqlQueries {
           s"SELECT ?s { ?s <${NS}key> ?k MINUS { ?x <${NS}comment> ?c } }"))
         .orderBy(col("method"), col("n_nationkey"))
     },
+    // EXISTS as an EXPRESSION operand (§17.4.1.4): combinable with
+    // || / && / ! inside one FILTER constraint — compiled as a mark
+    // column (distinct shared bindings → left-semi probe → equi-join
+    // back), unlike the standalone FILTER EXISTS semi-join form
+    "sparql_exists_expr" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqexe", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long")).as[Long].collect()
+        st.addQuads(0, rows.toSeq.flatMap { k =>
+          val key = graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+            Term.iri(s"${NS}key"), Term.typed(k.toString, Term.XSD_INTEGER))
+          if (k < 10)
+            Seq(key, graft.rdf.Quad(null, Term.iri(s"${NS}nation/$k"),
+              Term.iri(s"${NS}comment"), Term.lit(s"c$k")))
+          else Seq(key)
+        })
+      }
+      def run(label: String, filter: String) =
+        Sparql.execute(store.quads(),
+          s"SELECT ?s { ?s <${NS}key> ?k FILTER($filter) }")
+          .select(lit(label).as("method"),
+            regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1)
+              .cast("int").as("n_nationkey"))
+      run("or_high", s"EXISTS { ?s <${NS}comment> ?c } || ?k >= 20")
+        .unionByName(run("and_low",
+          s"NOT EXISTS { ?s <${NS}comment> ?c } && ?k < 20"))
+        .unionByName(run("bang",
+          s"!EXISTS { ?s <${NS}comment> ?c } && ?k < 20"))
+        .unionByName(run("unshared",
+          s"EXISTS { ?x <${NS}comment> ?c } && ?k < 5"))
+        .orderBy(col("method"), col("n_nationkey"))
+    },
     // the round-5 expression engine: arithmetic with precedence and
     // type promotion (integer stays integer, division is decimal),
     // IF conditionals, IN lists, and an arithmetic FILTER — all over
@@ -789,6 +822,19 @@ object SparqlQueries {
            SELECT 'minus_disjoint', n_nationkey FROM nation
            UNION ALL
            SELECT 'not_exists', n_nationkey FROM nation WHERE n_nationkey >= 10
+         ) ORDER BY method, n_nationkey""",
+    "sparql_exists_expr" ->
+      """SELECT * FROM (
+           SELECT 'or_high' AS method, n_nationkey FROM nation
+           WHERE n_nationkey < 10 OR n_nationkey >= 20
+           UNION ALL
+           SELECT 'and_low', n_nationkey FROM nation
+           WHERE n_nationkey >= 10 AND n_nationkey < 20
+           UNION ALL
+           SELECT 'bang', n_nationkey FROM nation
+           WHERE n_nationkey >= 10 AND n_nationkey < 20
+           UNION ALL
+           SELECT 'unshared', n_nationkey FROM nation WHERE n_nationkey < 5
          ) ORDER BY method, n_nationkey""",
     "sparql_expr_arith" ->
       """SELECT * FROM (

@@ -138,6 +138,15 @@ object Sparql {
     * non-emptiness; anything else is a type error (row dropped).
     */
   final case class FEbv(e: VExpr) extends FExpr
+  /** `[NOT] EXISTS { pattern }` as an EXPRESSION operand (§17.4.1.4 —
+    * inside `||` / `&&` / `!` / IF conditions of a FILTER), beyond the
+    * standalone `FILTER [NOT] EXISTS` form. Rewritten before
+    * compilation into a boolean mark column ([[rewriteExists]]); it
+    * never reaches [[compileFilter]] directly.
+    */
+  final case class FExists(inner: Pattern, positive: Boolean) extends FExpr
+  /** Internal: a precomputed boolean mark column (see [[FExists]]). */
+  final case class FFlag(name: String, positive: Boolean) extends FExpr
 
   /** Value expressions usable in BIND, SELECT expressions and FILTER
     * comparison operands.
@@ -748,7 +757,7 @@ object Sparql {
               val sol0 = compileSol(quads, Group(rest))
               val (local, joined) =
                 fs.partition(f => varsOf(f).subsetOf(sol0.df.columns.toSet))
-              (local.foldLeft(sol0)((a, f) => a.copy(df = applyFilter(a.df, f))),
+              (local.foldLeft(sol0)((a, f) => applyFilter(quads, a, f)),
                 joined)
             case other => (compileSol(quads, other), Seq.empty[FExpr])
           }
@@ -821,7 +830,7 @@ object Sparql {
             Set.empty)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
-      filters.foreach(f => acc = Some(cur.copy(df = applyFilter(cur.df, f))))
+      filters.foreach(f => acc = Some(applyFilter(quads, cur, f)))
       existsElems.foreach(e =>
         acc = Some(existsJoin(cur, compileSol(quads, e.inner), e.positive)))
       cur
@@ -1527,10 +1536,84 @@ object Sparql {
       substring(h2, 4, 12)))
   }
 
-  private def applyFilter(df: DataFrame, f: FExpr): DataFrame = {
-    val cols = df.columns.toSet
-    df.filter(compileFilter(f,
+  private def applyFilter(quads: DataFrame, sol: Sol, f: FExpr): Sol = {
+    val (marked, nf, flags) = rewriteExists(quads, sol, f)
+    val cols = marked.df.columns.toSet
+    val filtered = marked.df.filter(compileFilter(nf,
       n => if (cols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
+    Sol(flags.foldLeft(filtered)(_.drop(_)), sol.maybe)
+  }
+
+  /** Rewrite `[NOT] EXISTS` operands (anywhere in the expression tree,
+    * including IF conditions) into boolean mark columns over the
+    * solution: one left-semi probe of the inner pattern per EXISTS,
+    * joined back on the DISTINCT shared-variable bindings — every
+    * join is an equi/compat join, no solution row ever duplicates.
+    */
+  private def rewriteExists(quads: DataFrame, sol0: Sol,
+      f0: FExpr): (Sol, FExpr, Seq[String]) = {
+    var sol = sol0
+    val flags = scala.collection.mutable.ArrayBuffer[String]()
+    def fw(f: FExpr): FExpr = f match {
+      case FExists(inner, positive) =>
+        val flag = s"#exists${flags.size}"
+        sol = markExists(quads, sol, inner, flag)
+        flags += flag
+        FFlag(flag, positive)
+      case FAnd(a, b) => FAnd(fw(a), fw(b))
+      case FOr(a, b) => FOr(fw(a), fw(b))
+      case FNot(e) => FNot(fw(e))
+      case FCmp(l, op, r) => FCmp(vw(l), op, vw(r))
+      case FIn(e, items, p) => FIn(vw(e), items.map(vw), p)
+      case FSameTerm(l, r) => FSameTerm(vw(l), vw(r))
+      case FEbv(e) => FEbv(vw(e))
+      case other => other
+    }
+    def vw(v: VExpr): VExpr = v match {
+      case VIf(c, t, e) => VIf(fw(c), vw(t), vw(e))
+      case VCoalesce(args) => VCoalesce(args.map(vw))
+      case VFn(fn, a) => VFn(fn, vw(a))
+      case VBin(op, l, r) => VBin(op, vw(l), vw(r))
+      case VFnN(fn, args) => VFnN(fn, args.map(vw))
+      case VCast(dt, a) => VCast(dt, vw(a))
+      case other => other
+    }
+    val nf = fw(f0)
+    (sol, nf, flags.toSeq)
+  }
+
+  /** Attach `flag` = whether the inner pattern has at least one
+    * solution compatible (§18.3) with the row's bindings. Probe shape:
+    * distinct shared-variable bindings → left-semi against the inner
+    * solution (compat condition) → equi-join back (null-safe, at most
+    * one hit row per distinct binding) — hash-joinable at scale, and
+    * the inner pattern evaluates once, not per row.
+    */
+  private def markExists(quads: DataFrame, sol: Sol, inner: Pattern,
+      flag: String): Sol = {
+    val innerSol = compileSol(quads, inner)
+    val shared = sol.df.columns.filterNot(_.startsWith("#"))
+      .filter(innerSol.df.columns.contains).toSeq
+    val marked =
+      if (shared.isEmpty) {
+        // no shared bindings: pure pattern-nonemptiness, one row or none
+        val any = innerSol.df.limit(1).select(lit(true).as(flag))
+        sol.df.join(any, lit(true), "left_outer")
+          .withColumn(flag, coalesce(col(flag), lit(false)))
+      } else {
+        val key = sol.df.select(shared.map(col): _*).distinct()
+        val keySol = Sol(key, sol.maybe.intersect(shared.toSet))
+        val hits = keySol.df.alias("l")
+          .join(innerSol.df.alias("r"), compatCond(keySol, innerSol), "left_semi")
+          .withColumn(flag, lit(true))
+        val a = sol.df.alias("a")
+        val b = hits.alias("b")
+        val cond = shared.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+        a.join(b, cond, "left_outer")
+          .select(sol.df.columns.map(c => col(s"a.$c")) :+
+            coalesce(col(s"b.$flag"), lit(false)).as(flag): _*)
+      }
+    Sol(marked, sol.maybe)
   }
 
   /** Variables referenced by a filter expression. */
@@ -1546,6 +1629,10 @@ object Sparql {
     case FSameTerm(l, r) => varsOfV(l) ++ varsOfV(r)
     case FLangMatches(t, _) => varsOfV(t)
     case FEbv(e) => varsOfV(e)
+    // an EXISTS operand evaluates against whatever is bound where the
+    // filter applies; it imposes no binding requirement of its own
+    case FExists(_, _) => Set.empty
+    case FFlag(_, _) => Set.empty
   }
 
   /** Variables referenced by a value expression. */
@@ -1630,6 +1717,13 @@ object Sparql {
   }
 
   private def compileFilter(f: FExpr, resolve: String => Column): Column = f match {
+    case FFlag(n, positive) =>
+      // EXISTS never errors: the mark column is a real true/false
+      if (positive) col(n) else !col(n)
+    case FExists(_, _) =>
+      throw new RdfParseException(
+        "EXISTS is supported only inside FILTER constraints " +
+        "(not in HAVING, BIND or SELECT expressions)")
     case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
     case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
     case FNot(e) =>
@@ -2576,6 +2670,15 @@ object Sparql {
         val func = text.substring(0, pos).trim.split("[^A-Za-z]").last.toUpperCase
         expect('('); val v = parseVar(); expect(')')
         FTest(func, v)
+      } else if (tryKeyword("EXISTS")) {
+        // EXISTS as an expression operand (§17.4.1.4) — combinable
+        // with || / && / ! unlike the standalone FILTER EXISTS form
+        FExists(parseGroup(), positive = true)
+      } else if (tryKeyword("NOT")) {
+        // at operand position a bare NOT must be NOT EXISTS
+        // (negation of an expression is spelled !)
+        keyword("EXISTS")
+        FExists(parseGroup(), positive = false)
       } else parseCmpTail()
     }
 

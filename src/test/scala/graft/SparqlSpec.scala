@@ -501,6 +501,47 @@ class SparqlSpec extends AnyFunSuite {
     Sparql.releaseClosures()
   }
 
+  test("EXISTS as an expression operand combines with || && and !") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> "1" .
+         |<http://x/a> <http://x/flag> "y" .
+         |<http://x/b> <http://x/p> "2" .
+         |<http://x/c> <http://x/p> "9" .
+         |""".stripMargin) -> "application/n-quads")
+    def subjects(q: String): Seq[String] =
+      Sparql.execute(store.quads(), q).collect()
+        .map(_.getStruct(0).getString(1)).toSeq.sorted
+    // EXISTS || numeric: a has the flag, c passes the comparison
+    assert(subjects(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s { ?s <http://x/p> ?v
+        |  FILTER(EXISTS { ?s <http://x/flag> ?f } || xsd:integer(STR(?v)) > 5)
+        |}""".stripMargin) == Seq("http://x/a", "http://x/c"))
+    // NOT EXISTS && comparison: unflagged subjects below the cut
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+        |  FILTER(NOT EXISTS { ?s <http://x/flag> ?f } && ?v < "5")
+        |}""".stripMargin) == Seq("http://x/b"))
+    // negation of the operand form: !EXISTS == NOT EXISTS
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+        |  FILTER(!EXISTS { ?s <http://x/flag> ?f } && ?v < "5")
+        |}""".stripMargin) == Seq("http://x/b"))
+    // no shared variables: pure nonemptiness gates every row the same
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+        |  FILTER(EXISTS { <http://x/a> <http://x/flag> "y" } && ?v < "3")
+        |}""".stripMargin) == Seq("http://x/a", "http://x/b"))
+    assert(subjects(
+      """SELECT ?s { ?s <http://x/p> ?v
+        |  FILTER(EXISTS { <http://x/a> <http://x/flag> "nope" } || ?v < "2")
+        |}""".stripMargin) == Seq("http://x/a"))
+    // standalone form unchanged, agrees with the operand form
+    assert(subjects(
+      "SELECT ?s { ?s <http://x/p> ?v FILTER EXISTS { ?s <http://x/flag> ?f } }")
+      == Seq("http://x/a"))
+  }
+
   test("out-of-range integer bounds are clean parse errors") {
     val store = ingest(DATA_TTL -> "text/turtle")
     // LIMIT and path-repetition bounds past Int range must raise
