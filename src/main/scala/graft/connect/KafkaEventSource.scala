@@ -61,25 +61,31 @@ final class KafkaEventSource(
     consumerCtor.newInstance(props).asInstanceOf[AnyRef]
   }
 
-  locally {
-    mSubscribe.invoke(consumer, topics.asJava)
-    // establish the assignment (short empty polls), then apply the
-    // read policy ONCE at startup — records polled before the seek are
-    // pre-policy positions and are discarded with the re-seek
-    val deadline = System.nanoTime() + assignWaitMillis * 1000000L
-    var assigned = assignment()
-    while (assigned.isEmpty && System.nanoTime() < deadline) {
-      mPoll.invoke(consumer, Duration.ofMillis(50))
-      assigned = assignment()
-    }
-    if (assigned.nonEmpty) policy match {
+  /** Partitions whose read-policy seek already happened — the policy
+    * applies ONCE per partition, on its FIRST assignment to this
+    * consumer; a partition re-assigned by a later rebalance resumes
+    * from its committed offset (correct post-startup behavior).
+    */
+  private val policyApplied = mutable.Set[(String, Int)]()
+
+  /** Apply the read policy to the not-yet-seeked members of an
+    * assignment. Invoked from the rebalance listener (the reliable
+    * hook kafka-clients provides for seek-on-assign — a partition can
+    * be assigned at ANY poll, not just startup) and idempotently after
+    * the startup wait.
+    */
+  private def applyPolicy(assigned: Seq[AnyRef]): Unit = synchronized {
+    val fresh = assigned.filterNot(tp =>
+      policyApplied.contains((tpTopic(tp), tpPartition(tp))))
+    if (fresh.isEmpty) return
+    policy match {
       case ReadPolicy.Replay =>
-        mSeekToBeginning.invoke(consumer, assigned.asJava)
+        mSeekToBeginning.invoke(consumer, fresh.asJava)
       case ReadPolicy.Latest =>
-        mSeekToEnd.invoke(consumer, assigned.asJava)
+        mSeekToEnd.invoke(consumer, fresh.asJava)
       case ReadPolicy.Sync =>
         // stored next-to-read offset per partition; absent → beginning
-        val (known, unknown) = assigned.partition(tp =>
+        val (known, unknown) = fresh.partition(tp =>
           startOffsets.contains((tpTopic(tp), tpPartition(tp))))
         known.foreach { tp =>
           mSeek.invoke(consumer, tp,
@@ -87,6 +93,38 @@ final class KafkaEventSource(
         }
         if (unknown.nonEmpty) mSeekToBeginning.invoke(consumer, unknown.asJava)
     }
+    fresh.foreach(tp => policyApplied += ((tpTopic(tp), tpPartition(tp))))
+  }
+
+  locally {
+    // subscribe WITH a rebalance listener: seeks from inside
+    // onPartitionsAssigned are the only reliable way to apply a read
+    // policy — a partition may be assigned at any poll (slow group
+    // coordinator, later rebalance), not just before the first one
+    val listener = java.lang.reflect.Proxy.newProxyInstance(
+      listenerCls.getClassLoader, Array(listenerCls),
+      (proxy: AnyRef, method: java.lang.reflect.Method, args: Array[AnyRef]) =>
+        method.getName match {
+          case "onPartitionsAssigned" =>
+            applyPolicy(args(0).asInstanceOf[java.util.Collection[AnyRef]]
+              .asScala.toSeq)
+            null
+          case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
+          case "hashCode" => Integer.valueOf(System.identityHashCode(this))
+          case "toString" => "graft-read-policy-listener"
+          case _ => null // onPartitionsRevoked / onPartitionsLost: no-op
+        })
+    mSubscribeListener.invoke(consumer, topics.asJava, listener)
+    // startup bound: wait for the first assignment so the first real
+    // poll observes post-policy positions; late assignments are still
+    // covered by the listener
+    val deadline = System.nanoTime() + assignWaitMillis * 1000000L
+    var assigned = assignment()
+    while (assigned.isEmpty && System.nanoTime() < deadline) {
+      mPoll.invoke(consumer, Duration.ofMillis(50))
+      assigned = assignment()
+    }
+    applyPolicy(assigned) // idempotent if the listener already ran
   }
 
   private val buffer = mutable.Queue[Event]()
@@ -171,6 +209,10 @@ object KafkaEventSource {
   private lazy val consumerCtor = consumerCls.getConstructor(classOf[Properties])
   private lazy val mSubscribe =
     consumerCls.getMethod("subscribe", classOf[java.util.Collection[_]])
+  private lazy val listenerCls =
+    cls("org.apache.kafka.clients.consumer.ConsumerRebalanceListener")
+  private lazy val mSubscribeListener =
+    consumerCls.getMethod("subscribe", classOf[java.util.Collection[_]], listenerCls)
   private lazy val mPoll = consumerCls.getMethod("poll", classOf[Duration])
   private lazy val mAssignment = consumerCls.getMethod("assignment")
   private lazy val mSeekToBeginning =

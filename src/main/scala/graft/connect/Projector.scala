@@ -72,6 +72,12 @@ trait BatchSink {
     * no shared state, no exclusion needed.
     */
   def exclusively[T](f: => T): T = f
+
+  /** Directory SPARQL Update LOAD may read from; None (the default)
+    * disables LOAD for this sink ([[graft.sparql.SparqlUpdate.resolveLoad]]
+    * security contract).
+    */
+  def loadRoot: Option[java.nio.file.Path] = None
 }
 
 /** The adaptive-batching projector — the reference's core engine
@@ -208,6 +214,12 @@ final class Projector(
   private var carriedTxnOpen = false // validation: txn open after buffered events
   private var markerInTxn = true     // commit trigger: closesTxn state
 
+  /** Word-boundary LOAD token (case-insensitive) — the arrival-probe
+    * pre-filter must not fire on e.g. "download" inside a literal.
+    */
+  private val LoadToken = java.util.regex.Pattern.compile(
+    "(?i)(?<![A-Za-z0-9_])LOAD(?![A-Za-z0-9_])")
+
   /** Apply-time validation a DatasetGraph would do while streaming ops
     * (invalid marker nesting → the reference's mid-apply failure).
     * Judged against the carried batch state so a transaction left open
@@ -218,16 +230,20 @@ final class Projector(
     if (m.decoded.kind == "update") {
       // LOAD documents probe at ARRIVAL (read + parse, result
       // discarded): the deferred-apply model requires that the commit
-      // apply cannot fail, so a missing/unparseable document must
-      // surface here, where the event routes to the DLQ and the good
-      // prefix commits — the same station patch-marker validation
-      // holds. Cheap pre-filter: scripts without LOAD skip the
+      // apply cannot fail, so a disabled/confined/missing/unparseable
+      // document must surface here, where the event routes to the DLQ
+      // and the good prefix commits — the same station patch-marker
+      // validation holds. (If the file changes in the window between
+      // this probe and the commit, the sink treats that load as
+      // SILENT — the rest of the batch is innocent.) Cheap word-
+      // boundary pre-filter: scripts without a LOAD token skip the
       // re-parse. SILENT loads skip by definition (failure → no-op).
       val text = new String(m.event.value, java.nio.charset.StandardCharsets.UTF_8)
-      if (text.toUpperCase.contains("LOAD"))
+      if (LoadToken.matcher(text).find())
         graft.sparql.SparqlUpdate.parse(text).foreach {
           case ld: graft.sparql.SparqlUpdate.LoadOp if !ld.silent =>
-            graft.sparql.SparqlUpdate.resolveLoad(ld, "arrival-probe")
+            graft.sparql.SparqlUpdate.resolveLoad(ld, "arrival-probe",
+              sink.loadRoot)
           case _ => ()
         }
     } else if (m.decoded.kind == "patch") {

@@ -38,7 +38,8 @@ import graft.store.QuadStore
   * ops.
   */
 final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
-    bulkBytesThreshold: Long = QuadStoreSink.DefaultBulkBytes) extends BatchSink {
+    bulkBytesThreshold: Long = QuadStoreSink.DefaultBulkBytes,
+    override val loadRoot: Option[java.nio.file.Path] = None) extends BatchSink {
   import QuadStore.OpRow
 
   /** One past the store's committed history (un-compacted tail AND
@@ -180,9 +181,19 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
               // blank nodes scope to this load site, like per-event
               // decode; loaded quads join the driver-local adds (LOAD
               // shares the event path's batch envelope — bulk corpora
-              // belong on the event source, not update scripts)
+              // belong on the event source, not update scripts; the
+              // resolver caps quads to the 24-bit ordinal budget).
+              // The projector probed non-SILENT loads at ARRIVAL; a
+              // failure HERE means the file changed in the tiny window
+              // since — treated as SILENT (zero quads) rather than
+              // poisoning the whole committed batch, whose other
+              // events are innocent (deferred-apply contract: the
+              // commit apply must not fail)
               val loadScope = s"$scope:load$oi"
-              SparqlUpdate.resolveLoad(ld, loadScope).foreach { q =>
+              val loaded =
+                try SparqlUpdate.resolveLoad(ld, loadScope, loadRoot)
+                catch { case scala.util.control.NonFatal(_) => Seq.empty[graft.rdf.Quad] }
+              loaded.foreach { q =>
                 local += OpRow("A", base | oi, q.graph, q.subject, q.predicate, q.obj)
                 oi += 1
               }

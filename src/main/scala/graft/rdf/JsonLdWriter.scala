@@ -38,10 +38,17 @@ object JsonLdWriter {
     j.substr(lit(2), length(j) - 2)
   }
 
-  /** `@id` string of an IRI or blank term. */
+  /** `@id` string of an IRI or blank term. Blank labels must satisfy
+    * the BLANK_NODE_LABEL grammar for external consumers; invalid ones
+    * (event-scoped labels carry ':') map through the same
+    * deterministic rename as [[XmlWriter.ncLabel]] — co-reference
+    * within the document is preserved (pure function of the label;
+    * star terms are rejected up front so no label hides inside a
+    * quoted-triple lex).
+    */
   private def idOf(c: Column): Column =
     when(c.getField("termType") === Term.BLANK,
-      concat(lit("_:"), c.getField("lex")))
+      concat(lit("_:"), XmlWriter.ncLabel(c.getField("lex"))))
       .otherwise(c.getField("lex"))
 
   /** A quads DataFrame as one `line` STRING column, one expanded

@@ -33,6 +33,18 @@ object XmlWriter {
     """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">""")
   val FOOTER: Seq[String] = Seq("</rdf:RDF>")
 
+  /** rdf:nodeID must be an XML NCName; event-decode SCOPES blank
+    * labels with ':' (topic:partition:offset:label), which is not.
+    * Valid labels pass through; others map to a deterministic hash
+    * name — a pure function of the label, so co-reference within the
+    * document is preserved, which is all a blank label promises
+    * (star terms are rejected up front, so no label can hide inside
+    * a quoted-triple lex where the rename couldn't reach it).
+    */
+  private[rdf] def ncLabel(c: Column): Column =
+    when(c.rlike("^[A-Za-z_][A-Za-z0-9_.\\-]*$"), c)
+      .otherwise(concat(lit("gb"), lower(hex(xxhash64(c)))))
+
   private def escText(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
@@ -60,13 +72,13 @@ object XmlWriter {
       when(s.getField("termType") === Term.IRI,
         concat(lit("rdf:about=\""), escAttr(s.getField("lex")), lit("\"")))
       .otherwise(
-        concat(lit("rdf:nodeID=\""), s.getField("lex"), lit("\"")))
+        concat(lit("rdf:nodeID=\""), ncLabel(s.getField("lex")), lit("\"")))
     val open = concat(lit("<n:"), local, lit(" xmlns:n=\""), escAttr(ns), lit("\""))
     val prop =
       when(o.getField("termType") === Term.IRI,
         concat(open, lit(" rdf:resource=\""), escAttr(o.getField("lex")), lit("\"/>")))
       .when(o.getField("termType") === Term.BLANK,
-        concat(open, lit(" rdf:nodeID=\""), o.getField("lex"), lit("\"/>")))
+        concat(open, lit(" rdf:nodeID=\""), ncLabel(o.getField("lex")), lit("\"/>")))
       .otherwise(concat(open,
         when(o.getField("lang").isNotNull,
           concat(lit(" xml:lang=\""), o.getField("lang"), lit("\"")))

@@ -757,6 +757,36 @@ object Sparql {
               val sol0 = compileSol(quads, Group(rest))
               val (local, joined) =
                 fs.partition(f => varsOf(f).subsetOf(sol0.df.columns.toSet))
+              // EXISTS operands inside an OPTIONAL's filters: §18.2.2.2
+              // evaluates the filter as part of the LeftJoin condition
+              // with the LEFT solution visible. The local rewrite sees
+              // only the optional group's bindings, so an EXISTS whose
+              // inner pattern could correlate with an OUTER variable —
+              // or one in a filter that itself references outer
+              // variables (compiled into the join condition, where no
+              // mark column exists) — gets a clear error instead of a
+              // silently-uncorrelated answer.
+              val outerCols = cur.df.columns.toSet
+              val innerCols = sol0.df.columns.toSet
+              fs.foreach { f =>
+                val exs = existsOf(f)
+                if (exs.nonEmpty) {
+                  if (!varsOf(f).subsetOf(innerCols))
+                    throw new RdfParseException(
+                      "EXISTS inside an OPTIONAL filter that also references " +
+                      "variables bound outside the optional group is not " +
+                      "supported — lift the filter out of the OPTIONAL")
+                  exs.foreach { ex =>
+                    val corr = patternVars(ex.inner)
+                      .intersect(outerCols) -- innerCols
+                    if (corr.nonEmpty)
+                      throw new RdfParseException(
+                        "EXISTS inside OPTIONAL correlating with outer " +
+                        s"variable(s) ${corr.map("?" + _).mkString(", ")} is " +
+                        "not supported — lift the filter out of the OPTIONAL")
+                  }
+                }
+              }
               (local.foldLeft(sol0)((a, f) => applyFilter(quads, a, f)),
                 joined)
             case other => (compileSol(quads, other), Seq.empty[FExpr])
@@ -1580,6 +1610,69 @@ object Sparql {
     }
     val nf = fw(f0)
     (sol, nf, flags.toSeq)
+  }
+
+  /** Collect the `[NOT] EXISTS` operands anywhere in a filter
+    * expression (including IF conditions).
+    */
+  private def existsOf(f: FExpr): Seq[FExists] = {
+    def fw(f: FExpr): Seq[FExists] = f match {
+      case e: FExists => Seq(e)
+      case FAnd(a, b) => fw(a) ++ fw(b)
+      case FOr(a, b) => fw(a) ++ fw(b)
+      case FNot(e) => fw(e)
+      case FCmp(l, _, r) => vw(l) ++ vw(r)
+      case FIn(e, items, _) => (e +: items).flatMap(vw)
+      case FSameTerm(l, r) => vw(l) ++ vw(r)
+      case FEbv(e) => vw(e)
+      case _ => Seq.empty
+    }
+    def vw(v: VExpr): Seq[FExists] = v match {
+      case VIf(c, t, e) => fw(c) ++ vw(t) ++ vw(e)
+      case VCoalesce(args) => args.flatMap(vw)
+      case VFn(_, a) => vw(a)
+      case VBin(_, l, r) => vw(l) ++ vw(r)
+      case VFnN(_, args) => args.flatMap(vw)
+      case VCast(_, a) => vw(a)
+      case _ => Seq.empty
+    }
+    fw(f)
+  }
+
+  /** Variables a pattern can bind (for EXISTS scope checks). */
+  private def patternVars(p: Pattern): Set[String] = {
+    def nodeVars(n: Node): Set[String] = n match {
+      case Var(v) => Set(v)
+      case QTriple(s, pp, o) => nodeVars(s) ++ nodeVars(pp) ++ nodeVars(o)
+      case _ => Set.empty
+    }
+    def tpVars(tp: TriplePattern): Set[String] =
+      Seq(tp.s, tp.p, tp.o).flatMap(nodeVars).toSet ++
+        tp.graph.toSeq.flatMap(nodeVars)
+    p match {
+      case Group(elems) => elems.flatMap {
+        case PatElem(tp) => tpVars(tp)
+        case OptElem(inner) => patternVars(inner)
+        case BindElem(_, as) => Set(as)
+        case NestedElem(pp) => patternVars(pp)
+        case SubSelectElem(q) => q.projection match {
+          case SelectAll => patternVars(q.pattern)
+          case SelectItems(items) => items.collect {
+            case ItemVar(n) => n
+            case ItemExpr(_, as) => as
+            case ItemAgg(_, _, as, _, _) => as
+          }.toSet
+        }
+        case ValuesElem(vars, _) => vars.toSet
+        case PathElem(g, s, _, o) =>
+          Seq(s, o).flatMap(nodeVars).toSet ++
+            g.toSeq.flatMap(nodeVars)
+        case MinusElem(_) => Set.empty[String]
+        case ExistsElem(_, _) => Set.empty[String]
+        case FilterElem(_) => Set.empty[String]
+      }.toSet
+      case Union(branches) => branches.flatMap(patternVars).toSet
+    }
   }
 
   /** Attach `flag` = whether the inner pattern has at least one

@@ -273,6 +273,12 @@ object SparqlUpdate {
     * instantiations are left to the store's set semantics rather than
     * paying a dedup shuffle here.
     */
+  /** Ordinal-space guard: a single event's ops must fit the 24-bit
+    * per-event ordinal range of the sink's `(event << 24) | op` order
+    * encoding, with headroom for the script's other ops.
+    */
+  val MaxLoadQuads: Int = (1 << 24) - (1 << 12)
+
   /** Resolve a LOAD to the quads to add: read the `file:` document,
     * parse it by extension through the engine's own format dispatch
     * (mirroring the reference producer's ctForFile, FKLib.java:55-69),
@@ -280,11 +286,27 @@ object SparqlUpdate {
     * `scope` (fresh per load, like per-event decode). SILENT maps a
     * missing or unparseable document to zero quads (spec §3.1.4's
     * failure-ignoring variant); otherwise the error propagates and the
-    * batch routes to the DLQ like any apply failure.
+    * event routes to the DLQ at arrival (the projector probes
+    * non-SILENT loads before buffering).
+    *
+    * SECURITY: `root` confines what LOAD may read. `None` (the
+    * default everywhere, including the HTTP update endpoint) DISABLES
+    * LOAD with a clear error — an update endpoint must not be an
+    * arbitrary local-file read primitive. A deployment that wants
+    * LOAD passes an explicit root directory (sink construction), and
+    * only documents under it resolve.
     */
-  def resolveLoad(l: LoadOp, scope: String): Seq[Quad] =
+  def resolveLoad(l: LoadOp, scope: String,
+      root: Option[java.nio.file.Path]): Seq[Quad] =
     try {
+      val r = root.getOrElse(throw new RdfParseException(
+        "LOAD is disabled: no load root directory is configured for this " +
+        "dataset (pass loadRoot when constructing the sink)"))
       val path = java.nio.file.Paths.get(java.net.URI.create(l.iri))
+        .toAbsolutePath.normalize()
+      if (!path.startsWith(r.toAbsolutePath.normalize()))
+        throw new RdfParseException(
+          s"LOAD <${l.iri}> is outside the configured load root")
       val bytes = java.nio.file.Files.readAllBytes(path)
       val name = path.getFileName.toString
       val ct = name.substring(name.lastIndexOf('.') + 1).toLowerCase match {
@@ -298,6 +320,11 @@ object SparqlUpdate {
       }
       val d = graft.rdf.RdfParse.decode(bytes, ct, scope)
       if (d._corrupt != null) throw new RdfParseException(d._corrupt)
+      if (d.quads.size > MaxLoadQuads)
+        throw new RdfParseException(
+          s"LOAD <${l.iri}>: document holds ${d.quads.size} quads, past the " +
+          s"per-event ordinal budget ($MaxLoadQuads) — bulk corpora belong " +
+          "on the event ingest path")
       l.into match {
         case Some(g) => d.quads.map(_.copy(graph = g))
         case None => d.quads

@@ -129,6 +129,25 @@ class KafkaSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("read policy applies to partitions assigned AFTER startup (rebalance listener)") {
+    StubBroker.reset(); StubBroker.createTopic("t6", partitions = 1)
+    (0 until 3).foreach(i => StubBroker.send("t6", 0, nq(i), CT))
+    // Sync: partition 0 resumes at stored offset 1; partition 1 does
+    // not exist yet at construction time
+    val s = src("t6", ReadPolicy.Sync,
+      offsets = Map(("t6", 0) -> 1L, ("t6", 1) -> 2L))
+    val first = Iterator.continually(s.poll()).takeWhile(_.isDefined).flatten.toSeq
+    assert(first.map(_.offset) == Seq(1L, 2L))
+    // the partition appears later (rebalance): the listener must seek
+    // it to ITS stored offset (2), not the committed/default position
+    StubBroker.createTopic("t6", partitions = 2)
+    (0 until 4).foreach(i => StubBroker.send("t6", 1, nq(10 + i), CT))
+    val late = Iterator.continually(s.poll()).takeWhile(_.isDefined).flatten.toSeq
+    assert(late.filter(_.partition == 1).map(_.offset) == Seq(2L, 3L),
+      "late-assigned partition must start at its stored next-to-read offset")
+    s.close()
+  }
+
   test("GraftServer.kafka: full production wiring over the stub broker") {
     StubBroker.reset(); StubBroker.createTopic("RDFK")
     (0 until 2).foreach(i => StubBroker.send("RDFK", 0, nq(i), CT))

@@ -790,6 +790,30 @@ class RdfWritersSpec extends AnyFunSuite {
     assert(back.toSet == quads.toSet)
   }
 
+  test("writers rename grammar-invalid blank labels, preserving co-reference") {
+    // event-decode scopes blank labels as topic:partition:offset:label —
+    // not a valid NCName (rdf:nodeID) or BLANK_NODE_LABEL; the writers
+    // must emit a valid deterministic rename, same label → same name
+    val scoped = Seq(
+      Quad(null, Term.blank("t:0:5:b0"), Term.iri("http://x/p"), Term.lit("v")),
+      Quad(null, Term.iri("http://x/s"), Term.iri("http://x/ref"),
+        Term.blank("t:0:5:b0")))
+    val xml = (XmlWriter.HEADER ++ lines(XmlWriter.rdfXmlLines(df(scoped))) ++
+      XmlWriter.FOOTER).mkString("\n")
+    assert(!xml.contains("t:0:5:b0"), "raw scoped label must not leak into XML")
+    val xmlBack = RdfXmlParser.parse(xml)
+    // co-reference: the subject of one triple IS the object of the other
+    val subj = xmlBack.collectFirst {
+      case q if q.predicate == Term.iri("http://x/p") => q.subject }.get
+    assert(subj.isBlank && xmlBack.exists(_.obj == subj))
+    val jld = "[" + lines(JsonLdWriter.jsonLdLines(df(scoped))).mkString(",") + "]"
+    assert(!jld.contains("_:t:0:5:b0"))
+    val jldBack = JsonLdParser.parse(jld)
+    val jsubj = jldBack.collectFirst {
+      case q if q.predicate == Term.iri("http://x/p") => q.subject }.get
+    assert(jsubj.isBlank && jldBack.exists(_.obj == jsubj))
+  }
+
   test("json-ld documentLines frames a valid one-array document") {
     val doc = JsonLdWriter.documentLines(df(mixedTriples.take(2))).mkString("\n")
     val back = JsonLdParser.parse(doc)

@@ -542,6 +542,38 @@ class SparqlSpec extends AnyFunSuite {
       == Seq("http://x/a"))
   }
 
+  test("EXISTS inside OPTIONAL: local correlation works, outer correlation errors") {
+    val store = ingest(
+      ("""<http://x/a> <http://x/p> <http://x/s1> .
+         |<http://x/s1> <http://x/q> "1" .
+         |<http://x/s1> <http://x/r> "z" .
+         |<http://x/b> <http://x/p> <http://x/s2> .
+         |<http://x/s2> <http://x/q> "2" .
+         |""".stripMargin) -> "application/n-quads")
+    // EXISTS fully local to the optional group: correct per-row answer
+    val rows = Sparql.execute(store.quads(),
+      """SELECT ?a ?w { ?a <http://x/p> ?s
+        |  OPTIONAL { ?s <http://x/q> ?w
+        |    FILTER(EXISTS { ?s <http://x/r> ?z } || ?w = "2") } }
+        |ORDER BY ?a""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => !r.isNullAt(1)), "both optional rows satisfy the filter")
+    // an EXISTS correlating with a variable bound OUTSIDE the optional
+    // group needs LeftJoin-condition semantics — clear error, never a
+    // silently-uncorrelated answer
+    val e1 = intercept[graft.rdf.RdfParseException](Sparql.execute(store.quads(),
+      """SELECT * { ?a <http://x/p> ?s
+        |  OPTIONAL { ?s <http://x/q> ?w FILTER(EXISTS { ?a <http://x/r> ?x } && ?w > "0") } }"""
+        .stripMargin).collect())
+    assert(e1.getMessage.contains("OPTIONAL"))
+    // same for a filter mixing EXISTS with an outer-variable reference
+    val e2 = intercept[graft.rdf.RdfParseException](Sparql.execute(store.quads(),
+      """SELECT * { ?a <http://x/p> ?s . ?s <http://x/q> ?v
+        |  OPTIONAL { ?s <http://x/q> ?w FILTER(EXISTS { ?w <http://x/r> ?z } || ?v > "3") } }"""
+        .stripMargin).collect())
+    assert(e2.getMessage.contains("OPTIONAL"))
+  }
+
   test("out-of-range integer bounds are clean parse errors") {
     val store = ingest(DATA_TTL -> "text/turtle")
     // LIMIT and path-repetition bounds past Int range must raise

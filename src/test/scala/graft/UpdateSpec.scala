@@ -21,13 +21,18 @@ class UpdateSpec extends AnyFunSuite {
   private val CT_RU = "application/sparql-update"
   private val CT_NQ = "application/n-quads"
 
-  private def ingest(events: (String, String)*): QuadStore = {
+  private def ingest(events: (String, String)*): QuadStore =
+    ingestWithRoot(None, events: _*)
+
+  private def ingestWithRoot(loadRoot: Option[java.nio.file.Path],
+      events: (String, String)*): QuadStore = {
     val store = new QuadStore(spark, Files.createTempDirectory("updstore").toString)
     val evs = events.zipWithIndex.map { case ((body, ct), i) =>
       Event("t", 0, i.toLong, Array.empty, body.getBytes("UTF-8"),
         Map("Content-Type" -> ct))
     }
-    val p = new Projector(new MemoryEventSource(evs), new QuadStoreSink(spark, store))
+    val p = new Projector(new MemoryEventSource(evs),
+      new QuadStoreSink(spark, store, loadRoot = loadRoot))
     p.runToCompletion()
     store
   }
@@ -221,11 +226,12 @@ class UpdateSpec extends AnyFunSuite {
   }
 
   test("LOAD file: loads a local document; INTO GRAPH re-graphs it") {
-    val doc = Files.createTempFile("load", ".nt")
+    val root = Files.createTempDirectory("loadroot")
+    val doc = Files.createTempFile(root, "load", ".nt")
     Files.write(doc,
       ("<http://x/l1> <http://x/p> \"a\" .\n" +
        "<http://x/l2> <http://x/p> \"b\" .\n").getBytes("UTF-8"))
-    val store = ingest(
+    val store = ingestWithRoot(Some(root),
       s"LOAD <${doc.toUri}>" -> CT_RU,
       s"LOAD <${doc.toUri}> INTO GRAPH <http://x/g>" -> CT_RU)
     assert(stateNT(store) == Set(
@@ -235,23 +241,51 @@ class UpdateSpec extends AnyFunSuite {
       ("http://x/g", "http://x/l2", "http://x/p", "b")))
   }
 
+  test("LOAD is DISABLED without a load root; confined to it when set") {
+    // no root configured (every default, incl. the HTTP endpoint):
+    // even an existing readable file must not load
+    val root = Files.createTempDirectory("loadroot2")
+    val doc = Files.createTempFile(root, "ok", ".nt")
+    Files.write(doc, "<http://x/l> <http://x/p> \"v\" .\n".getBytes("UTF-8"))
+    val outside = Files.createTempFile("secret", ".nt")
+    Files.write(outside, "<http://x/sec> <http://x/p> \"s\" .\n".getBytes("UTF-8"))
+    def dlqCountOf(loadRoot: Option[java.nio.file.Path], script: String): (Long, Int) = {
+      val store = new QuadStore(spark, Files.createTempDirectory("ldc").toString)
+      val dlq = new MemoryDlqSink
+      val p = new Projector(
+        new MemoryEventSource(Seq(Event("t", 0, 0L, Array.empty,
+          script.getBytes("UTF-8"), Map("Content-Type" -> CT_RU)))),
+        new QuadStoreSink(spark, store, loadRoot = loadRoot), dlq = Some(dlq))
+      p.runToCompletion()
+      (store.count(), dlq.events.size)
+    }
+    assert(dlqCountOf(None, s"LOAD <${doc.toUri}>") == (0L, 1))
+    // a file OUTSIDE the configured root is refused (no read primitive)
+    assert(dlqCountOf(Some(root), s"LOAD <${outside.toUri}>") == (0L, 1))
+    // inside the root it loads
+    assert(dlqCountOf(Some(root), s"LOAD <${doc.toUri}>") == (1L, 0))
+    // SILENT + disabled/confined = clean no-op, no DLQ
+    assert(dlqCountOf(None, s"LOAD SILENT <${doc.toUri}>") == (0L, 0))
+  }
+
   test("LOAD SILENT on a missing document is a no-op; non-SILENT routes to DLQ") {
-    val store = ingest(
+    val root = Files.createTempDirectory("loadroot3")
+    val store = ingestWithRoot(Some(root),
       "INSERT DATA { <http://x/s> <http://x/p> \"keep\" }" -> CT_RU,
-      "LOAD SILENT <file:///nonexistent/nope.nt>" -> CT_RU)
+      s"LOAD SILENT <${root.toUri}nonexistent.nt>" -> CT_RU)
     assert(stateNT(store) == Set((null, "http://x/s", "http://x/p", "keep")))
-    // non-SILENT: the apply fails and the event routes to the DLQ,
-    // the good prefix still commits
+    // non-SILENT: the arrival probe fails, the event routes to the
+    // DLQ, the good prefix still commits
     val store2 = new QuadStore(spark, Files.createTempDirectory("ldq").toString)
     val evs = Seq(
       "INSERT DATA { <http://x/s> <http://x/p> \"keep\" }",
-      "LOAD <file:///nonexistent/nope.nt>").zipWithIndex.map { case (b, i) =>
+      s"LOAD <${root.toUri}nonexistent.nt>").zipWithIndex.map { case (b, i) =>
       Event("t", 0, i.toLong, Array.empty, b.getBytes("UTF-8"),
         Map("Content-Type" -> CT_RU))
     }
     val dlq = new MemoryDlqSink
     val p = new Projector(new MemoryEventSource(evs),
-      new QuadStoreSink(spark, store2), dlq = Some(dlq))
+      new QuadStoreSink(spark, store2, loadRoot = Some(root)), dlq = Some(dlq))
     p.runToCompletion()
     assert(stateNT(store2) == Set((null, "http://x/s", "http://x/p", "keep")))
     assert(dlq.events.size == 1)

@@ -32,6 +32,11 @@ package org.apache.kafka.clients.consumer {
   import org.apache.kafka.common.TopicPartition
   import org.apache.kafka.common.header.Header
 
+  trait ConsumerRebalanceListener {
+    def onPartitionsAssigned(partitions: java.util.Collection[TopicPartition]): Unit
+    def onPartitionsRevoked(partitions: java.util.Collection[TopicPartition]): Unit
+  }
+
   final class OffsetAndMetadata(off: Long) {
     def offset(): Long = off
   }
@@ -68,24 +73,43 @@ package org.apache.kafka.clients.consumer {
     private val maxPoll =
       Option(props.getProperty("max.poll.records")).map(_.toInt).getOrElse(500)
     private var subscribed: Seq[String] = Seq.empty
+    private var listener: ConsumerRebalanceListener = null
     private val positions =
       scala.collection.mutable.LinkedHashMap[TopicPartition, Long]()
     private var closed = false
     private def broker = graft.StubBroker
 
-    def subscribe(topics: java.util.Collection[String]): Unit = {
+    /** Assign every broker partition of the subscribed topics not yet
+      * assigned; position = committed or 0; fires the rebalance
+      * listener for the new ones (a late-created partition is thereby
+      * assigned at the NEXT poll, like a real rebalance).
+      */
+    private def assignNew(): Unit = {
+      val fresh = new java.util.ArrayList[TopicPartition]()
+      subscribed.foreach { t =>
+        broker.partitionsOf(t).foreach { p =>
+          val tp = new TopicPartition(t, p)
+          if (!positions.contains(tp)) {
+            positions(tp) = broker.committed(groupId, t, p).getOrElse(0L)
+            fresh.add(tp)
+          }
+        }
+      }
+      if (!fresh.isEmpty && listener != null)
+        listener.onPartitionsAssigned(fresh)
+    }
+
+    def subscribe(topics: java.util.Collection[String]): Unit =
+      subscribe(topics, null)
+
+    def subscribe(topics: java.util.Collection[String],
+        l: ConsumerRebalanceListener): Unit = {
       val it = topics.iterator()
       val b = scala.collection.mutable.ArrayBuffer[String]()
       while (it.hasNext) b += it.next()
       subscribed = b.toSeq
-      // immediate assignment of every partition of each topic (no
-      // rebalance protocol in the stub); position = committed or 0
-      subscribed.foreach { t =>
-        broker.partitionsOf(t).foreach { p =>
-          val tp = new TopicPartition(t, p)
-          positions(tp) = broker.committed(groupId, t, p).getOrElse(0L)
-        }
-      }
+      listener = l
+      assignNew()
     }
 
     def assignment(): java.util.Set[TopicPartition] = {
@@ -96,6 +120,7 @@ package org.apache.kafka.clients.consumer {
 
     def poll(timeout: java.time.Duration): ConsumerRecords = {
       require(!closed, "consumer closed")
+      assignNew() // late-created partitions join at the next poll
       val out = scala.collection.mutable.ArrayBuffer[ConsumerRecord]()
       positions.foreach { case (tp, pos) =>
         val recs = broker.fetch(tp.topic(), tp.partition(), pos,
