@@ -96,6 +96,8 @@ final class KafkaEventSource(
     fresh.foreach(tp => policyApplied += ((tpTopic(tp), tpPartition(tp))))
   }
 
+  private val buffer = mutable.Queue[Event]()
+
   locally {
     // subscribe WITH a rebalance listener: seeks from inside
     // onPartitionsAssigned are the only reliable way to apply a read
@@ -117,17 +119,22 @@ final class KafkaEventSource(
     mSubscribeListener.invoke(consumer, topics.asJava, listener)
     // startup bound: wait for the first assignment so the first real
     // poll observes post-policy positions; late assignments are still
-    // covered by the listener
+    // covered by the listener. A poll that completes the rebalance can
+    // RETURN records in the same invocation (after the listener's
+    // onPartitionsAssigned seeks ran) — those records are real reads
+    // whose positions have already advanced, so discarding them here
+    // would make a later processed() commit past them and skip events
+    // for the group permanently. Enqueue them.
     val deadline = System.nanoTime() + assignWaitMillis * 1000000L
     var assigned = assignment()
     while (assigned.isEmpty && System.nanoTime() < deadline) {
-      mPoll.invoke(consumer, Duration.ofMillis(50))
+      val records = mPoll.invoke(consumer, Duration.ofMillis(50))
+        .asInstanceOf[java.lang.Iterable[AnyRef]]
+      records.asScala.foreach(r => buffer.enqueue(toEvent(r)))
       assigned = assignment()
     }
     applyPolicy(assigned) // idempotent if the listener already ran
   }
-
-  private val buffer = mutable.Queue[Event]()
 
   private def assignment(): Seq[AnyRef] =
     mAssignment.invoke(consumer).asInstanceOf[java.util.Set[AnyRef]]

@@ -214,12 +214,6 @@ final class Projector(
   private var carriedTxnOpen = false // validation: txn open after buffered events
   private var markerInTxn = true     // commit trigger: closesTxn state
 
-  /** Word-boundary LOAD token (case-insensitive) — the arrival-probe
-    * pre-filter must not fire on e.g. "download" inside a literal.
-    */
-  private val LoadToken = java.util.regex.Pattern.compile(
-    "(?i)(?<![A-Za-z0-9_])LOAD(?![A-Za-z0-9_])")
-
   /** Apply-time validation a DatasetGraph would do while streaming ops
     * (invalid marker nesting → the reference's mid-apply failure).
     * Judged against the carried batch state so a transaction left open
@@ -229,23 +223,18 @@ final class Projector(
   private def validateApply(m: MaterialisedEvent): Unit =
     if (m.decoded.kind == "update") {
       // LOAD documents probe at ARRIVAL (read + parse, result
-      // discarded): the deferred-apply model requires that the commit
-      // apply cannot fail, so a disabled/confined/missing/unparseable
-      // document must surface here, where the event routes to the DLQ
-      // and the good prefix commits — the same station patch-marker
-      // validation holds. (If the file changes in the window between
-      // this probe and the commit, the sink treats that load as
-      // SILENT — the rest of the batch is innocent.) Cheap word-
-      // boundary pre-filter: scripts without a LOAD token skip the
-      // re-parse. SILENT loads skip by definition (failure → no-op).
+      // discarded) + cumulative ordinal-budget check — shared with the
+      // HTTP update endpoint ([[graft.sparql.SparqlUpdate.probeArrival]]):
+      // the deferred-apply model requires that the commit apply cannot
+      // fail, so a disabled/confined/missing/unparseable document (or
+      // a script whose resolved ops overflow the 2^24 per-event
+      // ordinal budget) must surface here, where the event routes to
+      // the DLQ and the good prefix commits — the same station patch-
+      // marker validation holds. (If the file changes in the window
+      // between this probe and the commit, the sink treats that load
+      // as SILENT — the rest of the batch is innocent.)
       val text = new String(m.event.value, java.nio.charset.StandardCharsets.UTF_8)
-      if (LoadToken.matcher(text).find())
-        graft.sparql.SparqlUpdate.parse(text).foreach {
-          case ld: graft.sparql.SparqlUpdate.LoadOp if !ld.silent =>
-            graft.sparql.SparqlUpdate.resolveLoad(ld, "arrival-probe",
-              sink.loadRoot)
-          case _ => ()
-        }
+      graft.sparql.SparqlUpdate.probeArrival(text, sink.loadRoot)
     } else if (m.decoded.kind == "patch") {
       var open = carriedTxnOpen
       var openedHere = false

@@ -157,23 +157,40 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
             new String(m.event.value, StandardCharsets.UTF_8))
           val scope = s"${m.event.topic}:${m.event.partition}:${m.event.offset}"
           var oi = 0L
+          // `base | oi` packs (event << 24) | op-index: past 2^24 the
+          // index would bleed into the event bits and silently corrupt
+          // latest-op-wins ordering. The arrival probe
+          // (SparqlUpdate.probeArrival) rejects overflowing scripts to
+          // the DLQ before they buffer; this guard is the loud
+          // backstop so corruption is impossible even if a document
+          // grew between probe and apply.
+          def guardOi(slots: Long): Unit =
+            if (oi + slots > SparqlUpdate.MaxEventOps)
+              throw new ProjectorException(
+                s"event ordinal budget exhausted (${SparqlUpdate.MaxEventOps} " +
+                "ops in one event) — the arrival probe should have routed " +
+                "this event to the DLQ")
           script.foreach {
             case SparqlUpdate.QuadDataOp(op, quads) =>
               quads.foreach { q0 =>
                 def sc(t: Term): Term =
                   if (t != null && t.isBlank) Term.blank(scope + ":" + t.lex) else t
+                guardOi(1)
                 local += OpRow(op, base | oi,
                   sc(q0.graph), sc(q0.subject), q0.predicate, sc(q0.obj))
                 oi += 1
               }
             case mo: SparqlUpdate.ModifyOp =>
+              guardOi(2) // deletes at oi, inserts at oi + 1
               SparqlUpdate.resolveModify(currentState(), mo, base | oi)
                 .foreach(foldResolved)
               oi += 2
             case cl: SparqlUpdate.ClearOp =>
+              guardOi(1)
               foldResolved(SparqlUpdate.resolveClear(currentState(), cl, base | oi))
               oi += 1
             case gm: SparqlUpdate.GraphManageOp =>
+              guardOi(2) // deletes at oi, re-labelled inserts at oi + 1
               SparqlUpdate.resolveGraphManage(currentState(), gm, base | oi)
                 .foreach(foldResolved)
               oi += 2
@@ -194,6 +211,7 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
                 try SparqlUpdate.resolveLoad(ld, loadScope, loadRoot)
                 catch { case scala.util.control.NonFatal(_) => Seq.empty[graft.rdf.Quad] }
               loaded.foreach { q =>
+                guardOi(1)
                 local += OpRow("A", base | oi, q.graph, q.subject, q.predicate, q.obj)
                 oi += 1
               }

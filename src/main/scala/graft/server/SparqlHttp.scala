@@ -362,6 +362,15 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     val text =
       if (req.ct == "application/sparql-update") req.bodyText
       else req.param("update").getOrElse(bad(400, "missing update"))
+    // same arrival probe the projector runs before buffering: a
+    // non-SILENT LOAD that cannot resolve — including the standing
+    // "LOAD is disabled" state here (the HTTP sink never configures a
+    // loadRoot) — must FAIL the request per SPARQL Update §3.1.4, not
+    // vanish into a 204 (QuadStoreSink.apply treats apply-time load
+    // failures as SILENT by design, so without this probe the error
+    // would be swallowed)
+    try graft.sparql.SparqlUpdate.probeArrival(text, None)
+    catch { case e: graft.rdf.RdfParseException => bad(400, e.getMessage) }
     applyEvents(ds, Seq(materialise(text.getBytes(StandardCharsets.UTF_8),
       RdfParse.CT_SPARQL_UPDATE)))
     respond(ex, 204, "text/plain", "")

@@ -279,6 +279,48 @@ object SparqlUpdate {
     */
   val MaxLoadQuads: Int = (1 << 24) - (1 << 12)
 
+  /** Ordinal budget per event: op indices pack as `(event << 24) | oi`
+    * in the sink's commit encoding, so one event holds at most 2^24
+    * ops before the index would bleed into the event bits.
+    */
+  val MaxEventOps: Long = 1L << 24
+
+  private val LoadToken = java.util.regex.Pattern.compile(
+    "(?i)(?<![A-Za-z0-9_])LOAD(?![A-Za-z0-9_])")
+
+  /** Arrival-time probe for update scripts that may carry LOAD — the
+    * shared gate both ingest fronts run BEFORE buffering/applying an
+    * event (the projector routes failures to the DLQ, the HTTP update
+    * endpoint maps them to 400): the deferred-apply model requires the
+    * commit apply to be infallible, so a disabled / confined / missing
+    * / unparseable document must surface here. Also totals the
+    * script's ordinal budget (inline quads + resolved load sizes +
+    * fixed costs per WHERE-driven op) and rejects scripts whose ops
+    * would overflow [[MaxEventOps]] — e.g. two near-cap LOADs whose
+    * CUMULATIVE count passes 2^24 even though each document is under
+    * [[MaxLoadQuads]]. Cheap word-boundary pre-filter: scripts with no
+    * LOAD token skip the re-parse (they cannot reach 2^24 ops without
+    * a payload the decode gate already choked on).
+    */
+  def probeArrival(text: String, root: Option[java.nio.file.Path]): Unit = {
+    if (!LoadToken.matcher(text).find()) return
+    var budget = 0L
+    parse(text).foreach {
+      case QuadDataOp(_, quads) => budget += quads.size
+      case _: ModifyOp | _: GraphManageOp => budget += 2
+      case _: ClearOp => budget += 1
+      case ld: LoadOp =>
+        // non-SILENT failures throw (DLQ/400 at arrival); SILENT loads
+        // resolve to their quads on success and zero on failure, so
+        // probing them only feeds the budget total
+        budget += resolveLoad(ld, "arrival-probe", root).size
+    }
+    if (budget >= MaxEventOps)
+      throw new RdfParseException(
+        s"update script resolves to $budget ops, past the per-event " +
+        s"ordinal budget ($MaxEventOps) — split the script across events")
+  }
+
   /** Resolve a LOAD to the quads to add: read the `file:` document,
     * parse it by extension through the engine's own format dispatch
     * (mirroring the reference producer's ctForFile, FKLib.java:55-69),
@@ -302,9 +344,15 @@ object SparqlUpdate {
       val r = root.getOrElse(throw new RdfParseException(
         "LOAD is disabled: no load root directory is configured for this " +
         "dataset (pass loadRoot when constructing the sink)"))
+      // confinement must survive symlinks: normalize() alone would let
+      // a link under the root point anywhere, so resolve BOTH sides to
+      // real paths before the prefix check (a missing document throws
+      // NoSuchFileException here — the same error path a failed read
+      // takes)
+      val rroot = r.toAbsolutePath.normalize().toRealPath()
       val path = java.nio.file.Paths.get(java.net.URI.create(l.iri))
-        .toAbsolutePath.normalize()
-      if (!path.startsWith(r.toAbsolutePath.normalize()))
+        .toAbsolutePath.normalize().toRealPath()
+      if (!path.startsWith(rroot))
         throw new RdfParseException(
           s"LOAD <${l.iri}> is outside the configured load root")
       val bytes = java.nio.file.Files.readAllBytes(path)

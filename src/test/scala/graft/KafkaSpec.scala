@@ -189,6 +189,74 @@ class KafkaSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("records returned by the poll that completes assignment are not dropped") {
+    StubBroker.reset(); StubBroker.createTopic("t7")
+    (0 until 3).foreach(i => StubBroker.send("t7", 0, nq(i), CT))
+    StubBroker.commit("g1", "t7", 0, 2L) // Replay must still read from 0
+    // real-consumer shape: subscribe() returns unassigned; the startup
+    // wait loop's poll() completes the rebalance (listener seeks run)
+    // AND returns records in that same invocation — discarding them
+    // would advance positions past events that were never served, and
+    // a later processed() would commit beyond them permanently
+    StubBroker.deferAssignment = true
+    val s = src("t7", ReadPolicy.Replay)
+    StubBroker.deferAssignment = false
+    val evs = Iterator.continually(s.poll()).takeWhile(_.isDefined).flatten.toSeq
+    assert(evs.map(_.offset) == Seq(0L, 1L, 2L),
+      "startup-poll records must be buffered, not dropped")
+    s.processed(evs)
+    assert(StubBroker.committed("g1", "t7", 0).contains(3L))
+    s.close()
+  }
+
+  test("security props flow TTL → assembler → factory → consumer constructor verbatim") {
+    StubBroker.reset(); StubBroker.createTopic("sec")
+    // the reference carries SASL/mTLS purely as pass-through consumer
+    // properties (KafkaConnectorAssembler.java:325-374; e2e
+    // DockerTestSecureKafka / DockerTestMutualTlsKafka); the contract
+    // here is that every security prop — inline fk:config pairs AND
+    // fk:configFile entries — reaches the reflective constructor's
+    // Properties unmodified
+    val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+      "required username=\"client\" password=\"client-secret\";"
+    val propsFile = Files.createTempFile("sec", ".properties")
+    Files.writeString(propsFile,
+      "ssl.truststore.location=/etc/pki/trust.p12\n" +
+      "ssl.truststore.password=trust-secret\n")
+    val ttl =
+      s"""@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+         |@prefix fk: <http://jena.apache.org/fuseki/kafka#> .
+         |<#conn> rdf:type fk:Connector ;
+         |  fk:bootstrapServers "stub:9092" ;
+         |  fk:topic "sec" ;
+         |  fk:fusekiServiceName "/sec" ;
+         |  fk:groupId "gsec" ;
+         |  fk:stateFile "/tmp/unused-sec.state" ;
+         |  fk:config ("security.protocol" "SASL_SSL") ;
+         |  fk:config ("sasl.mechanism" "PLAIN") ;
+         |  fk:config ("sasl.jaas.config" "${jaas.replace("\"", "\\\"")}") ;
+         |  fk:config ("ssl.keystore.location" "/etc/pki/client.p12") ;
+         |  fk:config ("ssl.keystore.password" "keystore-secret") ;
+         |  fk:configFile "$propsFile" .
+         |""".stripMargin
+    val cfg = ConnectorAssembler.assemble(ttl).head
+    val s = new KafkaEventSourceFactory(pollTimeoutMillis = 10)
+      .create(cfg, ReadPolicy.Latest, Map.empty)
+    val got = StubBroker.lastConsumerProps
+    assert(got != null)
+    assert(got.getProperty("security.protocol") == "SASL_SSL")
+    assert(got.getProperty("sasl.mechanism") == "PLAIN")
+    assert(got.getProperty("sasl.jaas.config") == jaas)
+    assert(got.getProperty("ssl.keystore.location") == "/etc/pki/client.p12")
+    assert(got.getProperty("ssl.keystore.password") == "keystore-secret")
+    assert(got.getProperty("ssl.truststore.location") == "/etc/pki/trust.p12")
+    assert(got.getProperty("ssl.truststore.password") == "trust-secret")
+    assert(got.getProperty("group.id") == "gsec")
+    // adapter invariants still pinned underneath the pass-through
+    assert(got.getProperty("enable.auto.commit") == "false")
+    s.asInstanceOf[AutoCloseable].close()
+  }
+
   test("the factory wires connector config fields through") {
     StubBroker.reset(); StubBroker.createTopic("fac")
     StubBroker.send("fac", 0, nq(1), CT)

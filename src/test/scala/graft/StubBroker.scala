@@ -15,7 +15,26 @@ object StubBroker {
   private val logs = mutable.LinkedHashMap[(String, Int), mutable.ArrayBuffer[Rec]]()
   private val commits = mutable.LinkedHashMap[(String, String, Int), Long]()
 
-  def reset(): Unit = synchronized { logs.clear(); commits.clear() }
+  /** When true, `subscribe()` does NOT assign partitions — the first
+    * `poll()` completes the "rebalance" (listener callbacks + policy
+    * seeks) and returns records in the SAME invocation, as a real
+    * consumer can when the group coordinator answers mid-poll. This is
+    * the shape that exposed the startup-loop record drop: the adapter
+    * must buffer those records, not discard the poll result.
+    */
+  @volatile var deferAssignment: Boolean = false
+
+  /** Constructor `Properties` of the most recently created consumer —
+    * lets contract tests assert security/client props (sasl.jaas.config,
+    * ssl.*) survive the TTL-config → assembler → factory → reflective
+    * constructor chain verbatim.
+    */
+  @volatile var lastConsumerProps: java.util.Properties = null
+
+  def reset(): Unit = synchronized {
+    logs.clear(); commits.clear()
+    deferAssignment = false; lastConsumerProps = null
+  }
 
   def createTopic(topic: String, partitions: Int = 1): Unit = synchronized {
     (0 until partitions).foreach(p =>

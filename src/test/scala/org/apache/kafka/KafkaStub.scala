@@ -69,6 +69,7 @@ package org.apache.kafka.clients.consumer {
   }
 
   final class KafkaConsumer(props: java.util.Properties) {
+    graft.StubBroker.lastConsumerProps = props.clone().asInstanceOf[java.util.Properties]
     private val groupId = props.getProperty("group.id", "")
     private val maxPoll =
       Option(props.getProperty("max.poll.records")).map(_.toInt).getOrElse(500)
@@ -109,7 +110,10 @@ package org.apache.kafka.clients.consumer {
       while (it.hasNext) b += it.next()
       subscribed = b.toSeq
       listener = l
-      assignNew()
+      // deferAssignment models the real consumer's asynchronous group
+      // join: the rebalance then completes inside the first poll(),
+      // which ALSO returns post-seek records from that same invocation
+      if (!broker.deferAssignment) assignNew()
     }
 
     def assignment(): java.util.Set[TopicPartition] = {
