@@ -2,14 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run (driver → BENCH_r{N}.json).
+  *
+  * Attribution over raw speed: a shared sandbox poisons back-to-back
+  * timings, so the harness is built to make contention visible and
+  * non-clustered rather than pretend it away:
+  *
+  *  - Reps are INTERLEAVED round-robin across entries (pass 1 runs
+  *    every query once, then pass 2, …) instead of running one entry's
+  *    reps consecutively — a contention spike then inflates at most
+  *    one rep of many entries (the median discards it) instead of all
+  *    reps of whichever entry was unlucky.
+  *  - A `calibration` pseudo-entry — a fixed-size deterministic job —
+  *    is timed before every pass and after the last. Its spread
+  *    (max/min) quantifies how contended the run was: a clean run
+  *    reports a spread near 1, so an entry regression paired with a
+  *    calibration spike reads as environment, not code.
+  *
   * Queries run in sorted-name order (round-over-round comparability)
-  * after an untimed warmup query that absorbs JIT/codegen cost. Each
-  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-  * per-query MEDIAN: identical code measured ±40% across rounds on
-  * single shots (sandbox load/page-cache variance), which made
-  * round-over-round comparison unreadable. A failing query is recorded
-  * as -1 with its error in "errors" rather than being silently
-  * swallowed.
+  * after an untimed warmup that absorbs JIT/codegen cost. Each query
+  * reports the per-entry MEDIAN over SPARK_GRAFT_BENCH_REPS passes
+  * (default 3). A failing query is recorded as -1 with its error in
+  * "errors" rather than being silently swallowed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +47,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // fixed-size deterministic job (shuffle + agg, no I/O): wall time
+    // varies only with machine conditions, so its spread across the
+    // run IS the contention measurement
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k").sum("id").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // SPARK_GRAFT_BENCH_ONLY=a,b,c profiles a subset (builder-side
     // iteration; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -46,29 +69,45 @@ object Bench {
     for (name <- Seq("q1_pricing_summary", "sparql_bgp", "proj_zero_lag"))
       try SparkEntry.queries.get(name).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
+    calibrate() // untimed warmup of the calibration plan itself
     clearPinnedBlocks()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val times = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    queries.foreach { case (n, _) =>
+      times(n) = scala.collection.mutable.ArrayBuffer[Double]()
+    }
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to reps) {
+      calib += calibrate()
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            -1.0
+            times(name) += -1.0
         } finally clearPinnedBlocks()
       }
+    }
+    calib += calibrate()
+    val results = queries.map { case (name, _) =>
+      val ts = times(name).toSeq
       val median =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.length / 2)
+        if (ts.contains(-1.0)) -1.0
+        else ts.sorted.apply(ts.length / 2)
       name -> median
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    def r3(d: Double) = math.rint(d * 1000) / 1000
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val spread = if (calib.min > 0) r3(calib.max / calib.min) else -1.0
+    val cal = s"""{"samples":[${calib.map(r3).mkString(",")}],""" +
+      s""""median":${r3(calib.sorted.apply(calib.length / 2))},"spread":$spread}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -408,6 +408,31 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     }
   }
 
+  /** Write a base segment with PREDICATE-LOCAL layout: hash `bucket`
+    * stays the partition key (set-semantics merge/delete pruning and
+    * [[quadsAtBuckets]] depend on it), but WITHIN the written files
+    * rows sort by (predicate.lex, graph.lex, subject.lex). Quad-hash
+    * bucketing alone randomizes predicate locality, so a
+    * predicate-bound BGP leaf — the dominant scan shape — would read
+    * every row group of every bucket with useless min/max stats; after
+    * this sort the pushed `predicate.lex` equality prunes row groups
+    * to the predicate's contiguous band. `repartitionByRange` over the
+    * same key keeps write parallelism at the shuffle-partition count
+    * (NOT the bucket count — a bucket is far bigger than a task at
+    * 100 TB) and gives files non-overlapping predicate ranges; leading
+    * with `bucket` satisfies the partitionBy writer's required
+    * ordering, so no second sort is inserted.
+    */
+  private def writeBase(state: DataFrame, ref: SegRef): Unit = {
+    val layout = Seq(col("bucket"), col("predicate.lex"),
+      col("graph.lex"), col("subject.lex"))
+    state.withColumn("bucket", bucketCol)
+      .repartitionByRange(layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(dir.resolve(ref.name).toString)
+  }
+
   /** Fold the committed tail into the bucketed base and advance the
     * high-water mark past every retired batchId. First compaction
     * writes all buckets; later ones rewrite ONLY buckets the tail
@@ -422,9 +447,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
     if (bases.isEmpty) {
       val ref = SegRef(f"s$nextOrd%08d-base", nextOrd, None)
-      foldOps(readSegments(tail)).withColumn("bucket", bucketCol)
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(dir.resolve(ref.name).toString)
+      writeBase(foldOps(readSegments(tail)), ref)
       writeVersion(Version(Seq(ref), hw))
     } else {
       val tailState = readSegments(tail)
@@ -447,9 +470,7 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
         val merged = b.join(t, cond, "left_anti")
           .unionByName(tailState.filter(col("last_op") === "A")
             .select(QUAD_COLUMNS.map(col): _*))
-          .withColumn("bucket", bucketCol)
-        merged.write.partitionBy("bucket").mode("overwrite")
-          .parquet(dir.resolve(ref.name).toString)
+        writeBase(merged, ref)
         writeVersion(Version(bases :+ ref, hw))
       } finally tailState.unpersist()
     }

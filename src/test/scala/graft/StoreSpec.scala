@@ -459,6 +459,69 @@ class StoreSpec extends AnyFunSuite {
     assert(store.availableBatches() == (0L until 16L))
   }
 
+  test("compacted base is predicate-clustered: row-group stats prune predicate scans") {
+    // quad-hash bucketing randomizes predicate locality; compaction
+    // must restore it WITHIN each bucket's files by sorting on
+    // (predicate.lex, graph.lex, subject.lex), so a predicate-bound
+    // BGP leaf — the dominant scan shape — skips row groups via
+    // parquet min/max stats instead of reading every bucket in full
+    val storeDir = Files.createTempDirectory("qslayout")
+    val store = new QuadStore(spark, storeDir.toString, numBuckets = 2)
+    val quads = for {
+      p <- 0 until 20; s <- 0 until 2000
+    } yield Quad(null, Term.iri(f"http://x/subj$s%05d"),
+      Term.iri(f"http://x/pred$p%02d"), Term.lit(s"v$p-$s"))
+    store.addQuads(0, quads)
+    // tiny row groups so the fixture has enough of them to measure
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    try store.compact()
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
+    // 1) the pushed predicate reaches the base scan
+    val probe = "http://x/pred07"
+    val scan = store.quads().filter(col("predicate.lex") === probe)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("predicate.lex"),
+      s"predicate.lex equality must push to the parquet scan:\n$plan")
+    assert(scan.count() == 2000L)
+    // 2) the footer stats actually discriminate: only a small minority
+    // of row groups can contain the probe predicate
+    val baseDir = Files.list(storeDir).iterator().asScala
+      .find(_.getFileName.toString.contains("-base")).get
+    val files = Files.walk(baseDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    var total = 0
+    var containing = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), hc)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == "predicate.lex").foreach { cc =>
+            val st = cc.getStatistics
+            if (st != null && !st.isEmpty) {
+              total += 1
+              val min = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+              val max = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+              if (min <= probe && probe <= max) containing += 1
+            }
+          }
+      } finally reader.close()
+    }
+    assert(total >= 8, s"fixture must produce several row groups, got $total")
+    assert(containing <= math.max(2, total / 4),
+      s"predicate clustering failed: $containing of $total row groups can " +
+      "contain the probe predicate — stats would not prune the scan")
+  }
+
   test("exportTurtle fails loudly on named-graph quads (no silent drop)") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1"),
