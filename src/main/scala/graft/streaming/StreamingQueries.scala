@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -107,6 +109,61 @@ object StreamingQueries {
         .select(col("click_id"), col("purchase_id"), col("user_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // Stream-stream LEFT OUTER interval join (clicks with no purchase
+    // within 10 min): the harder state-eviction kind — matched pairs
+    // emit immediately, but a null-extended row only emits when the
+    // watermark proves the click can never match. Outer emission is
+    // watermark-driven, so the stream carries one far-future sentinel
+    // row per side: the final watermark then passes every real event
+    // and ALL unmatched clicks emit their null rows — making the entry
+    // equal to the batch LEFT JOIN oracle instead of a tail-truncated
+    // prefix of it.
+    "streaming_join_outer" -> { (s, dir) =>
+      val streamDir = Files.createTempDirectory("events_stream_outer")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsType = raw.schema("ts").dataType
+      val latest = raw.orderBy(col("ts").desc).limit(1)
+      def sentinel(id: Long, kind: String) = {
+        val bumped = tsType match {
+          case LongType => latest.withColumn("ts", col("ts") + lit(86400L * 100 * 1000000000L))
+          case _ => latest.withColumn("ts", col("ts") + expr("interval 100 days"))
+        }
+        bumped.withColumn("event_id", lit(id))
+          .withColumn("user_id", lit(id))
+          .withColumn("event_type", lit(kind))
+      }
+      val sentTmp = Files.createTempDirectory("sentinel")
+      sentinel(-1L, "click").unionByName(sentinel(-2L, "purchase"))
+        .coalesce(1).write.mode("overwrite").parquet(sentTmp.toString)
+      val part = Files.list(sentTmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve("zzz_sentinel.parquet"))
+      val stream0 = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+      val stream = tsType match {
+        case LongType => stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType => stream0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => stream0
+      }
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("interval 10 minutes"),
+        "left_outer")
+      runToTable(joined, "append")
+        .filter(col("user_id") >= 0) // drop the sentinel click
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
     // Streaming stateful dedup: every event is duplicated in-stream,
     // then dropDuplicates over (event_id, ts) with a watermark removes
     // the copies; the result must equal the plain per-type counts.
@@ -137,6 +194,14 @@ object StreamingQueries {
            ON a.user_id = b.user_id
           AND a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, purchase_id""",
+    "streaming_join_outer" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         WHERE a.event_type = 'click'
          ORDER BY click_id, purchase_id""",
     "streaming_session" ->
       """WITH brk AS (
