@@ -1,0 +1,189 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Checkpoints
+import graft.rdf.{RdfParseException, Term}
+
+/** Property-path engine: evaluates a [[Sparql.PathExpr]] to a
+  * (ps, po) pair relation — sequence/alternative/inverse by relational
+  * composition, `+`/`*` as a distributed doubling fixpoint over
+  * localCheckpoint'd closures (released via [[Sparql.releaseClosures]]).
+  * Mixed into [[Sparql]]; split out for reviewability only — no
+  * behavior or API change.
+  */
+private[sparql] trait SparqlPathEngine { this: Sparql.type =>
+  import Sparql._
+  /** The quads a path evaluates over: default graph, one constant
+    * graph, or — for `GRAPH ?var` — every named graph (path semantics
+    * then apply PER GRAPH; the pair relation carries a `pg` column and
+    * every join/closure below adds it to its keys).
+    */
+  private[sparql] def scopedQuads(quads: DataFrame, graph: Option[Node]): DataFrame =
+    graph match {
+      case None => quads.filter(col("graph").isNull)
+      case Some(Const(g)) => quads.filter(termEqFields("graph", g))
+      case Some(Var(_)) => quads.filter(col("graph").isNotNull)
+      case Some(QTriple(_, _, _)) => quads.limit(0) // graph label is never a triple
+    }
+
+  private[sparql] def pathGrouped(graph: Option[Node]): Boolean =
+    graph.exists(_.isInstanceOf[Var])
+
+  /** Evaluate a path expression to a (ps, po) pair relation — plus a
+    * leading `pg` graph column when evaluating under `GRAPH ?var`.
+    */
+  private[sparql] def pathPairs(quads: DataFrame, graph: Option[Node],
+      p: PathExpr): DataFrame = {
+    val grouped = pathGrouped(graph)
+    val pg: Seq[Column] = if (grouped) Seq(col("graph").as("pg")) else Seq.empty
+    p match {
+      case PLink(t) =>
+        scopedQuads(quads, graph).filter(termEqFields("predicate", t))
+          .select(pg ++ Seq(col("subject").as("ps"), col("obj").as("po")): _*)
+      case PInv(i) =>
+        val keep = if (grouped) Seq(col("pg")) else Seq.empty
+        pathPairs(quads, graph, i)
+          .select(keep ++ Seq(col("po").as("ps"), col("ps").as("po")): _*)
+      case PSeq(l, r) =>
+        val a = pathPairs(quads, graph, l).alias("l")
+        val b = pathPairs(quads, graph, r).alias("r")
+        val cond =
+          if (grouped) col("l.po") <=> col("r.ps") && col("l.pg") <=> col("r.pg")
+          else col("l.po") <=> col("r.ps")
+        val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
+          Seq(col("l.ps").as("ps"), col("r.po").as("po"))
+        a.join(b, cond).select(keep: _*)
+      case PAlt(l, r) =>
+        pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r)).distinct()
+      case PPlus(i) => closure(pathPairs(quads, graph, i))
+      case PStar(i) =>
+        closure(pathPairs(quads, graph, i))
+          .unionByName(identityPairs(quads, graph)).distinct()
+      case POpt(i) =>
+        pathPairs(quads, graph, i)
+          .unionByName(identityPairs(quads, graph)).distinct()
+      case PNeg(fwd, inv) =>
+        val scoped = scopedQuads(quads, graph)
+        def excluding(terms: Seq[Term]) =
+          scoped.filter(!terms.map(termEqFields("predicate", _)).reduce(_ || _))
+        val parts =
+          (if (fwd.nonEmpty)
+            Seq(excluding(fwd).select(
+              pg ++ Seq(col("subject").as("ps"), col("obj").as("po")): _*))
+          else Seq.empty) ++
+          (if (inv.nonEmpty)
+            Seq(excluding(inv).select(
+              pg ++ Seq(col("obj").as("ps"), col("subject").as("po")): _*))
+          else Seq.empty)
+        parts.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Zero-length path: every node of the (scoped) graph to itself
+    * (spec: all terms; restricted here to terms occurring as subject
+    * or object, the practically queryable set). Under `GRAPH ?var`
+    * the node set is per graph.
+    */
+  private[sparql] def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
+    val scoped = scopedQuads(quads, graph)
+    if (pathGrouped(graph))
+      scoped.select(col("graph").as("pg"), col("subject").as("n"))
+        .unionByName(scoped.select(col("graph").as("pg"), col("obj").as("n")))
+        .distinct()
+        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
+    else
+      scoped.select(col("subject").as("n"))
+        .unionByName(scoped.select(col("obj").as("n"))).distinct()
+        .select(col("n").as("ps"), col("n").as("po"))
+  }
+
+  /** Distributed transitive closure by doubling: each round joins the
+    * closure with itself, so diameter d needs ⌈log2 d⌉ rounds, every
+    * round a fully-parallel join + distinct. The driver only CONTROLS
+    * the loop (a count per round decides the fixpoint — an aggregate,
+    * not a collect); `localCheckpoint` truncates the growing lineage
+    * so round N's plan does not replay rounds 1..N-1. On a cluster the
+    * same loop runs with a reliable checkpoint dir.
+    *
+    * Block-manager hygiene: each round's checkpoint is eagerly
+    * materialized by its `count()`, so the SUPERSEDED round's blocks
+    * are dead the moment the next round exists — they are unpersisted
+    * immediately (at closure sizes proportional to the data, leaking
+    * one copy per doubling round pins O(rounds × closure) storage for
+    * the JVM lifetime). Only the fixpoint result stays pinned, because
+    * the caller's plan still reads it; it is registered in
+    * [[liveClosures]] so [[releaseClosures]] can free it once the
+    * query's result has been consumed.
+    */
+  private[sparql] def closure(edges: DataFrame): DataFrame = {
+    // a `pg` column means per-graph closure (GRAPH ?var): the graph
+    // simply joins along, so one fixpoint loop covers every graph in
+    // parallel rather than looping per graph
+    val grouped = edges.columns.contains("pg")
+    var cur = edges.distinct().localCheckpoint()
+    var size = cur.count()
+    var fixed = false
+    while (!fixed) {
+      val cond =
+        if (grouped) col("l.po") <=> col("r.ps") && col("l.pg") <=> col("r.pg")
+        else col("l.po") <=> col("r.ps")
+      val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
+        Seq(col("l.ps").as("ps"), col("r.po").as("po"))
+      val next = cur.alias("l")
+        .join(cur.alias("r"), cond)
+        .select(keep: _*)
+        .unionByName(cur).distinct().localCheckpoint()
+      val n = next.count()
+      if (n == size) { Checkpoints.unpersist(next); fixed = true }
+      else { size = n; Checkpoints.unpersist(cur); cur = next }
+    }
+    Option(closureScope.get()) match {
+      case Some(scope) => scope += cur
+      case None => liveClosures.synchronized { liveClosures += cur }
+    }
+    cur
+  }
+
+  private[sparql] val closureScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** Run `f` with every closure fixpoint materialized on THIS thread
+    * collected into a scope freed when `f` completes — the per-request
+    * discipline for long-running multi-tenant callers (the HTTP
+    * server wraps each request): one request's path queries cannot pin
+    * blocks past their response, and releasing them never touches a
+    * concurrent request's still-streaming closures, which the global
+    * [[releaseClosures]] would. The compile AND the result consumption
+    * must both happen inside `f` (both do, for a request handler).
+    */
+  def withClosureScope[T](f: => T): T = {
+    val outer = closureScope.get()
+    val mine = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    closureScope.set(mine)
+    try f
+    finally {
+      closureScope.set(outer)
+      mine.foreach(Checkpoints.unpersist(_))
+    }
+  }
+
+  /** Fixpoint results whose checkpoint blocks are still pinned (the
+    * caller's lazy plan reads them). A long-running session — or the
+    * bench harness between entries — calls [[releaseClosures]] after
+    * consuming results to return the block manager to its pre-query
+    * footprint.
+    */
+  private[sparql] val liveClosures = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Unpersist every closure checkpoint still pinned by past path
+    * queries. Safe once their results have been consumed; a plan that
+    * still references one would recompute from a freed checkpoint and
+    * fail, so call between queries, not mid-consumption.
+    */
+  def releaseClosures(): Unit = liveClosures.synchronized {
+    liveClosures.foreach(Checkpoints.unpersist(_))
+    liveClosures.clear()
+  }
+}
