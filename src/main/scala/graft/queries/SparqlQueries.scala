@@ -195,8 +195,10 @@ object SparqlQueries {
             GROUP BY ?rk""")
       res.select(col("rk").getField("lex").cast("int").as("n_regionkey"),
           col("sum_k").cast("long").as("sum_k"),
-          col("min_k").cast("long").as("min_k"),
-          col("max_k").cast("long").as("max_k"))
+          // MIN/MAX return the extreme ORIGINAL TERM (strings/dates
+          // have a defined MIN too); numeric consumers read the lex
+          col("min_k").getField("lex").cast("long").as("min_k"),
+          col("max_k").getField("lex").cast("long").as("max_k"))
         .orderBy(col("n_regionkey"))
     },
     // transitive closure over a chain built from nation keys

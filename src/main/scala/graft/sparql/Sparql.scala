@@ -173,6 +173,12 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
   final case class VFnN(func: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — an error in `cond` is an error (§17.4.1.2). */
   final case class VIf(cond: FExpr, t: VExpr, e: VExpr) extends VExpr
+  /** Boolean-valued expression (comparison/logical) used in term
+    * position — `BIND((?v = 2) AS ?b)`, `SELECT (?x < ?y AS ?lt)`:
+    * evaluates to an xsd:boolean literal; an expression ERROR (not
+    * plain false — three-valued null) leaves the result unbound.
+    */
+  final case class VBool(cond: FExpr) extends VExpr
   /** An XSD casting constructor `xsd:integer(expr)` etc. (§17.5 /
     * XPath §17): validates the source value and produces a canonical
     * typed literal, or an expression error.
@@ -552,18 +558,31 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         // term-typed aggregate — the sub-SELECT form, and the form
         // expressions read: MIN/MAX return the ORIGINAL extreme term,
         // COUNT/SUM/AVG canonical numeric literals
+        // MIN/MAX order key over ALL terms (§15.1 restricted to one
+        // aggregate's bag): numerics by value first, then non-numerics
+        // by lexical form — so MIN over strings is defined, not null
+        def ordKey(e: VExpr): Column = {
+          val c = argCol(e); val v = argVal(e)
+          struct(when(v.isNotNull, 0).otherwise(1).as("kind"),
+            v.as("num"), c.getField("lex").as("lex"))
+        }
         def termAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
             sep: String): Column = func match {
           case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
           case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
-          case "MIN" => min_by(argCol(arg.get), argVal(arg.get))
-          case "MAX" => max_by(argCol(arg.get), argVal(arg.get))
+          case "MIN" => min_by(argCol(arg.get), ordKey(arg.get))
+          case "MAX" => max_by(argCol(arg.get), ordKey(arg.get))
           case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
           case "SAMPLE" => min_by(argCol(arg.get), argCol(arg.get).getField("lex"))
           case other => throw new RdfParseException(s"unsupported aggregate $other")
         }
         val aggCols = items.collect { case ItemAgg(func, arg, as, isDistinct, sep) =>
-          (if (asTerms) termAgg(func, arg, isDistinct, sep)
+          // MIN/MAX return the extreme ORIGINAL TERM even at the top
+          // level (strings and dates have a defined MIN; a raw numeric
+          // column could not hold them) — COUNT/SUM/AVG/GROUP_CONCAT/
+          // SAMPLE keep the raw-SQL-value convenience contract there
+          (if (asTerms || func == "MIN" || func == "MAX")
+             termAgg(func, arg, isDistinct, sep)
            else rawAgg(func, arg, isDistinct, sep)).as(as)
         }
         // aggregate calls embedded in expressions (projection + ORDER
@@ -842,6 +861,31 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           o match {
             case Const(t) => pairs = pairs.filter(col("po") <=> termLit(t))
             case _ => ()
+          }
+          // zero-length-capable path with a CONSTANT endpoint: the
+          // term matches itself even when absent from the graph
+          // (identityPairs only covers the graph's own node set).
+          // Post-filter, so the union + dedup touch the already-tiny
+          // constant-bound relation, never the full pair relation.
+          if (pathZeroLength(path)) {
+            val cterm = (s, o) match {
+              case (Const(a2), Const(b2)) => if (a2 == b2) Some(a2) else None
+              case (Const(a2), _) => Some(a2)
+              case (_, Const(b2)) => Some(b2)
+              case _ => None
+            }
+            cterm.foreach { t =>
+              val tl = termLit(t)
+              val extra =
+                if (pathGrouped(graph))
+                  // under GRAPH ?var the zero-length match holds in
+                  // EVERY named graph
+                  scopedQuads(quads, graph).select(col("graph").as("pg"))
+                    .distinct().select(col("pg"), tl.as("ps"), tl.as("po"))
+                else quads.sparkSession.range(1)
+                  .select(tl.as("ps"), tl.as("po"))
+              pairs = pairs.unionByName(extra).distinct()
+            }
           }
           // endpoint slots plus, under GRAPH ?var, the graph binding;
           // a repeated variable forces equality and projects once

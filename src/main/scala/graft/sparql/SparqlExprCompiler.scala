@@ -118,6 +118,17 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
       when(c === true, compileExpr(t, resolve))
         .when(c === false, compileExpr(f, resolve))
         .otherwise(nullTerm)
+    case VBool(cond) =>
+      // boolean-valued expression in term position: three-valued null
+      // (expression error) stays unbound, true/false become canonical
+      // xsd:boolean literals
+      val c = compileFilter(cond, resolve)
+      when(c.isNotNull,
+        struct(lit(Term.LIT).as("termType"),
+          when(c, lit("true")).otherwise(lit("false")).as("lex"),
+          lit(Term.XSD_BOOLEAN).as("datatype"),
+          lit(null).cast("string").as("lang")))
+        .otherwise(nullTerm)
     case VCast(dt, arg) =>
       // §17.5 XPath casting: validate the source, emit the canonical
       // typed literal, error (null) on anything outside the cast table
@@ -214,11 +225,22 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
         case "UCASE" => likeArg(0)(upper(lex(0)))
         case "LCASE" => likeArg(0)(lower(lex(0)))
         case "CONCAT" =>
-          // all args must be literals; result is a simple literal
-          val ok = args.indices.map(i => a(i).getField("termType") === Term.LIT)
-            .reduce(_ && _)
-          when(ok, plainStrTerm(concat(args.indices.map(lex): _*)))
-            .otherwise(nullTerm)
+          // all args must be literals; a lang tag shared by ALL
+          // arguments survives (§17.4.3.12), otherwise the result is a
+          // simple literal
+          if (args.isEmpty) plainStrTerm(lit(""))
+          else {
+            val ok = args.indices.map(i => a(i).getField("termType") === Term.LIT)
+              .reduce(_ && _)
+            val langs = args.indices.map(i => a(i).getField("lang"))
+            val shared = langs.tail.foldLeft(langs.head.isNotNull)(
+              (acc, c) => acc && (c <=> langs.head))
+            when(ok, struct(lit(Term.LIT).as("termType"),
+              concat(args.indices.map(lex): _*).as("lex"),
+              lit(null).cast("string").as("datatype"),
+              when(shared, langs.head).otherwise(lit(null).cast("string")).as("lang")))
+              .otherwise(nullTerm)
+          }
         case "SUBSTR" =>
           // XPath fn:substring (§17.4.3.3): keep positions p with
           // round(start) <= p < round(start) + round(len). A start
@@ -241,20 +263,30 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
               "REPLACE needs constant pattern and replacement")
           }
         case "STRBEFORE" =>
+          // a MATCH (incl. the empty separator) yields a literal of
+          // arg1's kind — lang tag / datatype survive (§17.4.3.7); no
+          // match yields an empty SIMPLE literal
+          def like0(l: Column) = struct(lit(Term.LIT).as("termType"),
+            l.as("lex"), a(0).getField("datatype").as("datatype"),
+            a(0).getField("lang").as("lang"))
           val sep = sepArg
-          onLit(0)(plainStrTerm(
-            if (sep.isEmpty) lit("")
+          onLit(0)(
+            if (sep.isEmpty) like0(lit(""))
             else when(instr(lex(0), sep) > 0,
-              substring_index(lex(0), sep, 1)).otherwise(lit(""))))
+              like0(substring_index(lex(0), sep, 1)))
+              .otherwise(plainStrTerm(lit(""))))
         case "STRAFTER" =>
+          def like0(l: Column) = struct(lit(Term.LIT).as("termType"),
+            l.as("lex"), a(0).getField("datatype").as("datatype"),
+            a(0).getField("lang").as("lang"))
           val sep = sepArg
-          onLit(0)(plainStrTerm(
-            if (sep.isEmpty) lex(0)
+          onLit(0)(
+            if (sep.isEmpty) like0(lex(0))
             else {
               val p = locate(sep, lex(0))
-              when(p > 0, lex(0).substr(p + sep.length, lit(Int.MaxValue)))
-                .otherwise(lit(""))
-            }))
+              when(p > 0, like0(lex(0).substr(p + sep.length, lit(Int.MaxValue))))
+                .otherwise(plainStrTerm(lit("")))
+            })
         case "ABS" => numericTerm(abs(numValueOf(a(0))),
           when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
             lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))

@@ -48,6 +48,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     }
     def vw(v: VExpr): VExpr = v match {
       case VIf(c, t, e) => VIf(fw(c), vw(t), vw(e))
+      case VBool(c) => VBool(fw(c))
       case VCoalesce(args) => VCoalesce(args.map(vw))
       case VFn(fn, a) => VFn(fn, vw(a))
       case VBin(op, l, r) => VBin(op, vw(l), vw(r))
@@ -76,6 +77,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     }
     def vw(v: VExpr): Seq[FExists] = v match {
       case VIf(c, t, e) => fw(c) ++ vw(t) ++ vw(e)
+      case VBool(c) => fw(c)
       case VCoalesce(args) => args.flatMap(vw)
       case VFn(_, a) => vw(a)
       case VBin(_, l, r) => vw(l) ++ vw(r)
@@ -184,6 +186,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     case VBin(_, l, r) => varsOfV(l) ++ varsOfV(r)
     case VFnN(_, args) => args.flatMap(varsOfV).toSet
     case VIf(c, t, f) => varsOf(c) ++ varsOfV(t) ++ varsOfV(f)
+    case VBool(c) => varsOf(c)
     case VAgg(_, arg, _, _) => arg.map(varsOfV).getOrElse(Set.empty)
     case VCast(_, a) => varsOfV(a)
   }
@@ -196,6 +199,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     case VBin(_, l, r) => aggsOfV(l) ++ aggsOfV(r)
     case VFnN(_, args) => args.flatMap(aggsOfV)
     case VIf(c, t, f) => aggsOfF(c) ++ aggsOfV(t) ++ aggsOfV(f)
+    case VBool(c) => aggsOfF(c)
     case VCast(_, a) => aggsOfV(a)
     case _ => Seq.empty
   }
@@ -222,6 +226,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     case VBin(op, l, r) => VBin(op, substAggs(l, f), substAggs(r, f))
     case VFnN(fn, args) => VFnN(fn, args.map(substAggs(_, f)))
     case VIf(c, t, el) => VIf(substAggsF(c, f), substAggs(t, f), substAggs(el, f))
+    case VBool(c) => VBool(substAggsF(c, f))
     case VCast(dt, a) => VCast(dt, substAggs(a, f))
     case other => other
   }

@@ -370,9 +370,14 @@ import Sparql._
             } else if (tryKeyword("EXISTS")) {
               elems += ExistsElem(parseGroup(), positive = true)
             } else {
-              expect('(')
-              val f = parseFilterOr()
-              expect(')')
+              // Constraint ::= BrackettedExpression | BuiltInCall |
+              // FunctionCall (§19.8) — `FILTER REGEX(…)`,
+              // `FILTER langMatches(…)`, `FILTER xsd:integer(?x) = …`
+              // are legal without an extra bracket pair
+              skipWs()
+              val f =
+                if (peek == '(') { expect('('); val e = parseFilterOr(); expect(')'); e }
+                else parseFilterCmp()
               elems += FilterElem(f)
             }
           } else if (tryKeyword("VALUES")) {
@@ -788,7 +793,27 @@ import Sparql._
 
     private def parsePrimaryV(): VExpr = {
       skipWs()
-      if (peek == '(') { pos += 1; val e = parseAdditive(); expect(')'); e }
+      if (peek == '(') {
+        // a bracketted sub-expression may be arithmetic OR boolean
+        // (`BIND((?v = 2) AS ?b)`): parse the full boolean grammar —
+        // pure arithmetic comes back as its EBV wrapper and unwraps,
+        // anything else is a boolean-valued term expression
+        pos += 1; val f = parseFilterOr(); expect(')')
+        f match { case FEbv(e) => e; case other => VBool(other) }
+      }
+      else if (peek == '-' && !(pos + 1 < text.length &&
+               (text.charAt(pos + 1).isDigit || text.charAt(pos + 1) == '.'))) {
+        // unary minus on a non-literal operand (`-?v`); negative
+        // NUMERIC literals keep their turtle-style parseNode path so
+        // the datatype stays exact
+        pos += 1
+        VBin("-", VConst(Term.typed("0", Term.XSD_INTEGER)), parsePrimaryV())
+      }
+      else if (peek == '+' && !(pos + 1 < text.length &&
+               (text.charAt(pos + 1).isDigit || text.charAt(pos + 1) == '.'))) {
+        pos += 1
+        parsePrimaryV() // unary plus is the identity
+      }
       else if (peekAgg()) {
         val (func, arg, isDistinct, sep) = parseAggCall()
         VAgg(func, arg, isDistinct, sep)
@@ -900,6 +925,10 @@ import Sparql._
 
     private[sparql] def parseNode(): Node = {
       skipWs()
+      // boolean keyword literals (RDFLiteral alternative in GraphTerm);
+      // tryKeyword's prefixed-name lookahead keeps `true:x` intact
+      if (tryKeyword("true")) return Const(Term.typed("true", Term.XSD_BOOLEAN))
+      if (tryKeyword("false")) return Const(Term.typed("false", Term.XSD_BOOLEAN))
       peek match {
         case '?' => Var(parseVar())
         // SPARQL-star quoted triple pattern `<< s p o >>`

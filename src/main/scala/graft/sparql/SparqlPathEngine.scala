@@ -86,6 +86,20 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     * or object, the practically queryable set). Under `GRAPH ?var`
     * the node set is per graph.
     */
+  /** Whether a path can match with LENGTH ZERO — `*`/`?` and
+    * compositions that preserve the empty path. A zero-length path
+    * matches a constant endpoint with ITSELF even when the term never
+    * occurs in the graph (§18.4: ALP starts from the term, not from
+    * the graph's node set).
+    */
+  private[sparql] def pathZeroLength(p: PathExpr): Boolean = p match {
+    case PStar(_) | POpt(_) => true
+    case PSeq(l, r) => pathZeroLength(l) && pathZeroLength(r)
+    case PAlt(l, r) => pathZeroLength(l) || pathZeroLength(r)
+    case PInv(i) => pathZeroLength(i)
+    case _ => false
+  }
+
   private[sparql] def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
     val scoped = scopedQuads(quads, graph)
     if (pathGrouped(graph))
