@@ -609,11 +609,16 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             case ItemExpr(_, as) => as
           }
         val allAggs = aggCols ++ hiddenCols
+        // a GROUP BY variable the pattern never binds is legal — every
+        // solution has it unbound, giving one all-null group key
+        val groupCols = q.groupBy.map(n =>
+          if (bound.columns.contains(n)) col(n)
+          else lit(null).cast(TERM_STRUCT).as(n))
         val grouped =
           if (allAggs.isEmpty) // pure-key projection over a grouped query
-            bound.select(q.groupBy.map(col): _*).dropDuplicates()
+            bound.select(groupCols: _*).dropDuplicates()
           else if (q.groupBy.isEmpty) bound.agg(allAggs.head, allAggs.tail: _*)
-          else bound.groupBy(q.groupBy.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
+          else bound.groupBy(groupCols: _*).agg(allAggs.head, allAggs.tail: _*)
         // HAVING: FILTER semantics over the grouped solution — group
         // keys resolve directly, aggregate calls via the hidden columns
         val kept0 = q.having.foldLeft(grouped) { (d, f) =>

@@ -611,6 +611,19 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
     * resolves statically to a plain datatype/lang predicate on the
     * other operand (pushable); var-vs-var takes the column form.
     */
+  /** Datatypes with a defined `<` beyond numerics and simple strings
+    * (op:dateTime/date/time/boolean-less-than, §17.3) — orderable only
+    * against the SAME datatype.
+    */
+  private val ORDERABLE_DATATYPES: Seq[String] = Seq(
+    Term.XSD_DATETIME, Term.XSD_DATE, Term.XSD_BOOLEAN, Term.XSD + "time")
+
+  private def sameOrderableDt(a: Column, b: Column): Column =
+    a.getField("termType") === Term.LIT && b.getField("termType") === Term.LIT &&
+      a.getField("lang").isNull && b.getField("lang").isNull &&
+      coalesce(a.getField("datatype").isin(ORDERABLE_DATATYPES: _*), lit(false)) &&
+      a.getField("datatype") === b.getField("datatype")
+
   private[sparql] def comparable(l: VExpr, r: VExpr, resolve: String => Column): Column = (l, r) match {
     case (VConst(t), e) => comparableWith(compileExpr(e, resolve), t)
     case (e, VConst(t)) => comparableWith(compileExpr(e, resolve), t)
@@ -619,7 +632,10 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
       val b = compileExpr(r, resolve)
       when(isNumericLit(a) || isNumericLit(b), isNumericLit(a) && isNumericLit(b))
         .when(isPlainString(a) || isPlainString(b), isPlainString(a) && isPlainString(b))
-        .otherwise(lit(true)) // IRI/blank/lang-tagged: total order (extension)
+        // IRI / blank / lang-tagged / mismatched datatypes: TYPE ERROR
+        // (spec §17.3 leaves them without an order; the total-order
+        // extension lives only in ORDER BY, §15.1)
+        .otherwise(sameOrderableDt(a, b))
   }
 
   private[sparql] def isNumericLit(c: Column): Column =
@@ -641,6 +657,11 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
     else if (t.termType == Term.LIT && t.lang == null &&
         (t.datatype == null || t.datatype == Term.XSD_STRING))
       isPlainString(c)
-    else lit(true) // IRI/blank/lang-tagged: total order (extension)
+    else if (t.termType == Term.LIT && t.lang == null &&
+        ORDERABLE_DATATYPES.contains(t.datatype))
+      isLit && c.getField("lang").isNull &&
+        c.getField("datatype") === t.datatype
+    // IRI / blank / lang-tagged constant: no defined order → type error
+    else lit(false)
   }
 }

@@ -1,0 +1,395 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+
+import graft.rdf.Term
+import graft.sparql.Sparql
+
+/** Differential SPARQL fuzzing: seeded random queries over seeded
+  * random datasets, executed BOTH by the distributed DataFrame
+  * compilation and by a naive reference evaluator written directly
+  * from the spec's set-algebra over in-memory quads — then compared
+  * as multisets of rendered solutions. The naive evaluator is small
+  * enough to be obviously correct, so any divergence is an engine
+  * bug (or a genuine spec ambiguity to pin down). This is the
+  * counterpart of the hand-written ConformanceSpec: breadth there is
+  * authored, breadth here is generated — join shapes, OPTIONAL
+  * nesting, UNION branches, MINUS/NOT EXISTS, three-valued FILTER
+  * errors, DISTINCT, projection, and grouped COUNT compose randomly.
+  *
+  * Deterministic by default (fixed seed); FUZZ_N deepens the search
+  * for a soak run (e.g. `FUZZ_N=1000 sbt "testOnly *DifferentialFuzzSpec"`),
+  * FUZZ_SEED shifts the space.
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val N = sys.env.get("FUZZ_N").map(_.toInt).getOrElse(120)
+  private val SEED = sys.env.get("FUZZ_SEED").map(_.toLong).getOrElse(7L)
+
+  // --- query model ----------------------------------------------------------
+
+  private sealed trait Node
+  private case class V(name: String) extends Node
+  private case class C(term: Term) extends Node
+
+  private case class TP(s: Node, p: Node, o: Node)
+
+  private sealed trait Filt
+  private case class Cmp(l: Node, op: String, r: Node) extends Filt
+  private case class Bound(v: String, positive: Boolean) extends Filt
+  private case class AndF(l: Filt, r: Filt) extends Filt
+  private case class OrF(l: Filt, r: Filt) extends Filt
+
+  /** One generated query: BGP, then optional UNION-of-two-BGPs joined
+    * in, then OPTIONALs, then MINUS / NOT EXISTS, then FILTERs; with
+    * projection, DISTINCT, and an optional grouped COUNT.
+    */
+  private case class GenQuery(
+      bgp: Seq[TP],
+      union: Option[(Seq[TP], Seq[TP])],
+      optionals: Seq[Seq[TP]],
+      minus: Option[Seq[TP]],
+      notExists: Option[Seq[TP]],
+      filters: Seq[Filt],
+      project: Seq[String],
+      distinct: Boolean,
+      countBy: Option[String]) // GROUP BY this var, COUNT(*) AS ?n
+
+  // --- rendering to SPARQL text --------------------------------------------
+
+  private def nodeText(n: Node): String = n match {
+    case V(v) => s"?$v"
+    case C(t) => t.toNT
+  }
+
+  private def tpText(tp: TP): String =
+    s"${nodeText(tp.s)} ${nodeText(tp.p)} ${nodeText(tp.o)} ."
+
+  private def filtText(f: Filt): String = f match {
+    case Cmp(l, op, r) => s"(${nodeText(l)} $op ${nodeText(r)})"
+    case Bound(v, true) => s"BOUND(?$v)"
+    case Bound(v, false) => s"(!BOUND(?$v))"
+    case AndF(l, r) => s"(${filtText(l)} && ${filtText(r)})"
+    case OrF(l, r) => s"(${filtText(l)} || ${filtText(r)})"
+  }
+
+  private def queryText(q: GenQuery): String = {
+    val sb = new StringBuilder
+    sb.append(q.countBy match {
+      case Some(g) => s"SELECT ?$g (COUNT(*) AS ?n)"
+      case None =>
+        (if (q.distinct) "SELECT DISTINCT " else "SELECT ") +
+          q.project.map("?" + _).mkString(" ")
+    })
+    sb.append(" {\n")
+    q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
+    q.union.foreach { case (a, b) =>
+      sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
+        b.map(tpText).mkString(" ") + " }\n")
+    }
+    q.optionals.foreach(o =>
+      sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") + " }\n"))
+    q.minus.foreach(m =>
+      sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
+    q.notExists.foreach(ne =>
+      sb.append("  FILTER NOT EXISTS { " + ne.map(tpText).mkString(" ") + " }\n"))
+    q.filters.foreach(f => sb.append("  FILTER " + filtText(f) + "\n"))
+    sb.append("}")
+    q.countBy.foreach(g => sb.append(s" GROUP BY ?$g"))
+    sb.toString
+  }
+
+  // --- naive reference evaluator (spec algebra over Seq[Quad]) -------------
+
+  private type Sol = Map[String, Term]
+
+  private def termMatch(n: Node, t: Term, sol: Sol): Option[Sol] = n match {
+    case C(c) => if (c == t) Some(sol) else None
+    case V(v) => sol.get(v) match {
+      case Some(b) => if (b == t) Some(sol) else None
+      case None => Some(sol + (v -> t))
+    }
+  }
+
+  private def evalTp(data: Seq[(Term, Term, Term)], tp: TP, sol: Sol): Seq[Sol] =
+    data.flatMap { case (s, p, o) =>
+      for {
+        s1 <- termMatch(tp.s, s, sol)
+        s2 <- termMatch(tp.p, p, s1)
+        s3 <- termMatch(tp.o, o, s2)
+      } yield s3
+    }
+
+  private def evalBgp(data: Seq[(Term, Term, Term)], tps: Seq[TP],
+      init: Seq[Sol]): Seq[Sol] =
+    tps.foldLeft(init)((sols, tp) => sols.flatMap(evalTp(data, tp, _)))
+
+  private def compatible(a: Sol, b: Sol): Boolean =
+    (a.keySet intersect b.keySet).forall(k => a(k) == b(k))
+
+  private def join(l: Seq[Sol], r: Seq[Sol]): Seq[Sol] =
+    for { a <- l; b <- r if compatible(a, b) } yield a ++ b
+
+  private def leftJoin(l: Seq[Sol], r: Seq[Sol]): Seq[Sol] =
+    l.flatMap { a =>
+      val ext = r.filter(compatible(a, _)).map(a ++ _)
+      if (ext.nonEmpty) ext else Seq(a)
+    }
+
+  /** §8.3.3 Minus: drop μ1 when some μ2 is compatible AND shares a
+    * variable (disjoint domains never subtract).
+    */
+  private def minusOp(l: Seq[Sol], r: Seq[Sol]): Seq[Sol] =
+    l.filterNot(a => r.exists(b =>
+      compatible(a, b) && (a.keySet intersect b.keySet).nonEmpty))
+
+  /** Three-valued filter evaluation: Some(bool) or None (= error). */
+  private def evalFilt(f: Filt, sol: Sol): Option[Boolean] = f match {
+    case Bound(v, pos) => Some(sol.contains(v) == pos)
+    case Cmp(l, op, r) =>
+      def termOf(n: Node): Option[Term] = n match {
+        case C(t) => Some(t)
+        case V(v) => sol.get(v)
+      }
+      (termOf(l), termOf(r)) match {
+        case (Some(a), Some(b)) => cmpTerms(a, op, b)
+        case _ => None // unbound operand → expression error
+      }
+    case AndF(l, r) => (evalFilt(l, sol), evalFilt(r, sol)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case OrF(l, r) => (evalFilt(l, sol), evalFilt(r, sol)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+  }
+
+  private def numOf(t: Term): Option[BigDecimal] =
+    if (t.isLit && t.datatype == Term.XSD_INTEGER) Some(BigDecimal(t.lex))
+    else None
+
+  /** Value-space comparison per §17.3: numerics by value; simple
+    * strings by codepoint; `=`/`!=` extend to term (in)equality for
+    * IRIs; everything else is a type error.
+    */
+  private def cmpTerms(a: Term, op: String, b: Term): Option[Boolean] =
+    (numOf(a), numOf(b)) match {
+      case (Some(x), Some(y)) => Some(op match {
+        case "=" => x == y
+        case "!=" => x != y
+        case "<" => x < y
+        case "<=" => x <= y
+        case ">" => x > y
+        case ">=" => x >= y
+      })
+      case _ =>
+        val bothPlainStr = a.isLit && b.isLit &&
+          a.datatype == null && b.datatype == null &&
+          a.lang == null && b.lang == null
+        if (bothPlainStr) Some(op match {
+          case "=" => a.lex == b.lex
+          case "!=" => a.lex != b.lex
+          case "<" => a.lex < b.lex
+          case "<=" => a.lex <= b.lex
+          case ">" => a.lex > b.lex
+          case ">=" => a.lex >= b.lex
+        })
+        else if (op == "=" || op == "!=") {
+          // RDFterm-equal (§17.4.1.1): same term → equal; a type
+          // error needs BOTH sides literal (they might be value-equal
+          // under a datatype we don't evaluate); any mix of kinds, or
+          // two distinct non-literals, is definitively not equal
+          if (a == b) Some(op == "=")
+          else if (a.isLit && b.isLit) None
+          else Some(op == "!=")
+        } else None
+    }
+
+  private def project(sols: Seq[Sol], vars: Seq[String]): Seq[Sol] =
+    sols.map(s => s.filter { case (k, _) => vars.contains(k) })
+
+  private def evalNaive(data: Seq[(Term, Term, Term)], q: GenQuery): Seq[Sol] = {
+    var sols = evalBgp(data, q.bgp, Seq(Map.empty))
+    q.union.foreach { case (a, b) =>
+      val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
+      sols = join(sols, u)
+    }
+    q.optionals.foreach { o =>
+      sols = leftJoin(sols, evalBgp(data, o, Seq(Map.empty)))
+    }
+    q.minus.foreach { m => sols = minusOp(sols, evalBgp(data, m, Seq(Map.empty))) }
+    q.notExists.foreach { ne =>
+      // §8.1.1: substitute the outer bindings into the inner pattern
+      sols = sols.filter(sol => evalBgp(data,
+        ne.map(tp => TP(subst(tp.s, sol), subst(tp.p, sol), subst(tp.o, sol))),
+        Seq(Map.empty)).isEmpty)
+    }
+    q.filters.foreach { f =>
+      sols = sols.filter(sol => evalFilt(f, sol).contains(true))
+    }
+    q.countBy match {
+      case Some(g) =>
+        sols.groupBy(_.get(g)).toSeq.map { case (k, group) =>
+          k.fold(Map("n" -> Term.typed(group.size.toString, Term.XSD_INTEGER)))(
+            t => Map(g -> t, "n" -> Term.typed(group.size.toString, Term.XSD_INTEGER)))
+        }
+      case None =>
+        val projected = project(sols, q.project)
+        if (q.distinct) projected.distinct else projected
+    }
+  }
+
+  private def subst(n: Node, sol: Sol): Node = n match {
+    case V(v) if sol.contains(v) => C(sol(v))
+    case other => other
+  }
+
+  // --- generation -----------------------------------------------------------
+
+  private def genData(rnd: scala.util.Random): Seq[(Term, Term, Term)] = {
+    val subs = (0 until 4).map(i => Term.iri(s"http://f/s$i"))
+    val preds = (0 until 3).map(i => Term.iri(s"http://f/p$i"))
+    val objs: Seq[Term] =
+      subs ++
+      (0 until 4).map(i => Term.typed(i.toString, Term.XSD_INTEGER)) ++
+      Seq(Term.lit("a"), Term.lit("b"))
+    val n = 12 + rnd.nextInt(18)
+    (0 until n).map { _ =>
+      (subs(rnd.nextInt(subs.size)), preds(rnd.nextInt(preds.size)),
+        objs(rnd.nextInt(objs.size)))
+    }.distinct // an RDF graph is a SET of triples
+  }
+
+  private def genQuery(rnd: scala.util.Random): GenQuery = {
+    val varPool = Seq("a", "b", "c", "d")
+    var used = scala.collection.mutable.LinkedHashSet[String]()
+    def newVar(): String = {
+      val v = varPool(rnd.nextInt(varPool.size)); used += v; v
+    }
+    def sharedVar(): String =
+      if (used.nonEmpty && rnd.nextDouble() < 0.7)
+        used.toSeq(rnd.nextInt(used.size))
+      else newVar()
+    def someSub() = Term.iri(s"http://f/s${rnd.nextInt(4)}")
+    def somePred() = Term.iri(s"http://f/p${rnd.nextInt(3)}")
+    def someObj(): Term = rnd.nextInt(3) match {
+      case 0 => someSub()
+      case 1 => Term.typed(rnd.nextInt(4).toString, Term.XSD_INTEGER)
+      case _ => Term.lit(if (rnd.nextBoolean()) "a" else "b")
+    }
+    def genTp(): TP = {
+      val s = if (rnd.nextDouble() < 0.7) V(sharedVar()) else C(someSub())
+      val p = if (rnd.nextDouble() < 0.8) C(somePred()) else V(sharedVar())
+      val o = if (rnd.nextDouble() < 0.6) V(sharedVar()) else C(someObj())
+      TP(s, p, o)
+    }
+    def genTps(max: Int): Seq[TP] = (0 to rnd.nextInt(max)).map(_ => genTp())
+
+    val bgp = genTps(2)
+    val union =
+      if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
+    val optionals = (0 until rnd.nextInt(2)).map(_ => genTps(1))
+    val minus = if (rnd.nextDouble() < 0.25) Some(genTps(1)) else None
+    val notExists =
+      if (minus.isEmpty && rnd.nextDouble() < 0.25) Some(genTps(1)) else None
+    def genFilt(depth: Int): Filt = {
+      val roll = rnd.nextDouble()
+      if (depth > 0 && roll < 0.2)
+        AndF(genFilt(depth - 1), genFilt(depth - 1))
+      else if (depth > 0 && roll < 0.4)
+        OrF(genFilt(depth - 1), genFilt(depth - 1))
+      else if (roll < 0.55 && used.nonEmpty)
+        Bound(used.toSeq(rnd.nextInt(used.size)), rnd.nextBoolean())
+      else {
+        val l = V(sharedVar())
+        val r = rnd.nextInt(3) match {
+          case 0 => C(Term.typed(rnd.nextInt(4).toString, Term.XSD_INTEGER))
+          case 1 => V(sharedVar())
+          case _ => C(someObj())
+        }
+        val ops = Seq("=", "!=", "<", "<=", ">", ">=")
+        Cmp(l, ops(rnd.nextInt(ops.size)), r)
+      }
+    }
+    val filters = (0 until rnd.nextInt(2)).map(_ => genFilt(1))
+    val allVars = used.toSeq
+    val project =
+      if (allVars.isEmpty) Seq.empty
+      else if (rnd.nextDouble() < 0.5) allVars
+      else allVars.take(1 + rnd.nextInt(allVars.size))
+    val countable = allVars.nonEmpty && rnd.nextDouble() < 0.15
+    GenQuery(bgp, union, optionals, minus, notExists, filters,
+      project, distinct = rnd.nextDouble() < 0.3,
+      countBy = if (countable) Some(allVars.head) else None)
+  }
+
+  // --- comparison harness ---------------------------------------------------
+
+  private def renderNaive(sols: Seq[Sol]): Seq[String] =
+    sols.map(_.toSeq.sortBy(_._1)
+      .map { case (k, t) => s"$k=${t.toNT}" }.mkString(" ")).sorted
+
+  private def renderEngine(df: DataFrame): Seq[String] = {
+    val cols = df.columns.toSeq
+    df.collect().toSeq.map { row =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        row.get(i) match {
+          case null => None
+          case r: org.apache.spark.sql.Row =>
+            Some(c -> Term(r.getString(0), r.getString(1), r.getString(2),
+              r.getString(3)).toNT)
+          case l: Long => // grouped COUNT returns a raw long
+            Some(c -> Term.typed(l.toString, Term.XSD_INTEGER).toNT)
+          case other => Some(c -> other.toString)
+        }
+      }.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+    }.sorted
+  }
+
+  test(s"differential: engine matches the naive evaluator on $N random queries") {
+    import spark.implicits._
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    var skipped = 0
+    (0 until N).foreach { i =>
+      val rnd = new scala.util.Random(SEED * 1000003L + i)
+      val data = genData(rnd)
+      val q = genQuery(rnd)
+      if (q.project.isEmpty && q.countBy.isEmpty) skipped += 1
+      else {
+        val naive = evalNaive(data, q)
+        if (naive.size > 20000) skipped += 1 // unbounded cross join: cap runtime
+        else {
+          val text = queryText(q)
+          val df = data.map { case (s, p, o) =>
+            ConformanceQuad(null, s, p, o)
+          }.toDF()
+          val engine =
+            try renderEngine(Sparql.execute(df, text))
+            catch {
+              case e: Exception =>
+                failures += s"[$i] ENGINE ERROR ${e.getMessage}\n$text"
+                Seq.empty[String]
+            }
+          val expected = renderNaive(naive)
+          if (failures.isEmpty && engine != expected) {
+            val miss = expected.diff(engine).take(3)
+            val extra = engine.diff(expected).take(3)
+            failures += s"[$i] DIVERGENCE\n$text\ndata=${data.map {
+              case (s, p, o) => s"${s.toNT} ${p.toNT} ${o.toNT}." }.mkString(" ")}\n" +
+              s"naive=${expected.size} rows, engine=${engine.size} rows\n" +
+              s"missing: $miss\nextra: $extra"
+          }
+        }
+      }
+      if (failures.nonEmpty)
+        fail(failures.head) // first divergence with its full repro
+    }
+    info(s"$N generated, $skipped skipped (empty projection / size cap)")
+  }
+}
