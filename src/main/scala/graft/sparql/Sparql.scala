@@ -889,7 +889,11 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
                     .distinct().select(col("pg"), tl.as("ps"), tl.as("po"))
                 else quads.sparkSession.range(1)
                   .select(tl.as("ps"), tl.as("po"))
-              pairs = pairs.unionByName(extra).distinct()
+              // add-if-missing (NOT union+distinct: a zero-length-
+              // capable path can still carry legitimate duplicate
+              // multiplicities, e.g. overlapping alternative branches,
+              // which a blanket distinct would collapse)
+              pairs = pairs.unionByName(extra.except(pairs))
             }
           }
           // endpoint slots plus, under GRAPH ?var, the graph binding;

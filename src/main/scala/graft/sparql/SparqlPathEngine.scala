@@ -56,7 +56,10 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
           Seq(col("l.ps").as("ps"), col("r.po").as("po"))
         a.join(b, cond).select(keep: _*)
       case PAlt(l, r) =>
-        pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r)).distinct()
+        // BAG union (§18.4 PathAlternative): a pair reachable through
+        // both branches yields two solutions — only the closure forms
+        // (+ * ?) carry the cardinality-1 rule
+        pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r))
       case PPlus(i) => closure(pathPairs(quads, graph, i))
       case PStar(i) =>
         closure(pathPairs(quads, graph, i))

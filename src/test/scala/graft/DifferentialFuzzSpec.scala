@@ -37,6 +37,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   private case class TP(s: Node, p: Node, o: Node)
 
+  // property-path model: link / inverse / sequence / alternative /
+  // one-or-more / zero-or-more / zero-or-one over constant predicates
+  private sealed trait PathE
+  private case class PLinkE(p: Term) extends PathE
+  private case class PInvE(i: PathE) extends PathE
+  private case class PSeqE(l: PathE, r: PathE) extends PathE
+  private case class PAltE(l: PathE, r: PathE) extends PathE
+  private case class PPlusE(i: PathE) extends PathE
+  private case class PStarE(i: PathE) extends PathE
+  private case class POptE(i: PathE) extends PathE
+
+  /** A path pattern slot: endpoints + path. */
+  private case class PathTP(s: Node, path: PathE, o: Node)
+
   private sealed trait Filt
   private case class Cmp(l: Node, op: String, r: Node) extends Filt
   private case class Bound(v: String, positive: Boolean) extends Filt
@@ -49,10 +63,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     */
   private case class GenQuery(
       bgp: Seq[TP],
+      paths: Seq[PathTP],
       union: Option[(Seq[TP], Seq[TP])],
       optionals: Seq[Seq[TP]],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
+      binds: Seq[(String, String, String, Int)], // ?as := ?src op intConst
       filters: Seq[Filt],
       project: Seq[String],
       distinct: Boolean,
@@ -67,6 +83,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   private def tpText(tp: TP): String =
     s"${nodeText(tp.s)} ${nodeText(tp.p)} ${nodeText(tp.o)} ."
+
+  private def pathText(p: PathE): String = p match {
+    case PLinkE(t) => t.toNT
+    case PInvE(i) => s"^(${pathText(i)})"
+    case PSeqE(l, r) => s"(${pathText(l)}/${pathText(r)})"
+    case PAltE(l, r) => s"(${pathText(l)}|${pathText(r)})"
+    case PPlusE(i) => s"(${pathText(i)})+"
+    case PStarE(i) => s"(${pathText(i)})*"
+    case POptE(i) => s"(${pathText(i)})?"
+  }
 
   private def filtText(f: Filt): String = f match {
     case Cmp(l, op, r) => s"(${nodeText(l)} $op ${nodeText(r)})"
@@ -86,12 +112,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
     sb.append(" {\n")
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
+    q.paths.foreach(pt => sb.append(
+      s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
     q.union.foreach { case (a, b) =>
       sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
         b.map(tpText).mkString(" ") + " }\n")
     }
     q.optionals.foreach(o =>
       sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") + " }\n"))
+    q.binds.foreach { case (as, src, op, k) =>
+      sb.append(s"  BIND((?$src $op $k) AS ?$as)\n")
+    }
     q.minus.foreach(m =>
       sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
     q.notExists.foreach(ne =>
@@ -126,6 +157,68 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private def evalBgp(data: Seq[(Term, Term, Term)], tps: Seq[TP],
       init: Seq[Sol]): Seq[Sol] =
     tps.foldLeft(init)((sols, tp) => sols.flatMap(evalTp(data, tp, _)))
+
+  /** Pair BAG of a path over the data, per §18.4 cardinality rules:
+    * link/inverse/sequence/alternative are bag operators (a sequence
+    * through k distinct routes yields k solutions), while the three
+    * closure forms — ZeroOrMorePath, OneOrMorePath, ZeroOrOnePath —
+    * produce every pair with cardinality EXACTLY 1. Zero-length pairs
+    * cover every node in the graph (and, at evaluation, a constant
+    * endpoint matches itself).
+    */
+  private def pathPairsN(data: Seq[(Term, Term, Term)], p: PathE): Seq[(Term, Term)] = p match {
+    case PLinkE(t) => data.collect { case (s, pp, o) if pp == t => (s, o) }
+    case PInvE(i) => pathPairsN(data, i).map(_.swap)
+    case PSeqE(l, r) =>
+      val a = pathPairsN(data, l); val b = pathPairsN(data, r)
+      for { (x, m) <- a; (m2, y) <- b if m == m2 } yield (x, y)
+    case PAltE(l, r) => pathPairsN(data, l) ++ pathPairsN(data, r)
+    case PPlusE(i) =>
+      var cur = pathPairsN(data, i).toSet
+      var done = false
+      while (!done) {
+        val next = cur ++ (for { (x, m) <- cur; (m2, y) <- cur if m == m2 } yield (x, y))
+        if (next == cur) done = true else cur = next
+      }
+      cur.toSeq
+    case PStarE(i) =>
+      (pathPairsN(data, PPlusE(i)).toSet ++ allNodes(data).map(n => (n, n))).toSeq
+    case POptE(i) =>
+      (pathPairsN(data, i).toSet ++ allNodes(data).map(n => (n, n))).toSeq
+  }
+
+  private def allNodes(data: Seq[(Term, Term, Term)]): Set[Term] =
+    data.flatMap { case (s, _, o) => Seq(s, o) }.toSet
+
+  /** Whether a path admits the zero-length match (constant endpoints
+    * then match themselves even off-graph).
+    */
+  private def zeroLen(p: PathE): Boolean = p match {
+    case PStarE(_) | POptE(_) => true
+    case PSeqE(l, r) => zeroLen(l) && zeroLen(r)
+    case PAltE(l, r) => zeroLen(l) || zeroLen(r)
+    case PInvE(i) => zeroLen(i)
+    case _ => false
+  }
+
+  private def evalPathTp(data: Seq[(Term, Term, Term)], pt: PathTP,
+      sols: Seq[Sol]): Seq[Sol] = {
+    var pairs = pathPairsN(data, pt.path)
+    if (zeroLen(pt.path)) {
+      // the constant-self zero-length pair joins the DEDUPED closure
+      // set, so add it only if not already present
+      val consts = Seq(pt.s, pt.o).collect { case C(t) => t }.distinct
+      consts.foreach(t => if (!pairs.contains((t, t))) pairs = pairs :+ ((t, t)))
+    }
+    sols.flatMap { sol =>
+      pairs.flatMap { case (x, y) =>
+        for {
+          s1 <- termMatch(pt.s, x, sol)
+          s2 <- termMatch(pt.o, y, s1)
+        } yield s2
+      }
+    }
+  }
 
   private def compatible(a: Sol, b: Sol): Boolean =
     (a.keySet intersect b.keySet).forall(k => a(k) == b(k))
@@ -216,12 +309,27 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   private def evalNaive(data: Seq[(Term, Term, Term)], q: GenQuery): Seq[Sol] = {
     var sols = evalBgp(data, q.bgp, Seq(Map.empty))
+    q.paths.foreach { pt => sols = evalPathTp(data, pt, sols) }
     q.union.foreach { case (a, b) =>
       val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
       sols = join(sols, u)
     }
     q.optionals.foreach { o =>
       sols = leftJoin(sols, evalBgp(data, o, Seq(Map.empty)))
+    }
+    q.binds.foreach { case (as, src, op, k) =>
+      // BIND arithmetic: integer ops; an error (unbound / non-numeric
+      // source) leaves ?as unbound, the row survives
+      sols = sols.map { sol =>
+        sol.get(src).flatMap(numOf) match {
+          case Some(x) =>
+            val v = op match {
+              case "+" => x + k; case "-" => x - k; case "*" => x * k
+            }
+            sol + (as -> Term.typed(v.toBigInt.toString, Term.XSD_INTEGER))
+          case None => sol
+        }
+      }
     }
     q.minus.foreach { m => sols = minusOp(sols, evalBgp(data, m, Seq(Map.empty))) }
     q.notExists.foreach { ne =>
@@ -292,6 +400,21 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     def genTps(max: Int): Seq[TP] = (0 to rnd.nextInt(max)).map(_ => genTp())
 
     val bgp = genTps(2)
+    def genPath(depth: Int): PathE = {
+      val roll = rnd.nextDouble()
+      if (depth <= 0 || roll < 0.45) PLinkE(somePred())
+      else if (roll < 0.55) PInvE(genPath(depth - 1))
+      else if (roll < 0.7) PSeqE(genPath(depth - 1), genPath(depth - 1))
+      else if (roll < 0.8) PAltE(genPath(depth - 1), genPath(depth - 1))
+      else if (roll < 0.88) PPlusE(genPath(depth - 1))
+      else if (roll < 0.95) PStarE(genPath(depth - 1))
+      else POptE(genPath(depth - 1))
+    }
+    val paths = (0 until (if (rnd.nextDouble() < 0.4) 1 else 0)).map { _ =>
+      val s = if (rnd.nextDouble() < 0.6) V(sharedVar()) else C(someSub())
+      val o = if (rnd.nextDouble() < 0.6) V(sharedVar()) else C(someObj())
+      PathTP(s, genPath(2), o)
+    }
     val union =
       if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
     val optionals = (0 until rnd.nextInt(2)).map(_ => genTps(1))
@@ -317,6 +440,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         Cmp(l, ops(rnd.nextInt(ops.size)), r)
       }
     }
+    val binds = (0 until (if (used.nonEmpty && rnd.nextDouble() < 0.3) 1 else 0)).map { _ =>
+      val src = used.toSeq(rnd.nextInt(used.size))
+      // a fresh alias never colliding with pattern vars
+      val as = "w" + rnd.nextInt(2)
+      used += as
+      (as, src, Seq("+", "-", "*")(rnd.nextInt(3)), rnd.nextInt(3))
+    }
     val filters = (0 until rnd.nextInt(2)).map(_ => genFilt(1))
     val allVars = used.toSeq
     val project =
@@ -324,8 +454,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       else if (rnd.nextDouble() < 0.5) allVars
       else allVars.take(1 + rnd.nextInt(allVars.size))
     val countable = allVars.nonEmpty && rnd.nextDouble() < 0.15
-    GenQuery(bgp, union, optionals, minus, notExists, filters,
-      project, distinct = rnd.nextDouble() < 0.3,
+    GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
+      filters, project, distinct = rnd.nextDouble() < 0.3,
       countBy = if (countable) Some(allVars.head) else None)
   }
 
