@@ -721,10 +721,63 @@ object SparqlQueries {
             .cast("int").as("n_nationkey"),
           col("obj").getField("lex").cast("int").as("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    },
+    // SPARQL 1.1 Federated Query: nations resolve their region name
+    // through SERVICE against a loopback SPARQL Protocol endpoint
+    // holding the region graph. The remote fetch happens ONCE at
+    // compile time (a bounded HTTP body → LocalRelation), so Catalyst
+    // broadcast-joins the federated side against the distributed local
+    // plan — the server can stop before the result materializes.
+    "sparql_service" -> { (s, dir) =>
+      import s.implicits._
+      val local = fixture("sqsvcn", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_name"), col("n_regionkey").cast("long"))
+          .as[(String, Long)].collect()
+        st.addQuads(0, rows.toSeq.zipWithIndex.flatMap { case ((name, rk), i) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$i"), Term.iri(s"${NS}name"),
+              Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}nation/$i"), Term.iri(s"${NS}regionkey"),
+              Term.typed(rk.toString, Term.XSD_INTEGER)))
+        })
+      }
+      val remote = fixture("sqsvcr", dir, s) { st =>
+        val rows = Tables.t(s, dir, "region")
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+          .as[(Long, String)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, name) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}rkey"),
+              Term.typed(k.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}region/$k"), Term.iri(s"${NS}rname"),
+              Term.lit(name)))
+        })
+      }
+      val srv = new graft.server.SparqlHttp(s)
+      srv.registerDataset("regions", remote)
+      srv.start()
+      try {
+        val res = Sparql.execute(local.quads(),
+          s"""PREFIX x: <$NS>
+             |SELECT ?nname ?rname WHERE {
+             |  ?n x:name ?nname ; x:regionkey ?rk .
+             |  SERVICE <http://127.0.0.1:${srv.boundPort}/regions/sparql> {
+             |    ?r x:rkey ?rk ; x:rname ?rname
+             |  }
+             |} ORDER BY ?nname""".stripMargin)
+        res.select(
+          col("nname").getField("lex").as("n_name"),
+          col("rname").getField("lex").as("r_name"))
+      } finally srv.stop()
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "sparql_service" ->
+      """SELECT n.n_name AS n_name, r.r_name AS r_name
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY n_name""",
     "sparql_count" -> "SELECT 4::BIGINT AS C",
     "sparql_bgp" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -31,10 +31,11 @@ final class GraftServer(
     sourceFactory: EventSourceFactory,
     storeRoot: Path,
     httpPort: Int = 0,
-    topicExistsFor: (ConnectorConfig, String) => Boolean = (_, _) => true) {
+    topicExistsFor: (ConnectorConfig, String) => Boolean = (_, _) => true,
+    allowService: Boolean = false) {
 
   private val stores = scala.collection.mutable.Map[String, QuadStore]()
-  private val http = new SparqlHttp(spark, httpPort)
+  private val http = new SparqlHttp(spark, httpPort, allowService)
   private var engine: Engine = null
 
   /** The store backing a dataset name (creating it on first use —

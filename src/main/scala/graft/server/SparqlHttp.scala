@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.connect.{Event, MaterialisedEvent, QuadStoreSink}
 import graft.rdf.{NtWriter, RdfParse, RdfParseException, Term, TurtleWriter}
-import graft.sparql.{ResultsWriter, Sparql}
+import graft.sparql.{ResultsWriter, Sparql, SparqlService}
 import graft.store.QuadStore
 
 /** SPARQL 1.1 Protocol + Graph Store Protocol endpoint over
@@ -59,7 +59,18 @@ import graft.store.QuadStore
   * Binds loopback only — this is an embedded/test-harness server, not
   * a hardened front door; put a real ingress in front for production.
   */
-final class SparqlHttp(spark: SparkSession, port: Int = 0) {
+final class SparqlHttp(spark: SparkSession, port: Int = 0,
+    allowService: Boolean = false) {
+
+  /** Federation posture for queries arriving over this endpoint:
+    * SERVICE is refused unless the operator opted in (`allowService`),
+    * the same opt-in stance as the update layer's LOAD jail — a
+    * network-reachable query surface must not originate arbitrary
+    * outbound requests by default.
+    */
+  private def queryCtx(): Sparql.EvalContext =
+    Sparql.EvalContext(service =
+      if (allowService) SparqlService.Http else SparqlService.Disabled)
 
   private final case class Ds(store: QuadStore, lock: Object)
   private val datasets = new java.util.concurrent.ConcurrentHashMap[String, Ds]()
@@ -254,7 +265,7 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     // check pushdown/broadcast shape of a query before running it on
     // the full dataset
     if (req.param("explain").exists(v => v == "1" || v == "true")) {
-      val df = Sparql.execute(quads, queryText)
+      val df = Sparql.execute(quads, queryText, queryCtx())
       respond(ex, 200, "text/plain",
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -264,19 +275,19 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0) {
     Sparql.queryForm(queryText) match {
       case "select" =>
         val fmt = negotiate(ex, RESULT_OFFERS, "json")
-        val res = Sparql.execute(quads, queryText)
+        val res = Sparql.execute(quads, queryText, queryCtx())
         val sep = if (fmt == "json") "" else "\n"
         respondLines(ex, RESULT_CT(fmt), ResultsWriter.documentLines(res, fmt), sep)
       case "ask" =>
         val fmt = negotiate(ex, RESULT_OFFERS, "json")
-        val b = Sparql.execute(quads, queryText).collect()(0).getBoolean(0)
+        val b = Sparql.execute(quads, queryText, queryCtx()).collect()(0).getBoolean(0)
         fmt match {
           case "xml" => respond(ex, 200, RESULT_CT("xml"), ResultsWriter.askXml(b))
           case "csv" | "tsv" => respond(ex, 200, RESULT_CT(fmt), b.toString)
           case _ => respond(ex, 200, RESULT_CT("json"), ResultsWriter.askJson(b))
         }
       case _ => // construct | describe → a graph/dataset response
-        val res = Sparql.execute(quads, queryText)
+        val res = Sparql.execute(quads, queryText, queryCtx())
         respondGraph(ex, ds, res)
     }
   }

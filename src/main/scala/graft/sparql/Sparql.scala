@@ -84,6 +84,18 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * isolation, its projected variables joined with the group-so-far.
     */
   final case class SubSelectElem(q: Query) extends GroupElem
+  /** `SERVICE [SILENT] <endpoint> { ... }` (SPARQL 1.1 Federated
+    * Query): the inner group is shipped VERBATIM (`remoteQuery` is the
+    * parse-time extraction `prologue + SELECT * WHERE {...}`) to the
+    * endpoint over the SPARQL Protocol and its solutions joined with
+    * the group-so-far on shared-variable compatibility. `inner` is
+    * kept only for variable-scope analysis — the remote endpoint is
+    * the evaluator. A variable endpoint fans out over the distinct
+    * bindings accumulated so far (bounded by
+    * [[SparqlService.MaxEndpoints]]).
+    */
+  final case class ServiceElem(endpoint: Node, silent: Boolean,
+      remoteQuery: String, inner: Pattern) extends GroupElem
 
   /** Property-path expressions (SPARQL §9). Sequence, alternative and
     * inverse desugar to joins/unions at compile time; `+` and `*`
@@ -264,7 +276,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     */
   final case class EvalContext(
       now: java.time.Instant = java.time.Instant.now(),
-      seed: Long = scala.util.Random.nextLong()) {
+      seed: Long = scala.util.Random.nextLong(),
+      service: ServiceClient = SparqlService.Http) {
     private val sites = new java.util.concurrent.atomic.AtomicInteger(0)
     /** A distinct deterministic sub-seed per builtin call site. */
     private[sparql] def nextSiteSeed(): Long =
@@ -837,6 +850,9 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         case SubSelectElem(q) =>
           val inner = executeSelectSol(quads, q, asTerms = true)
           acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
+        case se: ServiceElem =>
+          val next = serviceSol(quads, cur, se)
+          acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case FilterElem(_) | ExistsElem(_, _) => () // handled below
         case ValuesElem(vars, rows) =>
           val df = rows.map { r =>
@@ -1015,6 +1031,114 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
   }
 
 
+
+  /** Evaluate one SERVICE element (SPARQL 1.1 Federated Query §2):
+    * one HTTP exchange per endpoint — driver-side by construction,
+    * since a SERVICE result IS a bounded HTTP response body — staged
+    * as a local relation the caller joins on shared-variable
+    * compatibility. Being a LocalRelation, Catalyst broadcast-joins
+    * the federated side against the distributed local plan: the 100 TB
+    * side never moves. A variable endpoint fans out over the DISTINCT
+    * endpoint bindings accumulated so far (positional, like OPTIONAL),
+    * each result tagged with its endpoint so the join keeps
+    * row↔endpoint provenance. `SILENT` turns any remote failure into
+    * the unit solution (spec §2.4); without it the failure propagates.
+    */
+  private def serviceSol(quads: DataFrame, cur: Sol, se: ServiceElem): Sol = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = quads.sparkSession
+    val client = currentCtx.service
+    // per-call blank-node scope: remote bnodes are fresh terms that
+    // must never equal local labels or another call's (deterministic
+    // under a fixed EvalContext, so oracle entries stay reproducible)
+    val scope = "svc" + java.lang.Long.toHexString(
+      currentCtx.nextSiteSeed() & 0xffffffffL) + "_"
+    def unit: Sol = Sol(unitDf(quads), Set.empty)
+    def termRow(t: Term): Row = Row(t.termType, t.lex, t.datatype, t.lang)
+    def fetch(ep: String, tag: Option[(String, Term)]): Option[Sol] =
+      try {
+        val (headVars, rows) = SparqlService.parseResults(
+          client.select(ep, se.remoteQuery), scope)
+        val vars = (headVars ++ rows.flatMap(_.keys)).distinct
+          .filterNot(v => tag.exists(_._1 == v))
+        val schema = StructType(
+          vars.map(StructField(_, TERM_STRUCT, nullable = true)) ++
+            tag.map { case (v, _) => StructField(v, TERM_STRUCT, nullable = true) })
+        val data = new java.util.ArrayList[Row](rows.size)
+        rows.foreach { m =>
+          data.add(Row.fromSeq(
+            vars.map(v => m.get(v).map(termRow).orNull) ++
+              tag.map { case (_, t) => termRow(t) }))
+        }
+        val df = spark.createDataFrame(data, schema)
+        val maybe = vars.filter(v => rows.exists(r => !r.contains(v))).toSet
+        Some(Sol(df, maybe))
+      } catch {
+        case scala.util.control.NonFatal(_) if se.silent => None
+      }
+    se.endpoint match {
+      case Const(t) if t.isIri => fetch(t.lex, None).getOrElse(unit)
+      case Const(_) =>
+        if (se.silent) unit
+        else throw new RdfParseException("SERVICE endpoint must be an IRI")
+      case Var(name) =>
+        val eps: Seq[Term] =
+          if (!cur.df.columns.contains(name)) Seq.empty
+          else cur.df.select(col(name)).filter(col(name).isNotNull).distinct()
+            .limit(SparqlService.MaxEndpoints + 1).collect().toSeq
+            .map { r =>
+              val s = r.getStruct(0)
+              Term(s.getString(0), s.getString(1), s.getString(2), s.getString(3))
+            }
+        if (eps.isEmpty) {
+          if (se.silent) unit
+          else throw new RdfParseException(
+            s"SERVICE ?$name needs the endpoint variable bound by the " +
+              "group so far (VALUES or a preceding pattern)")
+        } else if (eps.size > SparqlService.MaxEndpoints)
+          throw new RdfParseException(
+            s"SERVICE ?$name would contact ${eps.size} endpoints " +
+              s"(cap ${SparqlService.MaxEndpoints})")
+        else {
+          val sols = eps.flatMap { t =>
+            if (!t.isIri) {
+              if (se.silent) None
+              else throw new RdfParseException(
+                s"SERVICE ?$name bound to a non-IRI term ${t.toNT}")
+            } else fetch(t.lex, Some(name -> t))
+          }
+          if (sols.isEmpty) unit
+          else {
+            val allVars = sols.flatMap(_.df.columns).toSet
+            val df = sols.map(_.df)
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+            Sol(df, sols.flatMap(s =>
+              s.maybe ++ (allVars -- s.df.columns)).toSet)
+          }
+        }
+      case QTriple(_, _, _) =>
+        throw new RdfParseException("SERVICE endpoint must be an IRI or a variable")
+    }
+  }
+
+  /** Whether a pattern contains a SERVICE element anywhere (including
+    * inside OPTIONAL/MINUS/EXISTS/sub-SELECT) — the update layer and
+    * security-posture checks need to see through nesting.
+    */
+  private[sparql] def containsService(p: Pattern): Boolean = p match {
+    case Union(branches) => branches.exists(containsService)
+    case Group(elems) => elems.exists {
+      case _: ServiceElem => true
+      case OptElem(inner) => containsService(inner)
+      case NestedElem(pp) => containsService(pp)
+      case MinusElem(inner) => containsService(inner)
+      case ExistsElem(inner, _) => containsService(inner)
+      case SubSelectElem(q) => containsService(q.pattern)
+      case FilterElem(f) => existsOf(f).exists(e => containsService(e.inner))
+      case _ => false
+    }
+  }
 
   /** Solve a graph pattern to a bindings DataFrame (one column per
     * variable) — the WHERE-clause engine shared with [[SparqlUpdate]].

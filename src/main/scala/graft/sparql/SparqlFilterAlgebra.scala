@@ -116,6 +116,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
         case PathElem(g, s, _, o) =>
           Seq(s, o).flatMap(nodeVars).toSet ++
             g.toSeq.flatMap(nodeVars)
+        case ServiceElem(_, _, _, inner) => patternVars(inner)
         case MinusElem(_) => Set.empty[String]
         case ExistsElem(_, _) => Set.empty[String]
         case FilterElem(_) => Set.empty[String]

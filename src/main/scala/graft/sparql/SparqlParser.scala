@@ -355,12 +355,30 @@ import Sparql._
             skipWs()
             if (pos < text.length && peek == '.') pos += 1
           } else if (tryKeyword("SERVICE")) {
-            // Federated query (SPARQL 1.1 §) dereferences a remote
-            // endpoint mid-query; this engine has no remote access by
-            // design — same posture as SPARQL Update LOAD. Parse far
-            // enough to give a precise error, never misparse.
-            fail("SERVICE (federated query) is not supported: " +
-              "materialize the remote data as a named graph and query it with GRAPH")
+            // SPARQL 1.1 Federated Query: the inner group ships to the
+            // endpoint VERBATIM — capture its source text plus this
+            // query's prologue (so prefixed names and relative IRIs
+            // resolve identically at the remote end) and keep the
+            // parsed pattern for variable-scope analysis only; the
+            // remote endpoint is the evaluator.
+            val silent = tryKeyword("SILENT")
+            val ep = parseNode()
+            ep match {
+              case Var(_) => ()
+              case Const(t) if t.isIri => ()
+              case _ => fail("SERVICE endpoint must be an IRI or a variable")
+            }
+            skipWs()
+            val start = pos
+            val inner = parseGroup()
+            val raw = text.substring(start, pos)
+            val sb = new StringBuilder
+            if (base != null) sb.append("BASE <").append(base).append(">\n")
+            prefixes.foreach { case (p, iri) =>
+              sb.append("PREFIX ").append(p).append(": <").append(iri).append(">\n")
+            }
+            sb.append("SELECT * WHERE ").append(raw)
+            elems += ServiceElem(ep, silent, sb.toString, inner)
           } else if (tryKeyword("MINUS")) {
             elems += MinusElem(parseGroup())
           } else if (tryKeyword("FILTER")) {

@@ -56,7 +56,14 @@ object SparqlUpdate {
   final case class ModifyOp(deleteTpl: Seq[TriplePattern],
       insertTpl: Seq[TriplePattern], where: Pattern,
       using: Seq[Term] = Seq.empty, usingNamed: Seq[Term] = Seq.empty)
-    extends UpdateOp
+    extends UpdateOp {
+    // Fuseki's default posture: an update arriving over the wire (HTTP
+    // or Kafka) must not make this server originate outbound SERVICE
+    // requests — queries opt in per-context, updates never.
+    if (Sparql.containsService(where))
+      throw new RdfParseException(
+        "SERVICE is not allowed in an update WHERE clause")
+  }
   /** CLEAR/DROP. `target` ∈ GRAPH | DEFAULT | NAMED | ALL. */
   final case class ClearOp(target: String, graph: Option[Term]) extends UpdateOp
   /** ADD/COPY/MOVE between graphs (`None` = the default graph), and
