@@ -182,7 +182,7 @@ final class QuadStoreSink(spark: SparkSession, val store: QuadStore,
               }
             case mo: SparqlUpdate.ModifyOp =>
               guardOi(2) // deletes at oi, inserts at oi + 1
-              SparqlUpdate.resolveModify(currentState(), mo, base | oi)
+              SparqlUpdate.resolveModify(currentState(), mo, base | oi, scope)
                 .foreach(foldResolved)
               oi += 2
             case cl: SparqlUpdate.ClearOp =>

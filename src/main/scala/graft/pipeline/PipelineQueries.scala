@@ -196,6 +196,12 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     },
+    // CCNet-style LM quality score: corpus-trained smoothed bigram
+    // model, exact integer-sum scoring (bit-reproducible by design)
+    "pl_lm_score" -> { (s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
     // deterministic md5-keyed stratified sample by language
     "pl_sample_stratified" -> { (s, dir) =>
       Sampling.sampleStratified(t(s, dir, "documents"), SAMPLE_RATES,
@@ -533,6 +539,38 @@ object PipelineQueries {
                        OR (p.n_grams - p.n_distinct)::DOUBLE / p.n_grams > 0.3
                   END AS repetitive
          FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+    "pl_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter([lower(t) for t in string_split(text, ' ')],
+                              t -> t <> '') AS w
+           FROM documents),
+         u AS (SELECT t AS tok, count(*)::BIGINT AS c1
+               FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+         v AS (SELECT count(*)::BIGINT AS vocab FROM u),
+         p AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+               FROM (SELECT doc_id,
+                       unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in range(1, len(w))]) AS p
+                     FROM toks WHERE len(w) >= 2)),
+         b AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM p GROUP BY 1, 2),
+         s AS (SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+                      sum(b.c12 + 1)::BIGINT AS num,
+                      sum(u.c1 + (SELECT vocab FROM v))::BIGINT AS den,
+                      sum(CASE WHEN b.c12 >= 2 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_seen
+               FROM p JOIN b USING (w1, w2) JOIN u ON u.tok = p.w1
+               GROUP BY 1)
+         SELECT d.doc_id::BIGINT AS doc_id,
+                coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+                coalesce(s.num, 0)::BIGINT AS num,
+                coalesce(s.den, 0)::BIGINT AS den,
+                CASE WHEN s.n_pairs IS NOT NULL
+                     THEN s.num::DOUBLE / s.den::DOUBLE END AS lm_score,
+                CASE WHEN s.n_pairs IS NULL THEN 0.0
+                     ELSE s.n_seen::DOUBLE / s.n_pairs::DOUBLE END AS seen_frac
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY doc_id""",
     "pl_sample_stratified" ->
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
           WHERE ${hkSql("doc_id")} <

@@ -378,4 +378,73 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Statistical language-model quality scoring — the CCNet-style LM
+    * filtering tier (Wenzek et al. 2020 score web documents with a
+    * KenLM n-gram model and keep the predictable ones) re-expressed
+    * relationally: an add-one-smoothed bigram model is "trained" on
+    * the corpus itself with two count aggregations, and each document
+    * scores by its aggregate smoothed conditional hit ratio
+    *
+    *   lm_score = Σ (c(wᵢ,wᵢ₊₁) + 1)  /  Σ (c(wᵢ) + |V|)
+    *
+    * over its consecutive token pairs — high for text whose word
+    * transitions recur corpus-wide (natural prose, boilerplate), near
+    * 1/|V| for keyboard mash. The ratio-of-integer-sums form is
+    * deliberate: a perplexity folds Σ log p in whatever order the
+    * partitions arrive (float addition is not associative), while
+    * BIGINT sums are exact under ANY aggregation order and the single
+    * final INT→DOUBLE division is a correctly-rounded IEEE operation —
+    * so the score is bit-reproducible across engines, re-runs, and
+    * partitionings, which is what lets the verify gate hash-compare it
+    * against an independent SQL engine. `seen_frac` (fraction of the
+    * document's bigrams occurring anywhere else in the corpus) rides
+    * along as the unsmoothed signal.
+    *
+    * Scale shape: tokenization and pair building are map-only array
+    * ops; the model tables shuffle (token) and (token-pair) count
+    * rows with map-side partial aggregation — never document text;
+    * scoring is two equi-joins on those keys plus one per-doc
+    * aggregation. |V| is the only driver-side value (one scalar).
+    * Everything is linear in corpus tokens — at 100 TB the pair table
+    * is the big shuffle, and it is already minimal: nothing smaller
+    * determines the model.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as(idCol),
+      filter(transform(split(col(textCol), " "), t => lower(t)),
+        t => t =!= "").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // |V|: bounded driver scalar (model state)
+    val pairElems = when(size(col("w")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2"))))
+    val docPairs = toks.select(col(idCol), explode(pairElems).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = docPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val scored = docPairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c12") + 1L).as("num"),
+        sum(col("c1") + lit(vocab)).as("den"),
+        sum(when(col("c12") >= 2, 1L).otherwise(0L)).as("n_seen"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("num"), lit(0L)).as("num"),
+        coalesce(col("den"), lit(0L)).as("den"),
+        // NULL (not 0) for pairless docs: "no evidence" ≠ "worst score"
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("lm_score"),
+        coalesce(col("n_seen").cast("double") / col("n_pairs"), lit(0.0))
+          .as("seen_frac"))
+  }
 }

@@ -356,7 +356,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           }: _*)
         val offsetted = offset.fold(ordered)(ordered.offset)
         val sols = limit.fold(offsetted)(offsetted.limit)
-        instantiate(sols, tpl).reduceOption(_.unionByName(_))
+        SparqlTemplates.instantiate(sols, tpl).reduceOption(_.unionByName(_))
           .map(_.dropDuplicates()) // a constructed graph is a SET of quads
           .getOrElse(quads.limit(0).select(
             Seq("graph", "subject", "predicate", "obj").map(col): _*))
@@ -738,7 +738,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * (the reference's dataset-name probe is exactly that shape,
     * KafkaConnectorAssembler.java:380-411).
     */
-  private def unitDf(quads: DataFrame): DataFrame =
+  private[sparql] def unitDf(quads: DataFrame): DataFrame =
     quads.sparkSession.range(1).drop("id")
 
   /** A compiled binding set plus the variables that may be UNBOUND
@@ -755,6 +755,24 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
 
   private def compile(quads: DataFrame, pattern: Pattern): DataFrame =
     compileSol(quads, pattern).df
+
+  /** A blank node label in a query pattern is a NON-DISTINGUISHED
+    * variable, not a term constant (§4.1.4: "Blank node labels are
+    * scoped to a ... query, and act as variables that cannot be
+    * selected"): same label = same variable, '#'-prefixed so it stays
+    * invisible to SELECT * / DISTINCT like the [] sugar variables.
+    * Applied at the BGP/path leaves so CONSTRUCT / update templates —
+    * where a blank label DOES denote a (per-solution-fresh) blank node
+    * — keep their Const form for [[instantiate]].
+    */
+  private def deblank(n: Node): Node = n match {
+    case Const(t) if t != null && t.isBlank => Var("#bn:" + t.lex)
+    case QTriple(s, p, o) => QTriple(deblank(s), deblank(p), deblank(o))
+    case other => other
+  }
+  private def deblankTp(tp: TriplePattern): TriplePattern =
+    TriplePattern(tp.graph.map(deblank), deblank(tp.s), deblank(tp.p),
+      deblank(tp.o))
 
   private[sparql] def compileSol(quads: DataFrame, pattern: Pattern): Sol = pattern match {
     case Union(branches) =>
@@ -779,7 +797,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         e.isInstanceOf[FilterElem] || e.isInstanceOf[ExistsElem])
       bindingElems.foreach {
         case PatElem(tp) =>
-          val next = Sol(compilePattern(quads, tp), Set.empty)
+          val next = Sol(compilePattern(quads, deblankTp(tp)), Set.empty)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case OptElem(inner) =>
           // LeftJoin-condition semantics (§18.2.2.2): an inner filter
@@ -851,7 +869,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           val inner = executeSelectSol(quads, q, asTerms = true)
           acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
         case se: ServiceElem =>
-          val next = serviceSol(quads, cur, se)
+          val next = SparqlService.serviceSol(quads, cur, se)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case FilterElem(_) | ExistsElem(_, _) => () // handled below
         case ValuesElem(vars, rows) =>
@@ -865,7 +883,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             .collect { case (v, i) if rows.exists(_(i).isEmpty) => v }.toSet
           val data = Sol(df, undef)
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
-        case PathElem(graph, s, path, o) =>
+        case PathElem(graph, s0, path, o0) =>
+          val (s, o) = (deblank(s0), deblank(o0))
           var pairs = pathPairs(quads, graph, path)
           // (constant quoted triples arrive as Const and filter like
           // any term; a variable-carrying QTriple endpoint is out of
@@ -1032,96 +1051,6 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
 
 
 
-  /** Evaluate one SERVICE element (SPARQL 1.1 Federated Query §2):
-    * one HTTP exchange per endpoint — driver-side by construction,
-    * since a SERVICE result IS a bounded HTTP response body — staged
-    * as a local relation the caller joins on shared-variable
-    * compatibility. Being a LocalRelation, Catalyst broadcast-joins
-    * the federated side against the distributed local plan: the 100 TB
-    * side never moves. A variable endpoint fans out over the DISTINCT
-    * endpoint bindings accumulated so far (positional, like OPTIONAL),
-    * each result tagged with its endpoint so the join keeps
-    * row↔endpoint provenance. `SILENT` turns any remote failure into
-    * the unit solution (spec §2.4); without it the failure propagates.
-    */
-  private def serviceSol(quads: DataFrame, cur: Sol, se: ServiceElem): Sol = {
-    import org.apache.spark.sql.types.{StructField, StructType}
-    import org.apache.spark.sql.Row
-    val spark = quads.sparkSession
-    val client = currentCtx.service
-    // per-call blank-node scope: remote bnodes are fresh terms that
-    // must never equal local labels or another call's (deterministic
-    // under a fixed EvalContext, so oracle entries stay reproducible)
-    val scope = "svc" + java.lang.Long.toHexString(
-      currentCtx.nextSiteSeed() & 0xffffffffL) + "_"
-    def unit: Sol = Sol(unitDf(quads), Set.empty)
-    def termRow(t: Term): Row = Row(t.termType, t.lex, t.datatype, t.lang)
-    def fetch(ep: String, tag: Option[(String, Term)]): Option[Sol] =
-      try {
-        val (headVars, rows) = SparqlService.parseResults(
-          client.select(ep, se.remoteQuery), scope)
-        val vars = (headVars ++ rows.flatMap(_.keys)).distinct
-          .filterNot(v => tag.exists(_._1 == v))
-        val schema = StructType(
-          vars.map(StructField(_, TERM_STRUCT, nullable = true)) ++
-            tag.map { case (v, _) => StructField(v, TERM_STRUCT, nullable = true) })
-        val data = new java.util.ArrayList[Row](rows.size)
-        rows.foreach { m =>
-          data.add(Row.fromSeq(
-            vars.map(v => m.get(v).map(termRow).orNull) ++
-              tag.map { case (_, t) => termRow(t) }))
-        }
-        val df = spark.createDataFrame(data, schema)
-        val maybe = vars.filter(v => rows.exists(r => !r.contains(v))).toSet
-        Some(Sol(df, maybe))
-      } catch {
-        case scala.util.control.NonFatal(_) if se.silent => None
-      }
-    se.endpoint match {
-      case Const(t) if t.isIri => fetch(t.lex, None).getOrElse(unit)
-      case Const(_) =>
-        if (se.silent) unit
-        else throw new RdfParseException("SERVICE endpoint must be an IRI")
-      case Var(name) =>
-        val eps: Seq[Term] =
-          if (!cur.df.columns.contains(name)) Seq.empty
-          else cur.df.select(col(name)).filter(col(name).isNotNull).distinct()
-            .limit(SparqlService.MaxEndpoints + 1).collect().toSeq
-            .map { r =>
-              val s = r.getStruct(0)
-              Term(s.getString(0), s.getString(1), s.getString(2), s.getString(3))
-            }
-        if (eps.isEmpty) {
-          if (se.silent) unit
-          else throw new RdfParseException(
-            s"SERVICE ?$name needs the endpoint variable bound by the " +
-              "group so far (VALUES or a preceding pattern)")
-        } else if (eps.size > SparqlService.MaxEndpoints)
-          throw new RdfParseException(
-            s"SERVICE ?$name would contact ${eps.size} endpoints " +
-              s"(cap ${SparqlService.MaxEndpoints})")
-        else {
-          val sols = eps.flatMap { t =>
-            if (!t.isIri) {
-              if (se.silent) None
-              else throw new RdfParseException(
-                s"SERVICE ?$name bound to a non-IRI term ${t.toNT}")
-            } else fetch(t.lex, Some(name -> t))
-          }
-          if (sols.isEmpty) unit
-          else {
-            val allVars = sols.flatMap(_.df.columns).toSet
-            val df = sols.map(_.df)
-              .reduce(_.unionByName(_, allowMissingColumns = true))
-            Sol(df, sols.flatMap(s =>
-              s.maybe ++ (allVars -- s.df.columns)).toSet)
-          }
-        }
-      case QTriple(_, _, _) =>
-        throw new RdfParseException("SERVICE endpoint must be an IRI or a variable")
-    }
-  }
-
   /** Whether a pattern contains a SERVICE element anywhere (including
     * inside OPTIONAL/MINUS/EXISTS/sub-SELECT) — the update layer and
     * security-posture checks need to see through nesting.
@@ -1145,55 +1074,6 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     */
   private[sparql] def solve(quads: DataFrame, pattern: Pattern): DataFrame =
     compile(quads, pattern)
-
-  /** Instantiate triple-pattern templates from a solutions DataFrame
-    * (CONSTRUCT and the update DELETE/INSERT templates): each pattern
-    * becomes a column selection over the bindings — vars project their
-    * column, constants become literal term structs. Instantiations
-    * using an unbound variable are skipped (spec §16.2 / §3.1.3.2).
-    * One DataFrame per pattern, quad columns only.
-    */
-  private[sparql] def instantiate(sols: DataFrame,
-      tpl: Seq[TriplePattern]): Seq[DataFrame] = {
-    val termType = org.apache.spark.sql.types.StructType(
-      Seq("termType", "lex", "datatype", "lang")
-        .map(org.apache.spark.sql.types.StructField(_,
-          org.apache.spark.sql.types.StringType)))
-    tpl.flatMap { tp =>
-      val slots = Seq(
-        tp.graph.getOrElse(Const(null)) -> "graph",
-        tp.s -> "subject", tp.p -> "predicate", tp.o -> "obj")
-      def varsIn(n: Node): Seq[String] = n match {
-        case Var(v) => Seq(v)
-        case QTriple(s, p, o) => Seq(s, p, o).flatMap(varsIn)
-        case _ => Seq.empty
-      }
-      val vars = slots.flatMap { case (n, _) => varsIn(n) }
-      // a template var absent from the solutions is unbound in every
-      // row → the whole pattern instantiates to nothing
-      if (vars.exists(v => !sols.columns.contains(v))) None
-      else {
-        def nodeCol(n: Node): Column = n match {
-          case Var(v) => col(v)
-          case Const(null) => lit(null).cast(termType)
-          case Const(t) => termLit(t)
-          // CONSTRUCT-star: re-quote per row from the bound components
-          case QTriple(s, p, o) =>
-            graft.functions.TermStar.quotedOf(nodeCol(s), nodeCol(p), nodeCol(o))
-        }
-        val cols = slots.map { case (n, as) => nodeCol(n).as(as) }
-        val bound = vars.foldLeft(sols)((d, v) => d.filter(col(v).isNotNull))
-        // a quoted-triple template whose bound components don't form a
-        // valid RDF-star triple (e.g. a literal subject) instantiates
-        // to NULL — that solution produces no triple (§16.2), rather
-        // than a quad with a null slot
-        val starSlots = slots.collect {
-          case (QTriple(_, _, _), as) => as }
-        val out = bound.select(cols: _*)
-        Some(starSlots.foldLeft(out)((d, c) => d.filter(col(c).isNotNull)))
-      }
-    }
-  }
 
   private[sparql] def termLit(t: Term): Column =
     struct(lit(t.termType).as("termType"), lit(t.lex).as("lex"),

@@ -7,6 +7,11 @@ import java.time.Duration
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Sparql.{Sol, ServiceElem, Const, Var, QTriple, unitDf, currentCtx, TERM_STRUCT}
+
 import scala.jdk.CollectionConverters._
 
 import graft.rdf.{RdfParseException, Term}
@@ -168,6 +173,96 @@ object SparqlService {
         else throw new RdfParseException("SERVICE triple term has no value")
       case other =>
         throw new RdfParseException(s"SERVICE term has unknown type '$other'")
+    }
+  }
+
+  /** Evaluate one SERVICE element (SPARQL 1.1 Federated Query §2):
+    * one HTTP exchange per endpoint — driver-side by construction,
+    * since a SERVICE result IS a bounded HTTP response body — staged
+    * as a local relation the caller joins on shared-variable
+    * compatibility. Being a LocalRelation, Catalyst broadcast-joins
+    * the federated side against the distributed local plan: the 100 TB
+    * side never moves. A variable endpoint fans out over the DISTINCT
+    * endpoint bindings accumulated so far (positional, like OPTIONAL),
+    * each result tagged with its endpoint so the join keeps
+    * row↔endpoint provenance. `SILENT` turns any remote failure into
+    * the unit solution (spec §2.4); without it the failure propagates.
+    */
+  def serviceSol(quads: DataFrame, cur: Sol, se: ServiceElem): Sol = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = quads.sparkSession
+    val client = currentCtx.service
+    // per-call blank-node scope: remote bnodes are fresh terms that
+    // must never equal local labels or another call's (deterministic
+    // under a fixed EvalContext, so oracle entries stay reproducible)
+    val scope = "svc" + java.lang.Long.toHexString(
+      currentCtx.nextSiteSeed() & 0xffffffffL) + "_"
+    def unit: Sol = Sol(unitDf(quads), Set.empty)
+    def termRow(t: Term): Row = Row(t.termType, t.lex, t.datatype, t.lang)
+    def fetch(ep: String, tag: Option[(String, Term)]): Option[Sol] =
+      try {
+        val (headVars, rows) = SparqlService.parseResults(
+          client.select(ep, se.remoteQuery), scope)
+        val vars = (headVars ++ rows.flatMap(_.keys)).distinct
+          .filterNot(v => tag.exists(_._1 == v))
+        val schema = StructType(
+          vars.map(StructField(_, TERM_STRUCT, nullable = true)) ++
+            tag.map { case (v, _) => StructField(v, TERM_STRUCT, nullable = true) })
+        val data = new java.util.ArrayList[Row](rows.size)
+        rows.foreach { m =>
+          data.add(Row.fromSeq(
+            vars.map(v => m.get(v).map(termRow).orNull) ++
+              tag.map { case (_, t) => termRow(t) }))
+        }
+        val df = spark.createDataFrame(data, schema)
+        val maybe = vars.filter(v => rows.exists(r => !r.contains(v))).toSet
+        Some(Sol(df, maybe))
+      } catch {
+        case scala.util.control.NonFatal(_) if se.silent => None
+      }
+    se.endpoint match {
+      case Const(t) if t.isIri => fetch(t.lex, None).getOrElse(unit)
+      case Const(_) =>
+        if (se.silent) unit
+        else throw new RdfParseException("SERVICE endpoint must be an IRI")
+      case Var(name) =>
+        val eps: Seq[Term] =
+          if (!cur.df.columns.contains(name)) Seq.empty
+          else cur.df.select(col(name)).filter(col(name).isNotNull).distinct()
+            .limit(SparqlService.MaxEndpoints + 1).collect().toSeq
+            .map { r =>
+              val s = r.getStruct(0)
+              Term(s.getString(0), s.getString(1), s.getString(2), s.getString(3))
+            }
+        if (eps.isEmpty) {
+          if (se.silent) unit
+          else throw new RdfParseException(
+            s"SERVICE ?$name needs the endpoint variable bound by the " +
+              "group so far (VALUES or a preceding pattern)")
+        } else if (eps.size > SparqlService.MaxEndpoints)
+          throw new RdfParseException(
+            s"SERVICE ?$name would contact ${eps.size} endpoints " +
+              s"(cap ${SparqlService.MaxEndpoints})")
+        else {
+          val sols = eps.flatMap { t =>
+            if (!t.isIri) {
+              if (se.silent) None
+              else throw new RdfParseException(
+                s"SERVICE ?$name bound to a non-IRI term ${t.toNT}")
+            } else fetch(t.lex, Some(name -> t))
+          }
+          if (sols.isEmpty) unit
+          else {
+            val allVars = sols.flatMap(_.df.columns).toSet
+            val df = sols.map(_.df)
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+            Sol(df, sols.flatMap(s =>
+              s.maybe ++ (allVars -- s.df.columns)).toSet)
+          }
+        }
+      case QTriple(_, _, _) =>
+        throw new RdfParseException("SERVICE endpoint must be an IRI or a variable")
     }
   }
 }

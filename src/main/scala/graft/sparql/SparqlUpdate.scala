@@ -166,9 +166,11 @@ object SparqlUpdate {
         QuadDataOp("D", parseQuadData(p, allowBlank = false))
       } else if (p.tryKeyword("WHERE")) {
         val pat = gp(p.parseGroup())
+        rejectBlanks(patternsOf(pat), "DELETE WHERE")
         ModifyOp(patternsOf(pat), Seq.empty, pat)
       } else {
         val del = parseTemplate(p)
+        rejectBlanks(del, "a DELETE template")
         val ins = if (p.tryKeyword("INSERT")) parseTemplate(p) else Seq.empty
         val (u, un) = parseUsing()
         p.keyword("WHERE")
@@ -237,6 +239,23 @@ object SparqlUpdate {
         p.keyword("TO")
         GraphManageOp(kind, src, target())
       }
+    }
+  }
+
+  /** §19.6: DELETE templates (incl. the DELETE WHERE shorthand) must
+    * not contain blank nodes — a blank can never denote an existing
+    * store term, so the spec makes it a syntax error rather than a
+    * silent no-match.
+    */
+  private def rejectBlanks(tps: Seq[TriplePattern], what: String): Unit = {
+    def check(n: Node): Unit = n match {
+      case Const(t) if t != null && t.isBlank =>
+        throw new RdfParseException(s"$what forbids blank nodes (_:${t.lex})")
+      case Sparql.QTriple(s, p, o) => Seq(s, p, o).foreach(check)
+      case _ => ()
+    }
+    tps.foreach { tp =>
+      tp.graph.foreach(check); check(tp.s); check(tp.p); check(tp.o)
     }
   }
 
@@ -391,7 +410,8 @@ object SparqlUpdate {
           s"LOAD <${l.iri}> failed: ${e.getMessage}")
     }
 
-  def resolveModify(state: DataFrame, m: ModifyOp, seq: Long): Option[DataFrame] = {
+  def resolveModify(state: DataFrame, m: ModifyOp, seq: Long,
+      blankScope: String = ""): Option[DataFrame] = {
     // USING/USING NAMED scope only what the WHERE sees; the templates
     // below instantiate into the real dataset (spec §3.1.3)
     val sols = Sparql.solve(
@@ -400,8 +420,9 @@ object SparqlUpdate {
       df.select(Seq(lit(op).as("op"), lit(s).as("seq")) ++
         Seq("graph", "subject", "predicate", "obj").map(col): _*)
     val parts =
-      Sparql.instantiate(sols, m.deleteTpl).map(tag(_, "D", seq)) ++
-      Sparql.instantiate(sols, m.insertTpl).map(tag(_, "A", seq + 1))
+      SparqlTemplates.instantiate(sols, m.deleteTpl).map(tag(_, "D", seq)) ++
+      SparqlTemplates.instantiate(sols, m.insertTpl, blankScope)
+        .map(tag(_, "A", seq + 1))
     parts.reduceOption(_.unionByName(_))
   }
 

@@ -1058,4 +1058,45 @@ class ConformanceSpec extends AnyFunSuite {
     ":a :p 1 .",
     "SELECT ?s { ?s :p ?v FILTER(!BOUND(?nope)) }",
     Seq(r("s" -> ":a")))
+
+  // ==========================================================================
+  // blank node labels in patterns (§4.1.4: non-distinguished variables)
+  // and in CONSTRUCT templates (§16.2.1: fresh per solution)
+  // ==========================================================================
+
+  evalCase("bnode-pattern: label matches ANY term, not just blanks",
+    ":x :q \"a\" . :y :q \"b\" .",
+    "SELECT ?o { _:who :q ?o }",
+    Seq(r("o" -> "\"a\""), r("o" -> "\"b\"")))
+
+  evalCase("bnode-pattern: shared label joins like a variable",
+    ":x :p :v1 . :x :q :v2 . :y :p :v1 .",
+    "SELECT ?a ?b { _:n :p ?a . _:n :q ?b }",
+    Seq(r("a" -> ":v1", "b" -> ":v2")))
+
+  evalCase("bnode-pattern: label is not selectable (absent from *)",
+    ":x :q \"a\" .",
+    "SELECT * { _:who :q ?o }",
+    Seq(r("o" -> "\"a\"")))
+
+  test("construct: template blank is fresh per solution, co-referenced") {
+    val got = run(":a :p 1 . :b :p 2 .",
+      "CONSTRUCT { ?s :stmt _:v . _:v :val ?o } WHERE { ?s :p ?o }")
+      .collect().toSeq
+    assert(got.length == 4)
+    def nt(row: org.apache.spark.sql.Row, i: Int): String = {
+      val s = row.getStruct(i)
+      Term(s.getString(0), s.getString(1), s.getString(2), s.getString(3)).toNT
+    }
+    val stmt = got.filter(r => nt(r, 2).contains("stmt"))
+      .map(r => nt(r, 1) -> nt(r, 3)).toMap
+    val vals = got.filter(r => nt(r, 2).contains("val"))
+      .map(r => nt(r, 1) -> nt(r, 3)).toMap
+    // two distinct blanks, each linking its subject to its value
+    assert(stmt.values.toSet.size == 2)
+    assert(vals(stmt("<http://example/a>")) ==
+      "\"1\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    assert(vals(stmt("<http://example/b>")) ==
+      "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+  }
 }

@@ -403,4 +403,31 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(out(2).getBoolean(6), "the normal doc still passes")
   }
+
+  test("lmScore: smoothed bigram hit ratio from exact integer sums") {
+    import spark.implicits._
+    // corpus: "a b" appears in docs 1 and 2, "x q" only in doc 3, doc 4
+    // has a single token (no pairs), doc 5 is empty
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "x q"), (4L, "solo"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).orderBy("doc_id").collect()
+    assert(out.length == 5)
+    // vocab = {a,b,c,x,q,solo} = 6; c1: a=2,b=2,c=1,x=1,q=1
+    // doc1 pairs: (a,b) c12=2, (b,c) c12=1
+    //   num = (2+1)+(1+1) = 5; den = (2+6)+(2+6) = 16
+    val d1 = out(0)
+    assert(d1.getLong(1) == 2 && d1.getLong(2) == 5 && d1.getLong(3) == 16)
+    assert(d1.getDouble(4) == 5.0 / 16.0)
+    assert(d1.getDouble(5) == 0.5) // only (a,b) recurs corpus-wide
+    // doc3: (x,q) c12=1 → num=2, den=1+6=7, seen_frac 0
+    val d3 = out(2)
+    assert(d3.getLong(2) == 2 && d3.getLong(3) == 7 && d3.getDouble(5) == 0.0)
+    // pairless docs: zero counts, NULL score (no evidence ≠ worst)
+    Seq(3, 4).foreach { i =>
+      assert(out(i).getLong(1) == 0L)
+      assert(out(i).isNullAt(4), "pairless doc must score NULL")
+      assert(out(i).getDouble(5) == 0.0)
+    }
+  }
 }
