@@ -247,6 +247,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023:
+    * k-means-cluster the embeddings, then deduplicate WITHIN each
+    * cluster only): vectors are assigned to `nlist` Lloyd-trained
+    * cells ([[Similarity.trainCentroids]] — deterministic hash-sample
+    * init, exact DECIMAL means), candidate pairs come from a
+    * same-cell self-join, pairs at cosine ≥ `eps` feed
+    * [[clusterComponents]], and each semantic-duplicate cluster keeps
+    * exactly its min-id representative. Output one row per vector:
+    * (id, cell, cluster, keep).
+    *
+    * Scale shape: this is the trick that makes embedding dedup
+    * tractable at corpus scale — candidate generation is O(Σ|cell|²)
+    * instead of O(n²), and in a production run `nlist` grows with the
+    * corpus (SemDeDup uses ~50k clusters for LAION) so cells stay
+    * bounded. The cell self-join carries (id, cell) pairs only;
+    * vectors join back by id for the exact cosine, so wide embedding
+    * arrays never ride the candidate shuffle (the [[nearDupEmbedding]]
+    * rerank discipline). Training reads a bounded hash sample.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 16, eps: Double = 0.95,
+      iters: Int = 2): DataFrame = {
+    val e = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = Similarity.trainCentroids(e, nlist, iters)
+    val assigned = Similarity.assignCells(e, centroids)
+    val cells = assigned.select(col("id"), col("cell"))
+    val cands = cells.alias("a")
+      .join(cells.alias("b"), col("a.cell") === col("b.cell") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vecs = e.select(col("id"), col("v"))
+    val pairs = cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .filter(Similarity.cosine(col("va"), col("vb")) >= eps)
+      .select(col("id_a"), col("id_b"))
+    val labels = clusterComponents(pairs, e.select(col("id")), "id")
+    assigned.select(col("id"), col("cell"))
+      .join(labels, Seq("id"))
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"),
+        col("cluster"),
+        (col("id") === col("cluster")).as("keep"))
+  }
+
   // --- duplicate-cluster resolution ----------------------------------------
 
   /** Connected components over a near-dup PAIR graph: every document

@@ -162,6 +162,26 @@ object PipelineQueries {
       Dedup.nearDupEmbedding(base.unionByName(planted))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // SemDeDup: k-means cells bound the candidate space, within-cell
+    // eps-pairs resolve to clusters, min-id representative kept. Same
+    // planted near-copies as pl_dedup_embed; the scenario aggregates
+    // are deterministic facts (hash-sample init, exact DECIMAL means)
+    "pl_dedup_semantic" -> { (s, dir) =>
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + ((i * lit(0.1)) / lit(64.0)))).as("embedding"))
+      val planted_n = sum(when(col("vec_id") >= 1000, 1L).otherwise(0L))
+      val planted_dropped =
+        sum(when(col("vec_id") >= 1000 && !col("keep"), 1L).otherwise(0L))
+      Dedup.semanticDedup(base.unionByName(planted))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+          planted_dropped.as("planted_dropped"),
+          (planted_dropped === planted_n).as("all_planted_caught"))
+    },
     "pl_ann_topk" -> { (s, dir) =>
       val embs = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") % 25 === 0))
@@ -200,6 +220,12 @@ object PipelineQueries {
     // model, exact integer-sum scoring (bit-reproducible by design)
     "pl_lm_score" -> { (s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    // fastText-style hashed linear quality classifier: broadcast
+    // weight vector, map-only scoring, exact integer accumulation
+    "pl_quality_classifier" -> { (s, dir) =>
+      TextAnalysis.qualityClassifier(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     },
     // deterministic md5-keyed stratified sample by language
@@ -436,6 +462,14 @@ object PipelineQueries {
                      / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS c
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
           WHERE c >= 0.9 ORDER BY id_a, id_b""",
+    // Scenario-literal oracle: SemDeDup over the 500 natural + 10
+    // planted near-copy vectors is deterministic end-to-end (hash-
+    // sample init, exact DECIMAL Lloyd means, min-id representatives);
+    // every planted copy lands in its base's cell and is dropped, and
+    // no natural pair reaches cosine 0.95 (corpus max ~0.52)
+    "pl_dedup_semantic" ->
+      """SELECT 510::BIGINT AS n_vectors, 10::BIGINT AS n_dropped,
+                10::BIGINT AS planted_dropped, true AS all_planted_caught""",
     // Scenario-literal oracle (proj_* pattern): both ANN tiers are
     // deterministic, so LSH recall vs exact top-10 at sf0.01 is a
     // stable fact — 20 queries, 191/200 true neighbors surfaced
@@ -571,6 +605,30 @@ object PipelineQueries {
                      ELSE s.n_seen::DOUBLE / s.n_pairs::DOUBLE END AS seen_frac
          FROM documents d LEFT JOIN s USING (doc_id)
          ORDER BY doc_id""",
+    "pl_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter([lower(t) for t in string_split(text, ' ')],
+                              t -> t <> '') AS w
+           FROM documents),
+         feats AS (
+           SELECT doc_id,
+                  unnest(list_concat(w,
+                    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS f
+           FROM toks),
+         s AS (
+           SELECT doc_id, count(*)::BIGINT AS n_feats,
+                  sum((('0x' || substr(md5('w' ||
+                         ((('0x' || substr(md5(f), 1, 8))::BIGINT % 4096))::VARCHAR),
+                       1, 8))::BIGINT % 2001) - 1000)::BIGINT AS raw
+           FROM feats GROUP BY 1)
+         SELECT d.doc_id::BIGINT AS doc_id,
+                coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+                coalesce(s.raw, 0)::BIGINT AS raw,
+                s.raw::DOUBLE / (1000.0 * s.n_feats) AS score,
+                coalesce(s.raw::DOUBLE / (1000.0 * s.n_feats) > 0.0, false)
+                  AS keep
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
     "pl_sample_stratified" ->
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
           WHERE ${hkSql("doc_id")} <

@@ -160,7 +160,7 @@ object Similarity {
     * (array_max on (score, index) structs — ties to the larger
     * index, deterministic).
     */
-  private def assignCells(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+  private[pipeline] def assignCells(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     e.select(col("id"), col("v"),
       array_max(cellScores(col("v"), centroids)).getField("i").as("cell"))
 
@@ -193,7 +193,7 @@ object Similarity {
     rows.map(_.getSeq[Double](0).toArray)
   }
 
-  private def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
+  private[pipeline] def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
     // fail fast on non-finite components: the decimal-mean cast would
     // turn NaN/Inf into NULL and avg() would silently skip them,
     // yielding a quietly biased centroid instead of a visible error

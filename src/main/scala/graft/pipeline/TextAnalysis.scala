@@ -379,6 +379,83 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Linear quality-classifier scoring — the fastText-style learned
+    * quality tier (the public GPT-3 / LLaMA data notes describe
+    * filtering web documents with a linear bag-of-n-grams classifier):
+    * each document's unigram + bigram features hash into `buckets`
+    * slots (the fastText hashing trick), the slot weights come from a
+    * BROADCAST weight vector, and the document scores by its mean
+    * feature weight. This function carries the full serving plumbing —
+    * feature extraction, bucket hashing, weight lookup, aggregation —
+    * with a deterministic md5-derived stand-in weight vector (no
+    * trained model ships in this container); swapping in real trained
+    * weights is passing a different `weights` array.
+    *
+    * Determinism/portability: bucket assignment uses the engine-
+    * portable md5 key ([[Sampling.hashKey]]), weights are integers in
+    * [-1000, 1000], and the per-doc accumulation is an exact BIGINT
+    * sum — associative under any partitioning — with ONE final IEEE
+    * division, so scores hash-compare bit-exactly against an
+    * independent SQL engine (same rationale as [[lmScore]]).
+    *
+    * Scale shape: entirely map-only — the weight vector rides into
+    * executors as one array literal (a real model broadcasts the same
+    * way; fastText buckets = 2M ints ≈ 8 MB, well inside broadcast
+    * range), feature hashing and `element_at` lookups are codegen'd
+    * per-row work, and NO shuffle or model-table join exists. At
+    * 100 TB this is the ideal operator: one scan, embarrassingly
+    * parallel, throughput = scan speed.
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 4096,
+      weights: Option[IndexedSeq[Int]] = None,
+      threshold: Double = 0.0): DataFrame = {
+    val w: IndexedSeq[Int] = weights.getOrElse(standInWeights(buckets))
+    require(w.length == buckets, "weight vector must have `buckets` entries")
+    val wLit = typedLit(w)
+    val toks = filter(transform(split(col(textCol), " "), t => lower(t)),
+      t => t =!= "")
+    // unigrams + adjacent-pair bigrams ("w1 w2") — fastText's default
+    // feature set; tokens cannot contain ' ', so bigram strings never
+    // collide with unigrams
+    val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+    val feats = docs
+      .select(col(idCol).cast("long").as(idCol), toks.as("w"))
+      .select(col(idCol), explode(concat(col("w"), bigrams)).as("f"))
+    val scored = feats
+      .select(col(idCol),
+        element_at(wLit,
+          (pmod(Sampling.hashKey(col("f")), lit(buckets)) + 1).cast("int"))
+          .cast("long").as("wt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("raw"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("raw"), lit(0L)).as("raw"),
+        // NULL for featureless docs ("no evidence", as in lmScore)
+        (col("raw").cast("double") / (lit(1000.0) * col("n_feats")))
+          .as("score"),
+        coalesce(col("raw").cast("double") / (lit(1000.0) * col("n_feats"))
+          > threshold, lit(false)).as("keep"))
+  }
+
+  /** Deterministic stand-in weight for bucket `b`: the md5 key of
+    * "w<b>" folded to [-1000, 1000]. Exactly re-derivable in any
+    * engine with md5 — the oracle recomputes it inline.
+    */
+  private[pipeline] def standInWeights(buckets: Int): IndexedSeq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until buckets).map { b =>
+      val hex = md.digest(("w" + b).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001L).toInt - 1000
+    }
+  }
+
   /** Statistical language-model quality scoring — the CCNet-style LM
     * filtering tier (Wenzek et al. 2020 score web documents with a
     * KenLM n-gram model and keep the predictable ones) re-expressed

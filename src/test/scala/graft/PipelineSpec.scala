@@ -404,6 +404,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getBoolean(6), "the normal doc still passes")
   }
 
+  test("semanticDedup: within-cell clusters keep the min-id representative") {
+    import spark.implicits._
+    val r5 = math.toRadians(5); val r10 = math.toRadians(10)
+    // ids 1 and 2 seed the deterministic init (first ids by the hash-
+    // sample fallback), one per group, so Lloyd separates the groups
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),                       // group A
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),                       // group B
+      (3L, Seq(math.cos(r5), math.sin(r5), 0.0, 0.0)),     // A, 5° off 1
+      (4L, Seq(math.cos(r10), math.sin(r10), 0.0, 0.0)),   // A, 10° off 1
+      (5L, Seq(0.0, 0.0001, 1.0, 0.0)),                    // B, ~dup of 2
+      (6L, Seq(0.0, 1.0, 0.0, 0.0)))                       // no near-dup
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(embs, nlist = 2, eps = 0.99)
+      .orderBy("vec_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getBoolean(3))).toMap
+    // chain transitivity: cos(1,4)=cos10°<0.99 but 1-3 and 3-4 link,
+    // so 4 still clusters under 1 (connected components, not pairs)
+    assert(byId(1) == (1L, true) && byId(3) == (1L, false) &&
+      byId(4) == (1L, false))
+    assert(byId(2) == (2L, true) && byId(5) == (2L, false))
+    assert(byId(6) == (6L, true)) // singleton keeps itself
+    // the two groups landed in different cells
+    val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(1) == cells(3) && cells(3) == cells(4))
+    assert(cells(2) == cells(5) && cells(1) != cells(2))
+  }
+
+  test("qualityClassifier: hashed features scored by the broadcast weights") {
+    import spark.implicits._
+    val docs = Seq((1L, "Good clean Text"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(docs).orderBy("doc_id").collect()
+    // independent re-derivation in plain Scala (never touches the
+    // Column expressions): md5 bucket, md5 stand-in weight, sum
+    def h8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def wt(f: String): Long = (h8("w" + (h8(f) % 4096)) % 2001L) - 1000L
+    val feats = Seq("good", "clean", "text", "good clean", "clean text")
+    val raw = feats.map(wt).sum
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == raw)
+    assert(out(0).getDouble(3) == raw.toDouble / 5000.0)
+    assert(out(0).getBoolean(4) == (raw > 0))
+    // featureless doc: zero counts, NULL score, keep=false
+    assert(out(1).getLong(1) == 0 && out(1).isNullAt(3) && !out(1).getBoolean(4))
+    // single token: one unigram, no bigram
+    assert(out(2).getLong(1) == 1 && out(2).getLong(2) == wt("solo"))
+    // a custom weight vector overrides the stand-in
+    val flat = TextAnalysis.qualityClassifier(docs,
+      weights = Some(IndexedSeq.fill(4096)(7))).orderBy("doc_id").collect()
+    assert(flat(0).getLong(2) == 35 && flat(2).getLong(2) == 7)
+  }
+
   test("lmScore: smoothed bigram hit ratio from exact integer sums") {
     import spark.implicits._
     // corpus: "a b" appears in docs 1 and 2, "x q" only in doc 3, doc 4
