@@ -47,10 +47,54 @@ object TermOps {
       try return new java.math.BigDecimal(lexA).compareTo(new java.math.BigDecimal(lexB)) == 0
       catch { case _: NumberFormatException => return false }
     }
+    // temporal literals of the same datatype compare on the TIMELINE
+    // (op:dateTime-equal): "12:00:00Z" = "14:00:00+02:00"
+    if (dtA != null && dtA == dtB && TEMPORAL_DATATYPES.contains(dtA)) {
+      val (ka, kb) = (temporalKey(lexA, dtA), temporalKey(lexB, dtB))
+      if (ka != null && kb != null) return ka.longValue == kb.longValue
+    }
     // plain/lang strings: lexical form AND language must match; a
     // plain literal never equals a lang-tagged one
     lexA == lexB && lgA == lgB && dtA == dtB
   }
+
+  /** Datatypes whose values live on the timeline. */
+  val TEMPORAL_DATATYPES: Set[String] = Set(
+    graft.rdf.Term.XSD_DATETIME, graft.rdf.Term.XSD_DATE,
+    graft.rdf.Term.XSD + "time")
+
+  /** Timeline key (epoch / day millis) for a temporal lexical form,
+    * normalizing an explicit timezone; zone-less values are taken as
+    * UTC (the spec leaves the implicit zone implementation-defined —
+    * one FIXED choice keeps the order total and deterministic). Null
+    * when the lexical form does not parse: callers fall back to the
+    * lexical comparison, never error.
+    */
+  def temporalKey(lex: String, dt: String): java.lang.Long = try {
+    import java.time._
+    dt match {
+      case graft.rdf.Term.XSD_DATETIME =>
+        if (lex.length > 10 && (lex.endsWith("Z") || lex.lastIndexOf('+') > 10 ||
+            lex.lastIndexOf('-') > 10))
+          OffsetDateTime.parse(lex).toInstant.toEpochMilli
+        else LocalDateTime.parse(lex).toInstant(ZoneOffset.UTC).toEpochMilli
+      case graft.rdf.Term.XSD_DATE =>
+        val date = LocalDate.parse(lex.substring(0, 10))
+        val zone =
+          if (lex.length > 10) ZoneOffset.of(lex.substring(10).replace("Z", "+00:00"))
+          else ZoneOffset.UTC
+        date.atStartOfDay(zone).toInstant.toEpochMilli
+      case _ => // xsd:time: millis of day shifted by the zone offset
+        val t =
+          if (lex.endsWith("Z") || lex.lastIndexOf('+') > 0 ||
+              lex.lastIndexOf('-') > 0) {
+            val ot = OffsetTime.parse(lex)
+            ot.toLocalTime.toNanoOfDay / 1000000L -
+              ot.getOffset.getTotalSeconds * 1000L
+          } else LocalTime.parse(lex).toNanoOfDay / 1000000L
+        t
+    }
+  } catch { case _: Exception => null }
 
   /** SPARQL value-space comparison (`<`/`>`/ORDER) between two
     * term-struct columns: -1/0/1.
@@ -92,11 +136,51 @@ object TermOps {
     if (tA != graft.rdf.Term.LIT || tB != graft.rdf.Term.LIT) return null
     if (dtA == null || !NUMERIC_DATATYPES.contains(dtA)) return null
     if (dtB == null || !NUMERIC_DATATYPES.contains(dtB)) return null
+    // §17.3 / XPath promotion: double > float > decimal > integer —
+    // the WIDER operand class decides the result type, and double /
+    // float results use IEEE math (÷0 is INF, not an error)
+    def numClass(dt: String): Int =
+      if (dt == graft.rdf.Term.XSD + "double") 3
+      else if (dt == graft.rdf.Term.XSD + "float") 2
+      else if (INTEGER_DATATYPES.contains(dt)) 0 else 1
+    val cls = math.max(numClass(dtA), numClass(dtB))
+    def mk(lex: String, dt: String): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(graft.rdf.Term.LIT),
+        org.apache.spark.unsafe.types.UTF8String.fromString(lex),
+        org.apache.spark.unsafe.types.UTF8String.fromString(dt),
+        null))
+    if (cls >= 2) {
+      def pd(s: String): java.lang.Double = s match {
+        case "INF" => Double.PositiveInfinity
+        case "-INF" => Double.NegativeInfinity
+        case "NaN" => Double.NaN
+        case other =>
+          try java.lang.Double.valueOf(other)
+          catch { case _: NumberFormatException => null }
+      }
+      val (x, y) = (pd(lexA), pd(lexB))
+      if (x == null || y == null) return null
+      val r = op match {
+        case "+" => x + y
+        case "-" => x - y
+        case "*" => x * y
+        case "/" => x / y
+        case _ => return null
+      }
+      val lex =
+        if (r.isNaN) "NaN"
+        else if (r == Double.PositiveInfinity) "INF"
+        else if (r == Double.NegativeInfinity) "-INF"
+        else java.lang.Double.toString(r)
+      return mk(lex,
+        if (cls == 3) graft.rdf.Term.XSD + "double"
+        else graft.rdf.Term.XSD + "float")
+    }
     val (va, vb) =
       try (new java.math.BigDecimal(lexA), new java.math.BigDecimal(lexB))
       catch { case _: NumberFormatException => return null }
-    val isInt = op != "/" &&
-      INTEGER_DATATYPES.contains(dtA) && INTEGER_DATATYPES.contains(dtB)
+    val isInt = op != "/" && cls == 0
     val res = op match {
       case "+" => va.add(vb)
       case "-" => va.subtract(vb)
@@ -112,12 +196,7 @@ object TermOps {
         val s = res.stripTrailingZeros
         if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
       }
-    val dt = if (isInt) graft.rdf.Term.XSD_INTEGER else graft.rdf.Term.XSD_DECIMAL
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      org.apache.spark.unsafe.types.UTF8String.fromString(graft.rdf.Term.LIT),
-      org.apache.spark.unsafe.types.UTF8String.fromString(lex),
-      org.apache.spark.unsafe.types.UTF8String.fromString(dt),
-      null))
+    mk(lex, if (isInt) graft.rdf.Term.XSD_INTEGER else graft.rdf.Term.XSD_DECIMAL)
   }
 
   /** Value-space total order over term InternalRows. SPARQL ORDER BY
@@ -147,6 +226,14 @@ object TermOps {
         NUMERIC_DATATYPES.contains(dtA) && NUMERIC_DATATYPES.contains(dtB)) {
       try return new java.math.BigDecimal(lexA).compareTo(new java.math.BigDecimal(lexB))
       catch { case _: NumberFormatException => () } // ill-formed → lexical
+    }
+    // same-datatype temporal literals order on the timeline (zone-
+    // normalized); ill-formed lexicals fall through to lexical order
+    if (dtA != null && dtA == dtB && TEMPORAL_DATATYPES.contains(dtA)) {
+      val (ka, kb) = (temporalKey(lexA, dtA), temporalKey(lexB, dtB))
+      if (ka != null && kb != null && ka.longValue != kb.longValue)
+        return java.lang.Long.compare(ka.longValue, kb.longValue)
+      if (ka != null && kb != null) return 0
     }
     val c = nc(lexA, lexB)
     if (c != 0) c else { val c2 = nc(lgA, lgB); if (c2 != 0) c2 else nc(dtA, dtB) }

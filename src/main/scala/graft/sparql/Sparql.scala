@@ -549,13 +549,25 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             }
             else arg.fold(count(lit(1)))(e => count(argCol(e)))
           case "SUM" =>
-            if (isDistinct) sum_distinct(argVal(arg.get)) else sum(argVal(arg.get))
+            // §18.5.1.2: Sum over the EMPTY multiset is 0; a non-
+            // numeric (or unbound) value anywhere in the group is a
+            // type error → the aggregate is unbound. A null numeric
+            // value is exactly "this row's argument failed to
+            // evaluate numerically", so errors = count of null values
+            val v = argVal(arg.get)
+            when(count(when(v.isNull, 1)) > 0, lit(null).cast("decimal(38,10)"))
+              .when(count(lit(1)) === 0, lit(0).cast("decimal(38,10)"))
+              .otherwise(if (isDistinct) sum_distinct(v) else sum(v))
           case "AVG" =>
             // AVG(DISTINCT) = SUM(DISTINCT)/COUNT(DISTINCT) over the
-            // numeric values (§18.5.1.5 Avg is Sum/Count over Dx)
-            if (isDistinct)
-              sum_distinct(argVal(arg.get)) / count_distinct(argVal(arg.get))
-            else avg(argVal(arg.get))
+            // numeric values (§18.5.1.5 Avg is Sum/Count over Dx);
+            // Avg({}) = 0, any erroring value → error (as SUM)
+            val v = argVal(arg.get)
+            when(count(when(v.isNull, 1)) > 0, lit(null).cast("decimal(38,14)"))
+              .when(count(lit(1)) === 0, lit(0).cast("decimal(38,14)"))
+              .otherwise(
+                if (isDistinct) sum_distinct(v) / count_distinct(v)
+                else avg(v))
           case "MIN" => min(argVal(arg.get))
           case "MAX" => max(argVal(arg.get))
           case "GROUP_CONCAT" =>

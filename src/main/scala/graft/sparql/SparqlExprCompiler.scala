@@ -303,7 +303,14 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
           when(a(0).getField("datatype").isin(INTEGER_DATATYPES: _*),
             lit(Term.XSD_INTEGER)).otherwise(lit(Term.XSD_DECIMAL)))
         case "IRI" | "URI" =>
-          when(a(0).isNotNull, struct(lit(Term.IRI).as("termType"),
+          // §17.4.2.8: the argument must be an IRI, a simple literal,
+          // or an xsd:string — a numeric/lang-tagged literal is an error
+          val iriOk = a(0).getField("termType") === Term.IRI ||
+            (a(0).getField("termType") === Term.LIT &&
+              a(0).getField("lang").isNull &&
+              (a(0).getField("datatype").isNull ||
+                a(0).getField("datatype") === Term.XSD_STRING))
+          when(a(0).isNotNull && iriOk, struct(lit(Term.IRI).as("termType"),
             lex(0).as("lex"), lit(null).cast("string").as("datatype"),
             lit(null).cast("string").as("lang"))).otherwise(nullTerm)
         // §17.4.4 hash functions: hex digest of the UTF-8 bytes of a
@@ -406,13 +413,21 @@ private[sparql] trait SparqlExprCompiler { this: Sparql.type =>
         // literal constructors (§17.4.2.8-9): the lexical form must be
         // a simple literal, the datatype an IRI / the tag a literal
         case "STRDT" =>
+          // the lexical-form argument must be a SIMPLE literal (or
+          // xsd:string) — lang-tagged / already-typed input is an error
           when(a(0).getField("termType") === Term.LIT &&
+              a(0).getField("lang").isNull &&
+              (a(0).getField("datatype").isNull ||
+                a(0).getField("datatype") === Term.XSD_STRING) &&
               a(1).getField("termType") === Term.IRI,
             struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
               lex(1).as("datatype"), lit(null).cast("string").as("lang")))
             .otherwise(nullTerm)
         case "STRLANG" =>
           when(a(0).getField("termType") === Term.LIT &&
+              a(0).getField("lang").isNull &&
+              (a(0).getField("datatype").isNull ||
+                a(0).getField("datatype") === Term.XSD_STRING) &&
               a(1).getField("termType") === Term.LIT && length(lex(1)) > 0,
             struct(lit(Term.LIT).as("termType"), lex(0).as("lex"),
               lit(null).cast("string").as("datatype"), lex(1).as("lang")))

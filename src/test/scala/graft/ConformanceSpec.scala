@@ -1099,4 +1099,157 @@ class ConformanceSpec extends AnyFunSuite {
     assert(vals(stmt("<http://example/b>")) ==
       "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>")
   }
+
+  // ==========================================================================
+  // aggregates over empty groups (§18.5.1: Sum([])=0, Avg([])=0,
+  // Min/Max([]) = error → unbound) and aggregate type errors
+  // ==========================================================================
+
+  evalCase("agg-empty: SUM of no solutions is 0",
+    ":a :q 1 .",
+    "SELECT (SUM(?v) AS ?s) { ?x :nope ?v }",
+    Seq(r("s" -> "0")))
+
+  evalCase("agg-empty: AVG of no solutions is 0",
+    ":a :q 1 .",
+    "SELECT (AVG(?v) AS ?s) { ?x :nope ?v }",
+    Seq(r("s" -> "0")))
+
+  evalCase("agg-empty: MAX of no solutions is unbound",
+    ":a :q 1 .",
+    "SELECT (MAX(?v) AS ?m) { ?x :nope ?v }",
+    Seq(Map.empty[String, String]))
+
+  evalCase("agg-error: SUM over a non-numeric value is an error → unbound",
+    ":a :p 1 . :b :p \"oops\" .",
+    "SELECT (SUM(?v) AS ?s) { ?x :p ?v }",
+    Seq(Map.empty[String, String]))
+
+  evalCase("agg: GROUP_CONCAT default separator is a single space",
+    ":x :p \"a\" . :x :p \"b\" .",
+    "SELECT (GROUP_CONCAT(?v) AS ?c) { ?s :p ?v } GROUP BY ?s",
+    Seq(r("c" -> "a b"))) // raw top-level aggregate value
+
+  evalCase("agg: GROUP_CONCAT(DISTINCT)",
+    ":x :p \"a\" . :x :q \"a\" . :x :r \"b\" .",
+    "SELECT (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=\",\") AS ?c) { :x ?p ?v }",
+    Seq(r("c" -> "a,b"))) // raw top-level aggregate value
+
+  evalCase("agg: HAVING with implicit whole-pattern group",
+    ":a :p 1 . :b :p 2 .",
+    "SELECT (COUNT(*) AS ?n) { ?s :p ?v } HAVING (COUNT(*) > 1)",
+    Seq(r("n" -> "2")))
+
+  // ==========================================================================
+  // three-valued logic and IN error semantics (§17.4.1.9 IN is
+  // chained ||; TRUE || error = TRUE, FALSE && error = FALSE)
+  // ==========================================================================
+
+  evalCase("3vl: TRUE || error is TRUE",
+    ":a :v 1 .",
+    "SELECT ?s { ?s :v ?v FILTER(?v = 1 || ?v/0 = 1) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("3vl: FALSE && error is FALSE (row dropped, no crash)",
+    ":a :v 1 .",
+    "SELECT ?s { ?s :v ?v FILTER(?v = 2 && ?v/0 = 1) }",
+    Seq.empty)
+
+  evalCase("3vl: error || FALSE is error → dropped",
+    ":a :v 1 .",
+    "SELECT ?s { ?s :v ?v FILTER(?v/0 = 1 || ?v = 2) }",
+    Seq.empty)
+
+  evalCase("3vl: IN finds a match before the error operand",
+    ":a :v 2 .",
+    "SELECT ?s { ?s :v ?v FILTER(?v IN (1, 2, ?v/0)) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("3vl: IN with only an error operand is an error → dropped",
+    ":a :v 3 .",
+    "SELECT ?s { ?s :v ?v FILTER(?v IN (?v/0)) }",
+    Seq.empty)
+
+  evalCase("3vl: division by zero in BIND leaves var unbound",
+    ":a :v 1 .",
+    "SELECT ?s ?d { ?s :v ?v BIND(?v/0 AS ?d) }",
+    Seq(r("s" -> ":a")))
+
+  // ==========================================================================
+  // numeric type promotion (§17.3 / XPath op:numeric-*): the RESULT
+  // datatype, not just the value
+  // ==========================================================================
+
+  evalCase("promote: integer + integer stays integer",
+    ":a :v 1 .",
+    "SELECT ?dt { ?s :v ?v BIND(DATATYPE(?v + 1) AS ?dt) }",
+    Seq(r("dt" -> "<http://www.w3.org/2001/XMLSchema#integer>")))
+
+  evalCase("promote: integer / integer is decimal even when exact",
+    ":a :v 4 .",
+    "SELECT ?dt ?q { ?s :v ?v BIND(?v / 2 AS ?q) BIND(DATATYPE(?q) AS ?dt) }",
+    Seq(r("dt" -> "<http://www.w3.org/2001/XMLSchema#decimal>",
+      "q" -> "\"2\"^^xsd:decimal")))
+
+  evalCase("promote: integer + decimal is decimal",
+    ":a :v 1 .",
+    "SELECT ?dt { ?s :v ?v BIND(DATATYPE(?v + 1.5) AS ?dt) }",
+    Seq(r("dt" -> "<http://www.w3.org/2001/XMLSchema#decimal>")))
+
+  evalCase("promote: integer + double is double",
+    ":a :v 1 .",
+    "SELECT ?dt { ?s :v ?v BIND(DATATYPE(?v + 1.0e0) AS ?dt) }",
+    Seq(r("dt" -> "<http://www.w3.org/2001/XMLSchema#double>")))
+
+  evalCase("promote: division value is exact decimal (1/2 = 0.5)",
+    ":a :v 1 .",
+    "SELECT ?q { ?s :v ?v BIND(?v / 2 AS ?q) }",
+    Seq(r("q" -> "\"0.5\"^^xsd:decimal")))
+
+  // ==========================================================================
+  // language ranges and dateTime ordering
+  // ==========================================================================
+
+  evalCase("lang: LANGMATCHES range en matches en-US (prefix rule)",
+    ":a :l \"color\"@en-US . :b :l \"couleur\"@fr .",
+    "SELECT ?s { ?s :l ?v FILTER(LANGMATCHES(LANG(?v), \"en\")) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("lang: LANGMATCHES en does not match enx",
+    ":a :l \"x\"@enx .",
+    "SELECT ?s { ?s :l ?v FILTER(LANGMATCHES(LANG(?v), \"en\")) }",
+    Seq.empty)
+
+  evalCase("datetime: comparison within xsd:dateTime",
+    """:a :t "2024-01-01T00:00:00Z"^^xsd:dateTime .
+      |:b :t "2024-06-01T00:00:00Z"^^xsd:dateTime .""".stripMargin,
+    "SELECT ?s { ?s :t ?v FILTER(?v < \"2024-03-01T00:00:00Z\"^^xsd:dateTime) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("datetime: equality across timezone representations",
+    """:a :t "2024-01-01T12:00:00Z"^^xsd:dateTime .
+      |:b :t "2024-01-01T14:00:00+02:00"^^xsd:dateTime .""".stripMargin,
+    "SELECT ?s { ?s :t ?v FILTER(?v = \"2024-01-01T12:00:00Z\"^^xsd:dateTime) }",
+    Seq(r("s" -> ":a"), r("s" -> ":b")))
+
+  // ==========================================================================
+  // projection validity (§19.8 grammar notes: a GROUP BY query may
+  // only project group keys and aggregates) and STRDT errors
+  // ==========================================================================
+
+  test("ill-formed: projecting a non-group variable is a clean error") {
+    intercept[graft.rdf.RdfParseException] {
+      run(":a :p 1 .", "SELECT ?s { ?s :p ?v } GROUP BY ?v").collect()
+    }
+  }
+
+  evalCase("fn: STRDT on a lang-tagged literal is an error → unbound",
+    ":a :s \"chat\"@fr .",
+    "SELECT ?s ?d { ?s :s ?v BIND(STRDT(?v, xsd:string) AS ?d) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("fn: IRI of a non-string is an error → unbound",
+    ":a :v 1 .",
+    "SELECT ?s ?i { ?s :v ?v BIND(IRI(?v) AS ?i) }",
+    Seq(r("s" -> ":a")))
 }

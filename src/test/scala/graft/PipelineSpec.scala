@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusLayout, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Behavior the DuckDB oracle can't observe: recall of the sketch-based
   * candidate generators on planted duplicates, LSH ANN recall vs the
@@ -402,6 +402,41 @@ class PipelineSpec extends AnyFunSuite {
       assert(!out(i).getBoolean(6), "empty doc must not pass the filter")
     }
     assert(out(2).getBoolean(6), "the normal doc still passes")
+  }
+
+  test("bucketed corpus layout: co-located join plans with NO exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // forbid broadcast: the pin proves co-location, not small-size luck
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      CorpusLayout.writeBucketed(docs, "bt_docs", s"$dir/docs", nBuckets = 8)
+      CorpusLayout.writeBucketed(
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "bt_stats", s"$dir/stats", nBuckets = 8)
+      val joined = spark.table("bt_docs")
+        .join(spark.table("bt_stats"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == docs.count())
+      // same-bucketed groupBy also elides its exchange
+      val agg = spark.table("bt_stats").groupBy(col("doc_id"))
+        .agg(sum(col("n_tokens")))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // a NON-bucketed copy of the same join does shuffle — the pin is
+      // meaningful only if the baseline differs
+      val flat = docs.join(
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id")
+      assert(flat.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      CorpusLayout.dropTable(spark, "bt_docs")
+      CorpusLayout.dropTable(spark, "bt_stats")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   test("semanticDedup: within-cell clusters keep the min-id representative") {
