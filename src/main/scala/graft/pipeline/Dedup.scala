@@ -40,6 +40,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
+  /** Incremental (cross-snapshot) exact dedup: the docs in `incoming`
+    * that are genuinely NEW relative to the prior corpus `base` —
+    * within-batch duplicates collapse to the smallest id (with the
+    * copy count), and anything whose text already exists in the base
+    * is dropped. This is the recurring-crawl shape: each snapshot
+    * dedups against everything already kept, without rescanning or
+    * re-shuffling the kept TEXT.
+    *
+    * Scale contract: both sides project to the (xxhash64, sha256) hash
+    * pair before any shuffle, so the anti join moves ~40 bytes/row —
+    * and in steady state the base side is a MAINTAINED hash manifest
+    * (the distinct-hash output of previous rounds, stored hash-
+    * bucketed), not a scan of 100 TB of text. The join keys on the
+    * hash pair, so AQE picks a shuffle-hash/sort-merge anti join that
+    * never broadcasts the (large) base manifest; a bloom-filter
+    * pushdown on h64 is a further map-side prefilter Spark can inject
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled).
+    */
+  def incrementalNew(base: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val baseH = base.select(xxhash64(col(textCol)).as("h64"),
+      sha2(col(textCol), 256).as("h256")).distinct()
+    val keep = incoming.select(col(idCol), xxhash64(col(textCol)).as("h64"),
+        sha2(col(textCol), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    keep.join(baseH, Seq("h64", "h256"), "left_anti")
+      .select(col(idCol), col("n_copies"))
+  }
+
   // --- shingling + exact Jaccard (shared by MinHash / SimHash rerank) -------
 
   /** Distinct word n-gram shingles of a text column (native codegen'd

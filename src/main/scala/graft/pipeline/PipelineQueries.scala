@@ -86,6 +86,15 @@ object PipelineQueries {
     "pl_dedup_exact" -> { (s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper_id"))
     },
+    // recurring-crawl shape: snapshot N+1 (doc_id ≡ 0 mod 3) dedups
+    // against the kept corpus (the rest) via a hash-manifest anti join
+    "pl_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    },
     "pl_dedup_minhash" -> { (s, dir) =>
       Dedup.nearDupMinhash(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
@@ -385,6 +394,13 @@ object PipelineQueries {
     "pl_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
+    "pl_dedup_incremental" ->
+      """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+              keep AS (SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+                       FROM documents WHERE doc_id % 3 = 0 GROUP BY text)
+         SELECT k.doc_id, k.n_copies FROM keep k
+         WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = k.text)
+         ORDER BY k.doc_id""",
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_ngram" -> NEARDUP_ORACLE,

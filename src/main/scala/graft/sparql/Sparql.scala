@@ -571,9 +571,14 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           case "MIN" => min(argVal(arg.get))
           case "MAX" => max(argVal(arg.get))
           case "GROUP_CONCAT" =>
-            val lex = argCol(arg.get).getField("lex")
-            array_join(array_sort(
-              if (isDistinct) collect_set(lex) else collect_list(lex)), separator)
+            // error-strict like SUM (§18.5.1.7): any argument that
+            // failed to evaluate poisons the group; the EMPTY group
+            // still concatenates to "" (fn:string-join of no items)
+            val term = argCol(arg.get)
+            val lex = term.getField("lex")
+            when(count(when(term.isNull, 1)) > 0, lit(null).cast("string"))
+              .otherwise(array_join(array_sort(
+                if (isDistinct) collect_set(lex) else collect_list(lex)), separator))
           case "SAMPLE" => min(argCol(arg.get).getField("lex"))
           case other => throw new RdfParseException(s"unsupported aggregate $other")
         }
@@ -588,16 +593,31 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         // by lexical form — so MIN over strings is defined, not null
         def ordKey(e: VExpr): Column = {
           val c = argCol(e); val v = argVal(e)
+          // datatype/lang tie-breaks make the returned term
+          // DETERMINISTIC among value-equal candidates ("2"^^xsd:int
+          // vs "2"^^xsd:integer) — the spec leaves the pick open, a
+          // distributed engine must not leave it to partition order
           struct(when(v.isNotNull, 0).otherwise(1).as("kind"),
-            v.as("num"), c.getField("lex").as("lex"))
+            v.as("num"), c.getField("lex").as("lex"),
+            c.getField("datatype").as("dt"), c.getField("lang").as("lg"))
         }
+        // §18.5.1: an error ANYWHERE in the aggregate's multiset makes
+        // the whole aggregate an error — for MIN/MAX/GROUP_CONCAT the
+        // only per-row error is an argument that failed to evaluate
+        // (unbound variable → null term), so gate on any-null-arg.
+        // COUNT is exempt (it counts bound evaluations) and SAMPLE may
+        // pick any non-error element.
+        def errStrict(arg: Option[VExpr], agg: Column): Column =
+          when(count(when(argCol(arg.get).isNull, 1)) > 0,
+            lit(null).cast(TERM_STRUCT)).otherwise(agg)
         def termAgg(func: String, arg: Option[VExpr], isDistinct: Boolean,
             sep: String): Column = func match {
           case "COUNT" => intTerm(rawAgg(func, arg, isDistinct, sep))
           case "SUM" | "AVG" => numTerm(rawAgg(func, arg, isDistinct, sep))
-          case "MIN" => min_by(argCol(arg.get), ordKey(arg.get))
-          case "MAX" => max_by(argCol(arg.get), ordKey(arg.get))
-          case "GROUP_CONCAT" => strTerm(rawAgg(func, arg, isDistinct, sep))
+          case "MIN" => errStrict(arg, min_by(argCol(arg.get), ordKey(arg.get)))
+          case "MAX" => errStrict(arg, max_by(argCol(arg.get), ordKey(arg.get)))
+          case "GROUP_CONCAT" =>
+            errStrict(arg, strTerm(rawAgg(func, arg, isDistinct, sep)))
           case "SAMPLE" => min_by(argCol(arg.get), argCol(arg.get).getField("lex"))
           case other => throw new RdfParseException(s"unsupported aggregate $other")
         }

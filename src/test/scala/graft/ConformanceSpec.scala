@@ -1125,6 +1125,26 @@ class ConformanceSpec extends AnyFunSuite {
     "SELECT (SUM(?v) AS ?s) { ?x :p ?v }",
     Seq(Map.empty[String, String]))
 
+  evalCase("agg-error: MAX over a group with an unbound value is an error",
+    ":a :p 1 . :a :q 2 .",
+    "SELECT (MAX(?v) AS ?m) { ?s :p ?x OPTIONAL { ?s :missing ?v } }",
+    Seq(Map.empty[String, String]))
+
+  evalCase("agg-error: MIN over a group with an unbound value is an error",
+    ":a :p 1 .",
+    "SELECT (MIN(?v) AS ?m) { ?s :p ?x OPTIONAL { ?s :missing ?v } }",
+    Seq(Map.empty[String, String]))
+
+  evalCase("agg-error: GROUP_CONCAT over an unbound value is an error",
+    ":a :p \"x\" .",
+    "SELECT (GROUP_CONCAT(?v) AS ?c) { ?s :p ?x OPTIONAL { ?s :missing ?v } }",
+    Seq(Map.empty[String, String]))
+
+  evalCase("agg-empty: GROUP_CONCAT of no solutions is the empty string",
+    ":a :q 1 .",
+    "SELECT (GROUP_CONCAT(?v) AS ?c) { ?x :nope ?v }",
+    Seq(r("c" -> ""))) // fn:string-join of an empty sequence
+
   evalCase("agg: GROUP_CONCAT default separator is a single space",
     ":x :p \"a\" . :x :p \"b\" .",
     "SELECT (GROUP_CONCAT(?v) AS ?c) { ?s :p ?v } GROUP BY ?s",
@@ -1242,6 +1262,40 @@ class ConformanceSpec extends AnyFunSuite {
       run(":a :p 1 .", "SELECT ?s { ?s :p ?v } GROUP BY ?v").collect()
     }
   }
+
+  evalCase("fn: sameTerm is syntactic — \"01\" and \"1\" differ as terms",
+    """:a :v "01"^^xsd:integer . :b :v "1"^^xsd:integer .""",
+    "SELECT ?s { ?s :v ?v FILTER(SAMETERM(?v, \"1\"^^xsd:integer)) }",
+    Seq(r("s" -> ":b")))
+
+  evalCase("fn: = is value-space — \"01\" equals \"1\"",
+    """:a :v "01"^^xsd:integer . :b :v "1"^^xsd:integer .""",
+    "SELECT ?s { ?s :v ?v FILTER(?v = \"1\"^^xsd:integer) }",
+    Seq(r("s" -> ":a"), r("s" -> ":b")))
+
+  evalCase("fn: isBLANK / isIRI / isLITERAL partition the term kinds",
+    "_:x :p :a . :a :p \"lit\" .",
+    """SELECT ?kind {
+      |  ?s :p ?o
+      |  BIND(IF(isBLANK(?s), "blank",
+      |        IF(isIRI(?o), "iri", IF(isLITERAL(?o), "lit", "?"))) AS ?kind)
+      |}""".stripMargin,
+    Seq(r("kind" -> "\"blank\""), r("kind" -> "\"lit\"")))
+
+  evalCase("fn: IF propagates a condition error → unbound",
+    ":a :v 1 .",
+    "SELECT ?s ?x { ?s :v ?v BIND(IF(?v/0 = 1, \"t\", \"f\") AS ?x) }",
+    Seq(r("s" -> ":a")))
+
+  evalCase("fn: COALESCE skips errors and unbound, first success wins",
+    ":a :v 1 .",
+    "SELECT ?x { ?s :v ?v BIND(COALESCE(?nope, ?v/0, ?v + 1, 99) AS ?x) }",
+    Seq(r("x" -> "\"2\"^^xsd:integer")))
+
+  evalCase("fn: COALESCE with no successful branch is an error → unbound",
+    ":a :v 1 .",
+    "SELECT ?s ?x { ?s :v ?v BIND(COALESCE(?nope, ?v/0) AS ?x) }",
+    Seq(r("s" -> ":a")))
 
   evalCase("fn: STRDT on a lang-tagged literal is an error → unbound",
     ":a :s \"chat\"@fr .",

@@ -57,9 +57,15 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class AndF(l: Filt, r: Filt) extends Filt
   private case class OrF(l: Filt, r: Filt) extends Filt
 
+  /** An aggregate query head: optional GROUP BY key, the function, and
+    * its argument variable (None = COUNT(*)).
+    */
+  private case class AggQ(group: Option[String], func: String, arg: Option[String])
+
   /** One generated query: BGP, then optional UNION-of-two-BGPs joined
     * in, then OPTIONALs, then MINUS / NOT EXISTS, then FILTERs; with
-    * projection, DISTINCT, and an optional grouped COUNT.
+    * projection, DISTINCT, and an optional aggregate head
+    * (COUNT/SUM/AVG/MIN/MAX, grouped or whole-pattern).
     */
   private case class GenQuery(
       bgp: Seq[TP],
@@ -68,11 +74,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       optionals: Seq[Seq[TP]],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
-      binds: Seq[(String, String, String, Int)], // ?as := ?src op intConst
+      binds: Seq[(String, String, String, Term)], // ?as := ?src op numConst
       filters: Seq[Filt],
       project: Seq[String],
       distinct: Boolean,
-      countBy: Option[String]) // GROUP BY this var, COUNT(*) AS ?n
+      aggQ: Option[AggQ])
 
   // --- rendering to SPARQL text --------------------------------------------
 
@@ -104,8 +110,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   private def queryText(q: GenQuery): String = {
     val sb = new StringBuilder
-    sb.append(q.countBy match {
-      case Some(g) => s"SELECT ?$g (COUNT(*) AS ?n)"
+    sb.append(q.aggQ match {
+      case Some(AggQ(group, func, arg)) =>
+        val call = s"$func(${arg.fold("*")("?" + _)})"
+        group.fold(s"SELECT ($call AS ?n)")(g => s"SELECT ?$g ($call AS ?n)")
       case None =>
         (if (q.distinct) "SELECT DISTINCT " else "SELECT ") +
           q.project.map("?" + _).mkString(" ")
@@ -121,7 +129,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.optionals.foreach(o =>
       sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") + " }\n"))
     q.binds.foreach { case (as, src, op, k) =>
-      sb.append(s"  BIND((?$src $op $k) AS ?$as)\n")
+      sb.append(s"  BIND((?$src $op ${k.toNT}) AS ?$as)\n")
     }
     q.minus.foreach(m =>
       sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
@@ -129,7 +137,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  FILTER NOT EXISTS { " + ne.map(tpText).mkString(" ") + " }\n"))
     q.filters.foreach(f => sb.append("  FILTER " + filtText(f) + "\n"))
     sb.append("}")
-    q.countBy.foreach(g => sb.append(s" GROUP BY ?$g"))
+    q.aggQ.foreach(_.group.foreach(g => sb.append(s" GROUP BY ?$g")))
     sb.toString
   }
 
@@ -263,9 +271,51 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
-  private def numOf(t: Term): Option[BigDecimal] =
-    if (t.isLit && t.datatype == Term.XSD_INTEGER) Some(BigDecimal(t.lex))
+  private val XSD_DOUBLE = Term.XSD + "double"
+
+  /** Numeric promotion class per §17.3: integer 0, decimal 1, double 3
+    * (floats are not generated); None = not a numeric literal.
+    */
+  private def numClass(t: Term): Option[Int] =
+    if (!t.isLit || t.datatype == null) None
+    else if (t.datatype == Term.XSD_INTEGER) Some(0)
+    else if (t.datatype == Term.XSD_DECIMAL) Some(1)
+    else if (t.datatype == XSD_DOUBLE) Some(3)
     else None
+
+  private def numOf(t: Term): Option[BigDecimal] =
+    if (numClass(t).isDefined)
+      try Some(BigDecimal(t.lex)) catch { case _: NumberFormatException => None }
+    else None
+
+  /** Canonical numeric lexical form mirroring the engine's contract:
+    * strip trailing zeros; a whole value renders without a point.
+    */
+  private def decCanon(v: java.math.BigDecimal): String = {
+    val s = v.stripTrailingZeros
+    if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
+  }
+
+  /** Spec arithmetic with XPath promotion: the wider operand class
+    * decides the result datatype; double math is IEEE.
+    */
+  private def naiveArith(a: Term, op: String, b: Term): Option[Term] =
+    for { ca <- numClass(a); cb <- numClass(b) } yield {
+      val c = math.max(ca, cb)
+      if (c >= 2) {
+        val x = a.lex.toDouble; val y = b.lex.toDouble
+        val v = op match { case "+" => x + y; case "-" => x - y; case "*" => x * y }
+        Term.typed(java.lang.Double.toString(v), XSD_DOUBLE)
+      } else {
+        val x = new java.math.BigDecimal(a.lex)
+        val y = new java.math.BigDecimal(b.lex)
+        val v = op match {
+          case "+" => x.add(y); case "-" => x.subtract(y); case "*" => x.multiply(y)
+        }
+        Term.typed(decCanon(v),
+          if (c == 0) Term.XSD_INTEGER else Term.XSD_DECIMAL)
+      }
+    }
 
   /** Value-space comparison per §17.3: numerics by value; simple
     * strings by codepoint; `=`/`!=` extend to term (in)equality for
@@ -318,15 +368,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sols = leftJoin(sols, evalBgp(data, o, Seq(Map.empty)))
     }
     q.binds.foreach { case (as, src, op, k) =>
-      // BIND arithmetic: integer ops; an error (unbound / non-numeric
-      // source) leaves ?as unbound, the row survives
+      // BIND arithmetic with numeric promotion; an error (unbound /
+      // non-numeric source) leaves ?as unbound, the row survives
       sols = sols.map { sol =>
-        sol.get(src).flatMap(numOf) match {
-          case Some(x) =>
-            val v = op match {
-              case "+" => x + k; case "-" => x - k; case "*" => x * k
-            }
-            sol + (as -> Term.typed(v.toBigInt.toString, Term.XSD_INTEGER))
+        sol.get(src).flatMap(naiveArith(_, op, k)) match {
+          case Some(t) => sol + (as -> t)
           case None => sol
         }
       }
@@ -341,15 +387,71 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.filters.foreach { f =>
       sols = sols.filter(sol => evalFilt(f, sol).contains(true))
     }
-    q.countBy match {
-      case Some(g) =>
-        sols.groupBy(_.get(g)).toSeq.map { case (k, group) =>
-          k.fold(Map("n" -> Term.typed(group.size.toString, Term.XSD_INTEGER)))(
-            t => Map(g -> t, "n" -> Term.typed(group.size.toString, Term.XSD_INTEGER)))
+    q.aggQ match {
+      case Some(AggQ(group, func, arg)) =>
+        // GROUP BY over no solutions yields no groups; the ungrouped
+        // head always aggregates exactly one (possibly empty) group
+        val groups: Seq[(Option[Term], Seq[Sol])] = group match {
+          case Some(g) => sols.groupBy(_.get(g)).toSeq
+          case None => Seq((None, sols))
+        }
+        groups.map { case (k, rows) =>
+          val base: Sol = (group, k) match {
+            case (Some(g), Some(t)) => Map(g -> t)
+            case _ => Map.empty
+          }
+          naiveAgg(func, arg, rows).fold(base)(t => base + ("n" -> t))
         }
       case None =>
         val projected = project(sols, q.project)
         if (q.distinct) projected.distinct else projected
+    }
+  }
+
+  /** §18.5.1 aggregate over one group's solutions; None = error →
+    * unbound. SUM/AVG/MIN/MAX error if ANY argument evaluation errors
+    * (unbound or non-numeric for SUM/AVG); Sum({})=0, Avg({})=0,
+    * Min/Max({}) error; COUNT(?v) counts bound evaluations.
+    */
+  private def naiveAgg(func: String, arg: Option[String],
+      rows: Seq[Sol]): Option[Term] = {
+    def int(n: Long) = Term.typed(n.toString, Term.XSD_INTEGER)
+    func match {
+      case "COUNT" => arg match {
+        case None => Some(int(rows.size))
+        case Some(v) => Some(int(rows.count(_.contains(v))))
+      }
+      case "SUM" | "AVG" =>
+        val vals = rows.map(_.get(arg.get).flatMap(numOf))
+        if (vals.exists(_.isEmpty)) None // an error poisons the group
+        else if (vals.isEmpty) Some(Term.typed("0", Term.XSD_INTEGER))
+        else {
+          val sum = vals.flatten.map(_.underlying)
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          val v =
+            if (func == "SUM") sum
+            else sum.divide(new java.math.BigDecimal(vals.size), 14,
+              java.math.RoundingMode.HALF_UP)
+          // the engine renders whole aggregate values as xsd:integer
+          val canon = decCanon(v)
+          Some(Term.typed(canon,
+            if (canon.contains('.')) Term.XSD_DECIMAL else Term.XSD_INTEGER))
+        }
+      case "MIN" | "MAX" =>
+        val terms = rows.map(_.get(arg.get))
+        if (terms.isEmpty || terms.exists(_.isEmpty)) None
+        else {
+          // the engine's deterministic order key: numerics first by
+          // value, then lexical form, then datatype, then lang
+          implicit val ord: Ordering[Term] = Ordering.by { t: Term =>
+            val n = numOf(t)
+            (if (n.isDefined) 0 else 1, n.getOrElse(BigDecimal(0)),
+              Option(t.lex).getOrElse(""), Option(t.datatype).getOrElse(""),
+              Option(t.lang).getOrElse(""))
+          }
+          Some(if (func == "MIN") terms.flatten.min else terms.flatten.max)
+        }
+      case other => sys.error(s"unfuzzed aggregate $other")
     }
   }
 
@@ -366,7 +468,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val objs: Seq[Term] =
       subs ++
       (0 until 4).map(i => Term.typed(i.toString, Term.XSD_INTEGER)) ++
-      Seq(Term.lit("a"), Term.lit("b"))
+      Seq(Term.lit("a"), Term.lit("b"),
+        // numeric datatype diversity: cross-datatype value comparisons
+        // and promotion through BIND/aggregates (values chosen exact
+        // in binary so double math renders canonically)
+        Term.typed("0.5", Term.XSD_DECIMAL), Term.typed("7", Term.XSD_DECIMAL),
+        Term.typed("2.5", XSD_DOUBLE))
     val n = 12 + rnd.nextInt(18)
     (0 until n).map { _ =>
       (subs(rnd.nextInt(subs.size)), preds(rnd.nextInt(preds.size)),
@@ -386,9 +493,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       else newVar()
     def someSub() = Term.iri(s"http://f/s${rnd.nextInt(4)}")
     def somePred() = Term.iri(s"http://f/p${rnd.nextInt(3)}")
-    def someObj(): Term = rnd.nextInt(3) match {
+    def someObj(): Term = rnd.nextInt(5) match {
       case 0 => someSub()
       case 1 => Term.typed(rnd.nextInt(4).toString, Term.XSD_INTEGER)
+      case 2 => Seq(Term.typed("0.5", Term.XSD_DECIMAL),
+        Term.typed("7", Term.XSD_DECIMAL),
+        Term.typed("2.5", XSD_DOUBLE))(rnd.nextInt(3))
       case _ => Term.lit(if (rnd.nextBoolean()) "a" else "b")
     }
     def genTp(): TP = {
@@ -445,7 +555,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // a fresh alias never colliding with pattern vars
       val as = "w" + rnd.nextInt(2)
       used += as
-      (as, src, Seq("+", "-", "*")(rnd.nextInt(3)), rnd.nextInt(3))
+      val const = rnd.nextInt(4) match {
+        case 0 => Term.typed("0.5", Term.XSD_DECIMAL)
+        case 1 => Term.typed("2.5", XSD_DOUBLE)
+        case _ => Term.typed(rnd.nextInt(3).toString, Term.XSD_INTEGER)
+      }
+      (as, src, Seq("+", "-", "*")(rnd.nextInt(3)), const)
     }
     val filters = (0 until rnd.nextInt(2)).map(_ => genFilt(1))
     val allVars = used.toSeq
@@ -453,10 +568,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       if (allVars.isEmpty) Seq.empty
       else if (rnd.nextDouble() < 0.5) allVars
       else allVars.take(1 + rnd.nextInt(allVars.size))
-    val countable = allVars.nonEmpty && rnd.nextDouble() < 0.15
+    val aggQ =
+      if (allVars.isEmpty || rnd.nextDouble() >= 0.3) None
+      else {
+        val func = Seq("COUNT", "SUM", "AVG", "MIN", "MAX")(rnd.nextInt(5))
+        val arg =
+          if (func == "COUNT" && rnd.nextBoolean()) None // COUNT(*)
+          else Some(allVars(rnd.nextInt(allVars.size)))
+        val group =
+          if (rnd.nextDouble() < 0.7) Some(allVars(rnd.nextInt(allVars.size)))
+          else None
+        Some(AggQ(group, func, arg))
+      }
     GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
-      filters, project, distinct = rnd.nextDouble() < 0.3,
-      countBy = if (countable) Some(allVars.head) else None)
+      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ)
   }
 
   // --- comparison harness ---------------------------------------------------
@@ -474,8 +599,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           case r: org.apache.spark.sql.Row =>
             Some(c -> Term(r.getString(0), r.getString(1), r.getString(2),
               r.getString(3)).toNT)
-          case l: Long => // grouped COUNT returns a raw long
+          case l: Long => // top-level COUNT returns a raw long
             Some(c -> Term.typed(l.toString, Term.XSD_INTEGER).toNT)
+          case d: java.math.BigDecimal => // raw SUM/AVG: canonical value
+            val canon = decCanon(d)
+            Some(c -> Term.typed(canon,
+              if (canon.contains('.')) Term.XSD_DECIMAL
+              else Term.XSD_INTEGER).toNT)
           case other => Some(c -> other.toString)
         }
       }.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
@@ -490,7 +620,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(SEED * 1000003L + i)
       val data = genData(rnd)
       val q = genQuery(rnd)
-      if (q.project.isEmpty && q.countBy.isEmpty) skipped += 1
+      if (q.project.isEmpty && q.aggQ.isEmpty) skipped += 1
       else {
         val naive = evalNaive(data, q)
         if (naive.size > 20000) skipped += 1 // unbounded cross join: cap runtime

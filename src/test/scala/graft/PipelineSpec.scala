@@ -404,6 +404,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getBoolean(6), "the normal doc still passes")
   }
 
+  test("incrementalNew: drops cross-snapshot and within-batch duplicates") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"), // already in the base → dropped
+      (11L, "delta"), // new
+      (12L, "delta"), // within-batch dup → collapses into 11
+      (13L, "beta"),  // already in the base → dropped
+      (14L, "epsilon")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(base, incoming)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((11L, 2L), (14L, 1L)))
+    // the anti join must key on the hash pair, not the text — the
+    // plan's join keys carry no text column
+    val plan = Dedup.incrementalNew(base, incoming)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.toLowerCase.contains("text#") ||
+      !plan.substring(plan.indexOf("Join")).contains("text#"),
+      "join keys must be hashes, not text")
+  }
+
   test("bucketed corpus layout: co-located join plans with NO exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
