@@ -30,14 +30,27 @@ import scala.jdk.CollectionConverters._
   *     (a literal under @reverse is a parse error, per spec)
   *   - array `@context`: inline objects merged left-to-right (later
   *     definitions shadow earlier ones; a null member resets)
-  * Out of scope (parse error → DLQ): remote (string) contexts,
-  *   `@index`, `@included`, IRI-keyed id maps.
+  *   - string (remote) contexts against a PRELOADED registry: the
+  *     offline documentLoader pattern — vendored context documents
+  *     keyed by their URL, passed as a plain map (broadcast-friendly;
+  *     no executor ever fetches). A URL absent from the registry is a
+  *     parse error → DLQ, same as before; registered contexts may
+  *     themselves reference registered URLs (cycles rejected).
+  * Out of scope (parse error → DLQ): live remote fetch (no network
+  *   I/O in a parse path, ever), `@index`, `@included`, IRI-keyed id
+  *   maps.
   */
 object JsonLdParser {
 
   private val XSD = "http://www.w3.org/2001/XMLSchema#"
 
-  def parse(doc: String): Seq[Quad] = {
+  def parse(doc: String): Seq[Quad] = parse(doc, Map.empty)
+
+  /** Parse with a preloaded context registry: URL → JSON source of the
+    * context document (either a bare context object or a wrapper with
+    * an `@context` member, as published context documents are).
+    */
+  def parse(doc: String, contexts: Map[String, String]): Seq[Quad] = {
     val root =
       try new ObjectMapper().readTree(doc)
       catch {
@@ -45,11 +58,11 @@ object JsonLdParser {
           throw new RdfParseException(s"json-ld: ${e.getMessage}")
       }
     if (root == null) throw new RdfParseException("json-ld: empty document")
-    new JsonLdParser().parseRoot(root)
+    new JsonLdParser(contexts).parseRoot(root)
   }
 }
 
-final class JsonLdParser {
+final class JsonLdParser(registry: Map[String, String] = Map.empty) {
   import JsonLdParser._
 
   private val quads = scala.collection.mutable.ArrayBuffer[Quad]()
@@ -81,16 +94,38 @@ final class JsonLdParser {
   private def readContext(obj: JsonNode): Unit = {
     val ctx = obj.get("@context")
     if (ctx == null) return
+    applyContext(ctx, Set.empty)
+  }
+
+  private def applyContext(ctx: JsonNode, seen: Set[String]): Unit =
     if (ctx.isArray) {
       // array form (§3.1): member contexts merge LEFT-TO-RIGHT, later
       // definitions shadowing earlier ones; a null member resets the
-      // active context; remote (string) members stay rejected below
+      // active context
       ctx.elements().asScala.foreach { m =>
         if (m.isNull) { mappings = Map.empty; coercions = Map.empty; vocab = null }
-        else readOneContext(m)
+        else applyContext(m, seen)
       }
+    } else if (ctx.isTextual) {
+      // remote reference → preloaded registry, never the network
+      val url = ctx.asText()
+      if (seen.contains(url))
+        throw new RdfParseException(s"json-ld: context cycle at '$url'")
+      val src = registry.getOrElse(url, throw new RdfParseException(
+        s"json-ld: remote context '$url' not in the preloaded registry"))
+      val doc =
+        try new ObjectMapper().readTree(src)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new RdfParseException(
+              s"json-ld: registered context '$url': ${e.getMessage}")
+        }
+      // published context documents wrap the context in "@context"
+      val inner = if (doc != null && doc.has("@context")) doc.get("@context") else doc
+      if (inner == null) throw new RdfParseException(
+        s"json-ld: registered context '$url' is empty")
+      applyContext(inner, seen + url)
     } else readOneContext(ctx)
-  }
 
   private def readOneContext(ctx: JsonNode): Unit = {
     if (!ctx.isObject)

@@ -46,7 +46,8 @@ object RdfParse {
     * distinct events can never collide (blank identity is per-document
     * in RDF; the reference gets this from Jena's per-parse labels).
     */
-  def decode(value: Array[Byte], contentType: String, scope: String): Decoded = {
+  def decode(value: Array[Byte], contentType: String, scope: String,
+      jsonLdContexts: Map[String, String] = Map.empty): Decoded = {
     val ct = normalize(contentType)
     try {
       val doc = new String(value, StandardCharsets.UTF_8)
@@ -62,7 +63,8 @@ object RdfParse {
         case CT_RDFXML =>
           Decoded("dataset", scopeBlanks(RdfXmlParser.parse(doc), scope), null, null)
         case CT_JSONLD | "application/json+ld" =>
-          Decoded("dataset", scopeBlanks(JsonLdParser.parse(doc), scope), null, null)
+          Decoded("dataset",
+            scopeBlanks(JsonLdParser.parse(doc, jsonLdContexts), scope), null, null)
         case CT_PATCH | "text/rdf-patch" =>
           Decoded("patch", null, RdfPatchParser.parse(doc), null)
         case CT_SPARQL_UPDATE =>
@@ -110,16 +112,19 @@ object RdfParse {
     * deterministic and hence safe under Spark task retry/epoch replay
     * (SURVEY.md §2.3 row 26 exactly-once note).
     */
-  def decodeEvents(df: DataFrame): Dataset[DecodedEvent] = {
+  def decodeEvents(df: DataFrame,
+      jsonLdContexts: Map[String, String] = Map.empty): Dataset[DecodedEvent] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the registry is a plain immutable map captured by the decode
+    // closure — it ships once per task like any broadcast-small state
     df.select(col("topic"), col("partition"), col("offset"), col("key"),
         col("value"), col("contentType"))
       .as[(String, Int, Long, Array[Byte], Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (topic, part, off, key, value, ct) =>
           val scope = s"$topic:$part:$off"
-          val d = decode(value, ct, scope)
+          val d = decode(value, ct, scope, jsonLdContexts)
           DecodedEvent(topic, part, off, key, ct, d.kind, d.quads, d.ops, d._corrupt)
         }
       }

@@ -255,10 +255,67 @@ class RdfParserSpec extends AnyFunSuite {
         | "@id": "http://example/a", "name": "Aye"}""".stripMargin)
     assert(reset == Seq(Quad(null, Term.iri("http://example/a"),
       Term.iri("name"), Term.lit("Aye"))))
-    // remote (string) members stay parse errors → DLQ
+    // remote (string) members stay parse errors → DLQ when no
+    // registry is supplied
     intercept[RdfParseException](JsonLdParser.parse(
       """{"@context": ["https://schema.org", {"x": "http://x/"}],
         | "@id": "http://example/a", "x": "1"}""".stripMargin))
+  }
+
+  test("json-ld: remote contexts resolve against a preloaded registry") {
+    // published context documents wrap the mappings in "@context"
+    val registry = Map(
+      "https://example.org/ctx/person" ->
+        """{"@context": {"name": "http://example/name",
+          |              "knows": {"@id": "http://example/knows", "@type": "@id"}}}""".stripMargin,
+      // a bare context object (no wrapper) also works
+      "https://example.org/ctx/extra" -> """{"nick": "http://example/nick"}""",
+      // a registered context may itself reference a registered URL
+      "https://example.org/ctx/chain" ->
+        """{"@context": ["https://example.org/ctx/person",
+          |              {"age": "http://example/age"}]}""".stripMargin,
+      "https://example.org/ctx/loop" ->
+        """{"@context": "https://example.org/ctx/loop"}""")
+    val qs = JsonLdParser.parse(
+      """{"@context": ["https://example.org/ctx/person",
+        |              "https://example.org/ctx/extra"],
+        | "@id": "http://example/a",
+        | "name": "Aye", "nick": "Al", "knows": "http://example/b"}""".stripMargin,
+      registry)
+    assert(qs.toSet == Set(
+      Quad(null, Term.iri("http://example/a"),
+        Term.iri("http://example/name"), Term.lit("Aye")),
+      Quad(null, Term.iri("http://example/a"),
+        Term.iri("http://example/nick"), Term.lit("Al")),
+      Quad(null, Term.iri("http://example/a"),
+        Term.iri("http://example/knows"), Term.iri("http://example/b"))))
+    // chained registered reference
+    val chained = JsonLdParser.parse(
+      """{"@context": "https://example.org/ctx/chain",
+        | "@id": "http://example/a", "name": "Aye", "age": 7}""".stripMargin,
+      registry)
+    assert(chained.contains(Quad(null, Term.iri("http://example/a"),
+      Term.iri("http://example/age"),
+      Term.typed("7", "http://www.w3.org/2001/XMLSchema#integer"))))
+    // unknown URL → clean parse error even with a registry present
+    val eUnknown = intercept[RdfParseException](JsonLdParser.parse(
+      """{"@context": "https://example.org/ctx/nope", "@id": "http://e/a"}""",
+      registry))
+    assert(eUnknown.getMessage.contains("not in the preloaded registry"))
+    // self/cyclic reference → clean parse error, no stack overflow
+    val eLoop = intercept[RdfParseException](JsonLdParser.parse(
+      """{"@context": "https://example.org/ctx/loop", "@id": "http://e/a"}""",
+      registry))
+    assert(eLoop.getMessage.contains("cycle"))
+    // the registry flows through the content-type dispatch layer too
+    val d = RdfParse.decode(
+      """{"@context": "https://example.org/ctx/person",
+        | "@id": "http://example/a", "name": "Aye"}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      RdfParse.CT_JSONLD, "t:0:0", registry)
+    assert(d.kind == "dataset" && d.quads == Seq(
+      Quad(null, Term.iri("http://example/a"),
+        Term.iri("http://example/name"), Term.lit("Aye"))))
   }
 
   test("json-ld: a blank-node @graph label stays a blank node") {
