@@ -290,6 +290,38 @@ object RdfQueries {
       })
       graft.rdf.NtWriter.ntLines(store.quads()).orderBy(col("line"))
     },
+    // blank-node canonicalization by 3 rounds of distributed hash
+    // refinement over a nation/region graph where EVERY node is a
+    // blank — the oracle re-runs the same refinement as 3 unrolled
+    // SQL rounds, so every md5 at every round must agree
+    "rdf_canonical" -> { (s, dir) =>
+      def blankT(lex: Column) = struct(lit(Term.BLANK).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def iriT(iri: String) = struct(lit(Term.IRI).as("termType"),
+        lit(iri).as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def litT(lex: Column) = struct(lit(Term.LIT).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val g = lit(null).cast(
+        "struct<termType:string,lex:string,datatype:string,lang:string>")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      val quads = nation.select(g.as("graph"),
+          blankT(concat(lit("n"), col("n_nationkey"))).as("subject"),
+          iriT(s"${NS}name").as("predicate"),
+          litT(col("n_name")).as("obj"))
+        .unionByName(nation.select(g.as("graph"),
+          blankT(concat(lit("n"), col("n_nationkey"))).as("subject"),
+          iriT(s"${NS}region").as("predicate"),
+          blankT(concat(lit("r"), col("n_regionkey"))).as("obj")))
+        .unionByName(region.select(g.as("graph"),
+          blankT(concat(lit("r"), col("r_regionkey"))).as("subject"),
+          iriT(s"${NS}rname").as("predicate"),
+          litT(col("r_name")).as("obj")))
+      RdfCanonical.blankHashes(quads).orderBy(col("blank"))
+    },
     // Turtle/TriG egress with prefix compaction: per-(graph,subject)
     // blocks — rdf:type as `a`, predicate lists `;`, object lists `,`,
     // longest-namespace prefixed names, unsafe locals fall back to
@@ -491,6 +523,57 @@ object RdfQueries {
                   chr(92) || chr(92) || '"}]}]}'
            FROM region)
          ORDER BY line""",
+    "rdf_canonical" ->
+      """WITH q AS (
+           SELECT 'n' || n_nationkey AS sb, CAST(NULL AS VARCHAR) AS ob,
+                  '<http://graft.example/name>' AS pnt,
+                  '_:n' || n_nationkey AS snt,
+                  chr(34) || n_name || chr(34) AS ont, '' AS gnt
+           FROM nation
+           UNION ALL
+           SELECT 'n' || n_nationkey, 'r' || n_regionkey,
+                  '<http://graft.example/region>',
+                  '_:n' || n_nationkey, '_:r' || n_regionkey, ''
+           FROM nation
+           UNION ALL
+           SELECT 'r' || r_regionkey, NULL,
+                  '<http://graft.example/rname>',
+                  '_:r' || r_regionkey, chr(34) || r_name || chr(34), ''
+           FROM region),
+         bl AS (SELECT DISTINCT sb AS b FROM q WHERE sb IS NOT NULL
+                UNION SELECT DISTINCT ob FROM q WHERE ob IS NOT NULL),
+         h0 AS (SELECT b, 'init' AS h FROM bl),
+         c1 AS (
+           SELECT q.sb AS b,
+                  'S|' || pnt || '|' || coalesce(ho.h, ont) || '|' || gnt AS c
+           FROM q LEFT JOIN h0 ho ON q.ob = ho.b WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.ob,
+                  'O|' || pnt || '|' || coalesce(hs.h, snt) || '|' || gnt
+           FROM q LEFT JOIN h0 hs ON q.sb = hs.b WHERE q.ob IS NOT NULL),
+         h1 AS (SELECT b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c1 GROUP BY b),
+         c2 AS (
+           SELECT q.sb AS b,
+                  'S|' || pnt || '|' || coalesce(ho.h, ont) || '|' || gnt AS c
+           FROM q LEFT JOIN h1 ho ON q.ob = ho.b WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.ob,
+                  'O|' || pnt || '|' || coalesce(hs.h, snt) || '|' || gnt
+           FROM q LEFT JOIN h1 hs ON q.sb = hs.b WHERE q.ob IS NOT NULL),
+         h2 AS (SELECT b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c2 GROUP BY b),
+         c3 AS (
+           SELECT q.sb AS b,
+                  'S|' || pnt || '|' || coalesce(ho.h, ont) || '|' || gnt AS c
+           FROM q LEFT JOIN h2 ho ON q.ob = ho.b WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.ob,
+                  'O|' || pnt || '|' || coalesce(hs.h, snt) || '|' || gnt
+           FROM q LEFT JOIN h2 hs ON q.sb = hs.b WHERE q.ob IS NOT NULL),
+         h3 AS (SELECT b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c3 GROUP BY b)
+         SELECT b AS blank, h AS canon FROM h3 ORDER BY blank""",
     "rdf_export_turtle" ->
       """SELECT line FROM (
            SELECT 'reg:' || r_regionkey || ' a grf:Region ; grf:name ' ||

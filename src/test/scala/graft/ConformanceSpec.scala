@@ -1263,6 +1263,43 @@ class ConformanceSpec extends AnyFunSuite {
     }
   }
 
+  // ==========================================================================
+  // negative syntax (re-authored from the W3C syntax-query negative
+  // family): each must raise a clean parse error, never a partial
+  // parse, a silent empty result, or an engine crash
+  // ==========================================================================
+
+  test("negative syntax: ill-formed queries are clean parse errors") {
+    val bad = Seq(
+      "SELECT ?x { ?x :p }",                       // triple missing object
+      "SELECT ?x { ?x :p ?y",                      // unclosed group
+      "SELECT { ?s :p ?o }",                       // no projection
+      "SELECT (COUNT(*) ?c) { ?s :p ?o }",         // missing AS
+      "SELECT (1 AS ?x) (2 AS ?x) { ?s :p ?o }",   // duplicate alias
+      "SELECT * { ?s :p \"abc }",                  // unterminated string
+      "SELECT * { ?s :p ?o . MINUS }",             // MINUS without group
+      "SELECT * { GRAPH { ?s :p ?o } }",           // GRAPH without name
+      "SELECT * { BIND(1) }",                      // BIND missing AS
+      "SELECT * { ?s :p ?o } GROUP BY",            // empty GROUP BY
+      "SELECT * { ?s :p ?o } ORDER",               // dangling keyword
+      "SELECT * { ?s :p ?o } LIMIT x",             // non-integer LIMIT
+      "SELECT * { FILTER(?x = ) }",                // bad expression
+      "SELECT * { ?s :p ?o FILTER NOT EXISTS }",   // NOT EXISTS w/o group
+      "SELECT * { ?s :p ?o FILTER regex(?o) }",    // REGEX arity
+      "SELECT ?x { ?s :p ?x FILTER(COUNT(?x) > 1) }", // aggregate in FILTER
+      "ASK { ?s :p ?o } GROUP BY ?s HAVING",       // empty HAVING
+      "SELECT * { VALUES { (1) } }",               // VALUES without vars
+      "SELECT * { ?s :p 1 . } OFFSET -1",          // negative OFFSET
+      "PREFIX : SELECT * { ?s :p ?o }")            // malformed PREFIX
+    bad.foreach { q =>
+      val thrown = intercept[Exception] {
+        run(":a :p 1 .", q).collect()
+      }
+      assert(thrown.isInstanceOf[graft.rdf.RdfParseException],
+        s"expected RdfParseException for [$q], got $thrown")
+    }
+  }
+
   evalCase("fn: sameTerm is syntactic — \"01\" and \"1\" differ as terms",
     """:a :v "01"^^xsd:integer . :b :v "1"^^xsd:integer .""",
     "SELECT ?s { ?s :v ?v FILTER(SAMETERM(?v, \"1\"^^xsd:integer)) }",

@@ -879,3 +879,104 @@ class RdfWritersSpec extends AnyFunSuite {
     assert(JsonLdWriter.documentLines(df(Seq.empty).limit(0)).mkString("") == "[]")
   }
 }
+
+/** [[graft.rdf.RdfCanonical]]: blank-node hash refinement. The oracle
+  * entry (rdf_canonical) pins the exact per-round hashes vs DuckDB;
+  * these tests pin the SEMANTIC contract the oracle can't express —
+  * invariance under blank relabeling and sensitivity to structure.
+  */
+class RdfCanonicalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(quads: Seq[Quad]) = {
+    import spark.implicits._
+    quads.map(q => QuadStore.OpRow("A", 0L, q.graph, q.subject, q.predicate, q.obj))
+      .toDF().select(org.apache.spark.sql.functions.col("graph"),
+        org.apache.spark.sql.functions.col("subject"),
+        org.apache.spark.sql.functions.col("predicate"),
+        org.apache.spark.sql.functions.col("obj"))
+  }
+
+  private val p = Term.iri("http://x/p")
+  private val q = Term.iri("http://x/q")
+  private val name = Term.iri("http://x/name")
+
+  test("canonical lines are invariant under blank relabeling") {
+    val g1 = Seq(
+      Quad(null, Term.blank("a"), name, Term.lit("hub")),
+      Quad(null, Term.blank("a"), p, Term.blank("b")),
+      Quad(null, Term.blank("b"), q, Term.lit("leaf1")),
+      Quad(null, Term.blank("a"), p, Term.blank("c")),
+      Quad(null, Term.blank("c"), q, Term.lit("leaf2")))
+    // same graph, blanks renamed arbitrarily (and differently shaped labels)
+    val g2 = Seq(
+      Quad(null, Term.blank("zz9"), name, Term.lit("hub")),
+      Quad(null, Term.blank("zz9"), p, Term.blank("k")),
+      Quad(null, Term.blank("k"), q, Term.lit("leaf1")),
+      Quad(null, Term.blank("zz9"), p, Term.blank("m")),
+      Quad(null, Term.blank("m"), q, Term.lit("leaf2")))
+    val l1 = RdfCanonical.canonicalLines(df(g1)).collect().map(_.getString(0)).toSeq
+    val l2 = RdfCanonical.canonicalLines(df(g2)).collect().map(_.getString(0)).toSeq
+    assert(l1 == l2)
+    assert(l1.exists(_.contains("_:c")), s"blanks must be renamed: $l1")
+    // and the dataset fingerprints agree
+    val f1 = RdfCanonical.datasetHash(df(g1)).collect().head.getString(0)
+    val f2 = RdfCanonical.datasetHash(df(g2)).collect().head.getString(0)
+    assert(f1 == f2)
+  }
+
+  test("structurally different graphs fingerprint differently") {
+    val g1 = Seq(
+      Quad(null, Term.blank("a"), p, Term.blank("b")),
+      Quad(null, Term.blank("b"), q, Term.lit("x")))
+    val g2 = Seq( // reversed edge direction
+      Quad(null, Term.blank("b"), p, Term.blank("a")),
+      Quad(null, Term.blank("b"), q, Term.lit("x")))
+    val f1 = RdfCanonical.datasetHash(df(g1)).collect().head.getString(0)
+    val f2 = RdfCanonical.datasetHash(df(g2)).collect().head.getString(0)
+    assert(f1 != f2)
+  }
+
+  test("automorphic twins tie on hash yet render identically") {
+    // two interchangeable leaves under one hub: any within-tie rank
+    // assignment yields the same canonical document
+    val g = Seq(
+      Quad(null, Term.blank("hub"), p, Term.blank("l1")),
+      Quad(null, Term.blank("hub"), p, Term.blank("l2")),
+      Quad(null, Term.blank("l1"), q, Term.lit("same")),
+      Quad(null, Term.blank("l2"), q, Term.lit("same")))
+    val hashes = RdfCanonical.blankHashes(df(g)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hashes("l1") == hashes("l2"))
+    assert(hashes("hub") != hashes("l1"))
+    val lines = RdfCanonical.canonicalLines(df(g)).collect().map(_.getString(0)).toSeq
+    // swapped input labels → same canonical output
+    val swapped = Seq(
+      Quad(null, Term.blank("hub"), p, Term.blank("l2")),
+      Quad(null, Term.blank("hub"), p, Term.blank("l1")),
+      Quad(null, Term.blank("l2"), q, Term.lit("same")),
+      Quad(null, Term.blank("l1"), q, Term.lit("same")))
+    val lines2 = RdfCanonical.canonicalLines(df(swapped)).collect().map(_.getString(0)).toSeq
+    assert(lines == lines2)
+  }
+
+  test("named-graph position participates in the signature") {
+    val gname = Term.iri("http://x/g")
+    val inDefault = Seq(Quad(null, Term.blank("a"), q, Term.lit("x")))
+    val inNamed = Seq(Quad(gname, Term.blank("a"), q, Term.lit("x")))
+    val h1 = RdfCanonical.blankHashes(df(inDefault)).collect().head.getString(1)
+    val h2 = RdfCanonical.blankHashes(df(inNamed)).collect().head.getString(1)
+    assert(h1 != h2)
+  }
+
+  test("canonicalization leaves no pinned checkpoint blocks behind") {
+    val g = Seq(
+      Quad(null, Term.blank("a"), p, Term.blank("b")),
+      Quad(null, Term.blank("b"), q, Term.lit("x")))
+    RdfCanonical.canonicalLines(df(g)).collect()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    RdfCanonical.canonicalLines(df(g)).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"checkpoint blocks leak: $before -> $after")
+  }
+}
