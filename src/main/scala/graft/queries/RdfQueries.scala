@@ -322,6 +322,37 @@ object RdfQueries {
           litT(col("r_name")).as("obj")))
       RdfCanonical.blankHashes(quads).orderBy(col("blank"))
     },
+    // graph-level dedup: one event-graph per nation, isomorphic
+    // whenever two nations share a region (the payload differs only
+    // in blank labels and the graph name) — fingerprints collapse 25
+    // graphs into 5 groups; the oracle mirrors the per-graph
+    // refinement and the fingerprint fold exactly
+    "rdf_dedup_graphs" -> { (s, dir) =>
+      def blankT(lex: Column) = struct(lit(Term.BLANK).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def iriT(lex: Column) = struct(lit(Term.IRI).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def litT(lex: Column) = struct(lit(Term.LIT).as("termType"),
+        lex.as("lex"), lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val nr = t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      val g = iriT(concat(lit(s"${NS}g/n"), col("n_nationkey")))
+      val quads = nr.select(g.as("graph"),
+          blankT(lit("x")).as("subject"),
+          iriT(lit(s"${NS}hasRegion")).as("predicate"),
+          blankT(lit("y")).as("obj"))
+        .unionByName(nr.select(g.as("graph"),
+          blankT(lit("y")).as("subject"),
+          iriT(lit(s"${NS}rname")).as("predicate"),
+          litT(col("r_name")).as("obj")))
+      RdfCanonical.graphFingerprints(quads)
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_graphs"), min(col("graph")).as("first_graph"))
+        .orderBy(col("fingerprint"))
+    },
     // Turtle/TriG egress with prefix compaction: per-(graph,subject)
     // blocks — rdf:type as `a`, predicate lists `;`, object lists `,`,
     // longest-namespace prefixed names, unsafe locals fall back to
@@ -574,6 +605,61 @@ object RdfQueries {
          h3 AS (SELECT b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
                 FROM c3 GROUP BY b)
          SELECT b AS blank, h AS canon FROM h3 ORDER BY blank""",
+    "rdf_dedup_graphs" ->
+      """WITH q AS (
+           SELECT '<http://graft.example/g/n' || n_nationkey || '>' AS g,
+                  'x' AS sb, 'y' AS ob,
+                  '<http://graft.example/hasRegion>' AS pnt,
+                  '_:x' AS snt, '_:y' AS ont
+           FROM nation
+           UNION ALL
+           SELECT '<http://graft.example/g/n' || n_nationkey || '>',
+                  'y', NULL, '<http://graft.example/rname>',
+                  '_:y', chr(34) || r_name || chr(34)
+           FROM nation JOIN region ON n_regionkey = r_regionkey),
+         bl AS (SELECT DISTINCT g, sb AS b FROM q WHERE sb IS NOT NULL
+                UNION SELECT DISTINCT g, ob FROM q WHERE ob IS NOT NULL),
+         h0 AS (SELECT g, b, 'init' AS h FROM bl),
+         c1 AS (
+           SELECT q.g, q.sb AS b, 'S|' || pnt || '|' || coalesce(ho.h, ont) AS c
+           FROM q LEFT JOIN h0 ho ON q.g = ho.g AND q.ob = ho.b
+           WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.g, q.ob, 'O|' || pnt || '|' || coalesce(hs.h, snt)
+           FROM q LEFT JOIN h0 hs ON q.g = hs.g AND q.sb = hs.b
+           WHERE q.ob IS NOT NULL),
+         h1 AS (SELECT g, b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c1 GROUP BY g, b),
+         c2 AS (
+           SELECT q.g, q.sb AS b, 'S|' || pnt || '|' || coalesce(ho.h, ont) AS c
+           FROM q LEFT JOIN h1 ho ON q.g = ho.g AND q.ob = ho.b
+           WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.g, q.ob, 'O|' || pnt || '|' || coalesce(hs.h, snt)
+           FROM q LEFT JOIN h1 hs ON q.g = hs.g AND q.sb = hs.b
+           WHERE q.ob IS NOT NULL),
+         h2 AS (SELECT g, b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c2 GROUP BY g, b),
+         c3 AS (
+           SELECT q.g, q.sb AS b, 'S|' || pnt || '|' || coalesce(ho.h, ont) AS c
+           FROM q LEFT JOIN h2 ho ON q.g = ho.g AND q.ob = ho.b
+           WHERE q.sb IS NOT NULL
+           UNION ALL
+           SELECT q.g, q.ob, 'O|' || pnt || '|' || coalesce(hs.h, snt)
+           FROM q LEFT JOIN h2 hs ON q.g = hs.g AND q.sb = hs.b
+           WHERE q.ob IS NOT NULL),
+         h3 AS (SELECT g, b, md5(string_agg(c, chr(10) ORDER BY c)) AS h
+                FROM c3 GROUP BY g, b),
+         ln AS (
+           SELECT q.g,
+                  coalesce('_:' || hs.h, snt) || ' ' || pnt || ' ' ||
+                  coalesce('_:' || ho.h, ont) AS line
+           FROM q LEFT JOIN h3 hs ON q.g = hs.g AND q.sb = hs.b
+                  LEFT JOIN h3 ho ON q.g = ho.g AND q.ob = ho.b),
+         fp AS (SELECT g, md5(string_agg(line, chr(10) ORDER BY line)) AS fingerprint
+                FROM ln GROUP BY g)
+         SELECT fingerprint, COUNT(*) AS n_graphs, MIN(g) AS first_graph
+         FROM fp GROUP BY fingerprint ORDER BY fingerprint""",
     "rdf_export_turtle" ->
       """SELECT line FROM (
            SELECT 'reg:' || r_regionkey || ' a grf:Region ; grf:name ' ||

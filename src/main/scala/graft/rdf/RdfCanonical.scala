@@ -129,4 +129,74 @@ object RdfCanonical {
   def datasetHash(quads: DataFrame, iters: Int = 3): DataFrame =
     canonicalLines(quads, iters)
       .agg(md5(concat_ws("\n", array_sort(collect_list(col("line"))))).as("fingerprint"))
+
+  /** Per-NAMED-GRAPH isomorphism-invariant fingerprints: (graph,
+    * fingerprint), one row per graph (default graph renders as "").
+    * Two graphs fingerprint equal iff their triple structures are
+    * isomorphic INCLUDING literals but ignoring the graph name and
+    * all blank labels — the dedup key for event-per-graph ingest
+    * (same payload republished under a new graph → same fingerprint).
+    *
+    * Same refinement as [[blankHashes]] but keyed by (graph, blank)
+    * and with the graph token excluded from contributions; the
+    * fingerprint is md5 over the graph's sorted lines with blanks
+    * rendered as `_:<final hash>` (no compact ranks needed, so there
+    * is no global sort at all — every step is keyed by graph).
+    */
+  def graphFingerprints(quads: DataFrame, iters: Int = 3): DataFrame = {
+    val gkey = when(col("graph").isNotNull, NtWriter.termNt(col("graph")))
+      .otherwise(lit(""))
+    val base = quads.select(
+        gkey.as("g"),
+        when(isBlank(col("subject")), col("subject.lex")).as("sb"),
+        when(isBlank(col("obj")), col("obj.lex")).as("ob"),
+        NtWriter.termNt(col("predicate")).as("pnt"),
+        NtWriter.termNt(col("subject")).as("snt"),
+        NtWriter.termNt(col("obj")).as("ont"))
+      .localCheckpoint()
+    val blankBase = base.filter(col("sb").isNotNull || col("ob").isNotNull)
+    val blanks = blankBase.select(col("g"), col("sb").as("b"))
+      .unionByName(blankBase.select(col("g"), col("ob").as("b")))
+      .filter(col("b").isNotNull).distinct()
+    var h = blanks.select(col("g"), col("b"), lit("init").as("h")).localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val ho = h.select(col("g"), col("b").as("ob"), col("h").as("oh"))
+      val hs = h.select(col("g"), col("b").as("sb"), col("h").as("sh"))
+      val sContrib = blankBase.filter(col("sb").isNotNull)
+        .join(ho, Seq("g", "ob"), "left")
+        .select(col("g"), col("sb").as("b"), concat_ws("|", lit("S"),
+          col("pnt"), coalesce(col("oh"), col("ont"))).as("c"))
+      val oContrib = blankBase.filter(col("ob").isNotNull)
+        .join(hs, Seq("g", "sb"), "left")
+        .select(col("g"), col("ob").as("b"), concat_ws("|", lit("O"),
+          col("pnt"), coalesce(col("sh"), col("snt"))).as("c"))
+      val next = sContrib.unionByName(oContrib)
+        .groupBy(col("g"), col("b"))
+        .agg(md5(concat_ws("\n", array_sort(collect_list(col("c"))))).as("h"))
+        .localCheckpoint()
+      graft.plans.Checkpoints.unpersist(h)
+      h = next
+    }
+    val ho = h.select(col("g"), col("b").as("ob"),
+      concat(lit("_:"), col("h")).as("orend"))
+    val hs = h.select(col("g"), col("b").as("sb"),
+      concat(lit("_:"), col("h")).as("srend"))
+    val lines = base
+      .join(hs, Seq("g", "sb"), "left")
+      .join(ho, Seq("g", "ob"), "left")
+      .select(col("g"), concat_ws(" ",
+        coalesce(col("srend"), col("snt")), col("pnt"),
+        coalesce(col("orend"), col("ont"))).as("line"))
+    // materialize the (small — one row per graph) result EAGERLY so
+    // the base/round blocks can be freed now instead of pinning the
+    // blank-occurrence table for the caller's lifetime
+    val out = lines.groupBy(col("g"))
+      .agg(md5(concat_ws("\n", array_sort(collect_list(col("line")))))
+        .as("fingerprint"))
+      .select(col("g").as("graph"), col("fingerprint"))
+      .localCheckpoint()
+    graft.plans.Checkpoints.unpersist(h)
+    graft.plans.Checkpoints.unpersist(base)
+    out
+  }
 }

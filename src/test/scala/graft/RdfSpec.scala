@@ -969,6 +969,28 @@ class RdfCanonicalSpec extends AnyFunSuite {
     assert(h1 != h2)
   }
 
+  test("graphFingerprints: isomorphic graphs collapse regardless of names") {
+    val p1 = Term.iri("http://x/link")
+    def g(name: String, b1: String, b2: String, leaf: String) = Seq(
+      Quad(Term.iri(name), Term.blank(b1), p1, Term.blank(b2)),
+      Quad(Term.iri(name), Term.blank(b2), q, Term.lit(leaf)))
+    val quads = g("http://g/1", "a", "b", "same") ++
+      g("http://g/2", "zz", "k", "same") ++  // isomorphic to g/1
+      g("http://g/3", "a", "b", "other")     // differs in the literal
+    val fps = RdfCanonical.graphFingerprints(df(quads)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps.size == 3)
+    assert(fps("<http://g/1>") == fps("<http://g/2>"))
+    assert(fps("<http://g/1>") != fps("<http://g/3>"))
+    // blank-free quads participate in the fingerprint too
+    val extra = quads ++ Seq(Quad(Term.iri("http://g/2"),
+      Term.iri("http://x/s"), q, Term.lit("tail")))
+    val fps2 = RdfCanonical.graphFingerprints(df(extra)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps2("<http://g/1>") != fps2("<http://g/2>"))
+    assert(fps2("<http://g/1>") == fps("<http://g/1>"))
+  }
+
   test("canonicalization leaves no pinned checkpoint blocks behind") {
     val g = Seq(
       Quad(null, Term.blank("a"), p, Term.blank("b")),
