@@ -1263,6 +1263,17 @@ class ConformanceSpec extends AnyFunSuite {
     }
   }
 
+  evalCase("select-expr: a later expression may use an earlier alias (§18.2.4.4)",
+    ":a :v 3 .",
+    "SELECT (?v + 1 AS ?y) (?y * 2 AS ?z) { ?s :v ?v }",
+    Seq(r("y" -> "\"4\"^^xsd:integer", "z" -> "\"8\"^^xsd:integer")))
+
+  test("select-expr: nested aggregate calls are a clean error") {
+    intercept[graft.rdf.RdfParseException] {
+      run(":a :p 1 .", "SELECT (SUM(COUNT(?v)) AS ?n) { ?s :p ?v }").collect()
+    }
+  }
+
   // ==========================================================================
   // negative syntax (re-authored from the W3C syntax-query negative
   // family): each must raise a clean parse error, never a partial
