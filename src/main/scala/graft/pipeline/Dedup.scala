@@ -40,6 +40,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
+  /** Order-insensitive exact dedup: group on the hash pair of the
+    * SORTED token multiset, so documents that are word-permutations of
+    * each other (shuffled boilerplate, reordered listings — a
+    * template-spam family [[exact]] misses) collapse together. Same
+    * hash-pair shuffle discipline as [[exact]]: the sorted token join
+    * key is hashed before the shuffle, text never moves.
+    */
+  def exactBagOfWords(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bag = array_join(sort_array(split(col(textCol), " ")), " ")
+    docs.select(col(idCol), xxhash64(bag).as("h64"), sha2(bag, 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+  }
+
   /** Incremental (cross-snapshot) exact dedup: the docs in `incoming`
     * that are genuinely NEW relative to the prior corpus `base` —
     * within-batch duplicates collapse to the smallest id (with the

@@ -27,6 +27,70 @@ object PipelineQueries {
   private val STOPWORDS = "'the','a','of','and','to'"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE tokenizer training: the learned merge table itself is the
+    // entry output, so the oracle re-derives all four merge rounds in
+    // unrolled SQL (pair counts over the word-frequency table, argmax
+    // with the engine's deterministic tie-break, greedy
+    // leftmost-nonoverlapping application)
+    "pl_bpe_merges" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (merges, wt) = Bpe.learn(docs, 4)
+      graft.plans.Checkpoints.unpersist(wt)
+      Bpe.mergesDf(s, merges)
+    },
+    // BPE applied: per-source post-merge token counts via the
+    // distinct-(source,word) join against the trained word table —
+    // occurrences never ride the join
+    "pl_bpe_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (_, wt) = Bpe.learn(docs, 4)
+      Bpe.tokenCounts(docs, wt).orderBy(col("source"))
+    },
+    // order-insensitive exact dedup: word-permutation duplicates
+    // collapse on the sorted-token hash pair
+    "pl_dedup_bow" -> { (s, dir) =>
+      Dedup.exactBagOfWords(t(s, dir, "documents")).orderBy(col("keeper_id"))
+    },
+    // temperature-balanced sampling (α=1/2): per-source kept counts
+    // under sqrt-proportional rates derived from the data itself
+    "pl_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    // DSIR importance resampling: top-100 raw docs by target-likeness
+    // (target = the English slice), integer-exact additive likelihood
+    // ratio so the selected set is bit-reproducible cross-engine
+    "pl_dsir" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Sampling.importanceResample(docs, docs.where(col("lang") === "en"),
+        k = 100)
+    },
+    // RAG chunking: overlapping 64-token windows, stride 48; oracle
+    // re-derives every chunk's text by list slicing
+    "pl_chunking" -> { (s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // bucketed-layout end-to-end: corpus + stats written bucketed and
+    // per-bucket-sorted by doc_id, re-read through the catalog, and
+    // joined — PipelineSpec pins the exchange-free plan; this entry
+    // puts the RESULT of that path through the oracle gate
+    "pl_bucketed_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bt").toString
+      CorpusLayout.dropTable(s, "bt_corpus")
+      CorpusLayout.dropTable(s, "bt_stats")
+      CorpusLayout.writeBucketed(docs.select(col("doc_id"), col("source")),
+        "bt_corpus", s"$tmp/corpus")
+      CorpusLayout.writeBucketed(
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "bt_stats", s"$tmp/stats")
+      s.table("bt_corpus").join(s.table("bt_stats"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    },
     "pl_text_stats" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       docs.select(col("lang"), col("source"),
@@ -318,7 +382,123 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum([ $a[i] * $b[i] for i in range(1, 65) ])"
 
+  /** Shared CTE chain for the BPE oracles: word-frequency table w0,
+    * then four unrolled rounds of (pair count, deterministic argmax,
+    * greedy merge application). Merge application encodes each symbol
+    * as \x02sym\x03 so a plain `replace` of \x02lhs\x03\x02rhs\x03 is
+    * exactly the leftmost-nonoverlapping greedy scan: adjacent
+    * occurrences share no delimiter, and a symbol can never match
+    * inside a longer symbol.
+    */
+  private val BPE_CTES: String = {
+    def round(k: Int): String = {
+      val (p, m, w, wPrev) = (s"p$k", s"m$k", s"w$k", s"w${k - 1}")
+      s"""$p AS (
+           SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(cnt)::BIGINT AS pc
+           FROM (SELECT cnt, arr, unnest(generate_series(1, len(arr)-1)) AS i
+                 FROM $wPrev WHERE len(arr) > 1)
+           GROUP BY 1, 2),
+         $m AS (SELECT lhs, rhs, pc FROM $p
+                ORDER BY pc DESC, lhs, rhs LIMIT 1),
+         $w AS (
+           SELECT word, cnt,
+             string_split(substr(s2, 2, length(s2)-2), chr(3)||chr(2)) AS arr
+           FROM (SELECT word, cnt,
+                   replace(chr(2) || array_to_string(arr, chr(3)||chr(2)) || chr(3),
+                           chr(2)||$m.lhs||chr(3)||chr(2)||$m.rhs||chr(3),
+                           chr(2)||$m.lhs||$m.rhs||chr(3)) AS s2
+                 FROM $wPrev, $m))"""
+    }
+    s"""WITH w0 AS (
+         SELECT word, COUNT(*)::BIGINT AS cnt,
+                list_filter(string_split(word, ''), c -> c <> '') AS arr
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word),
+       ${(1 to 4).map(round).mkString(",\n")}"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "pl_bpe_merges" ->
+      s"""$BPE_CTES
+         SELECT * FROM (
+           SELECT 1 AS merge_rank, lhs, rhs, pc AS pair_count FROM m1
+           UNION ALL SELECT 2, lhs, rhs, pc FROM m2
+           UNION ALL SELECT 3, lhs, rhs, pc FROM m3
+           UNION ALL SELECT 4, lhs, rhs, pc FROM m4)
+         ORDER BY merge_rank""",
+    "pl_dedup_bow" ->
+      """SELECT MIN(doc_id)::BIGINT AS keeper_id, COUNT(*)::BIGINT AS n_copies
+         FROM (SELECT doc_id,
+                 array_to_string(list_sort(string_split(text, ' ')), ' ') AS bag
+               FROM documents)
+         GROUP BY bag ORDER BY keeper_id""",
+    "pl_temperature" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*)::BIGINT AS n
+                       FROM documents GROUP BY source),
+             mx AS (SELECT MAX(sqrt(n::DOUBLE)) AS ms FROM cnt),
+             th AS (SELECT source,
+                      CAST(floor(sqrt(n::DOUBLE) / ms * 4294967296) AS BIGINT)
+                        AS t
+                    FROM cnt, mx)
+          SELECT source, COUNT(*)::BIGINT AS n_kept
+          FROM documents JOIN th USING (source)
+          WHERE ${hkSql("doc_id")} < t
+          GROUP BY source ORDER BY source""",
+    "pl_dsir" ->
+      """WITH rwf AS (SELECT doc_id, tok
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                            FROM documents)
+                      WHERE tok <> ''),
+            tct AS (SELECT tok, COUNT(*)::BIGINT AS ct
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents WHERE lang = 'en')
+                    WHERE tok <> '' GROUP BY tok),
+            rct AS (SELECT tok, COUNT(*)::BIGINT AS cr
+                    FROM rwf GROUP BY tok),
+            tot AS (SELECT (SELECT SUM(ct) FROM tct) AS nt,
+                           (SELECT SUM(cr) FROM rct) AS nr,
+                           (SELECT COUNT(*) FROM rct) AS v),
+            sc AS (SELECT doc_id,
+                          SUM(COALESCE(ct, 0) + 1)::BIGINT AS num,
+                          SUM(cr + 1)::BIGINT AS den
+                   FROM rwf LEFT JOIN tct USING (tok) JOIN rct USING (tok)
+                   GROUP BY doc_id)
+         SELECT doc_id, num, den,
+                (num::HUGEINT * (nr + v))::DOUBLE /
+                (den::HUGEINT * (nt + v))::DOUBLE AS dsir_score
+         FROM sc, tot
+         ORDER BY dsir_score DESC, doc_id LIMIT 100""",
+    "pl_chunking" ->
+      """SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens,
+                md5(chunk) AS chunk_md5
+         FROM (
+           SELECT doc_id, k,
+                  array_to_string(arr[k*48+1 : k*48+64], ' ') AS chunk
+           FROM (SELECT doc_id, arr,
+                   unnest(generate_series(0,
+                     CAST(1 + floor(greatest(len(arr)-64, 0) / 48)
+                        + CASE WHEN (greatest(len(arr)-64, 0) % 48) > 0
+                               THEN 1 ELSE 0 END AS INT) - 1)) AS k
+                 FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents)))
+         ORDER BY doc_id, chunk_idx""",
+    "pl_bpe_tokens" ->
+      s"""$BPE_CTES,
+         gw AS (SELECT source, word, COUNT(*)::BIGINT AS n
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY 1, 2)
+         SELECT source, SUM(n * len(arr))::BIGINT AS n_bpe_tokens,
+                SUM(n)::BIGINT AS n_words
+         FROM gw JOIN w4 USING (word)
+         GROUP BY source ORDER BY source""",
+    "pl_bucketed_join" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                SUM(n_tokens)::BIGINT AS sum_tokens
+         FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+         GROUP BY source ORDER BY source""",
     "pl_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
                 SUM(n_tokens)::BIGINT AS sum_tokens,

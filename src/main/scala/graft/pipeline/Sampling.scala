@@ -91,6 +91,85 @@ object Sampling {
     * materializes the repeats). This is the standard way to express a
     * DoReMi/Pile-style domain mix as a plan instead of copying bytes.
     */
+  /** Temperature-balanced stratum rates with exponent α = 1/2: the
+    * multilingual/domain rebalancing rule (sample shares ∝ n^α
+    * flattens the head without drowning the tail). α is FIXED at 1/2
+    * deliberately: every operation in the rate — sqrt, divide — is
+    * IEEE-correctly-rounded, so the per-stratum rates (and therefore
+    * the exact kept set under [[sampleStratified]]'s md5 threshold)
+    * are bit-reproducible across engines; an arbitrary pow(x, α) is
+    * not correctly rounded and would make the kept set
+    * platform-dependent at the threshold boundary.
+    *
+    * The stratum-count collect is bounded model state (one row per
+    * stratum), the same contract as a rates map supplied by hand.
+    */
+  def temperatureRates(docs: DataFrame,
+      stratumCol: String = "source"): Map[String, Double] = {
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSqrt = counts.values.map(n => math.sqrt(n.toDouble)).max
+    counts.map { case (s, n) => s -> math.sqrt(n.toDouble) / maxSqrt }
+  }
+
+  /** [[sampleStratified]] under [[temperatureRates]]: the largest
+    * stratum keeps everything, stratum s keeps sqrt(n_s)/sqrt(n_max)
+    * of its rows — deterministic, shuffle-free, retryable.
+    */
+  def temperatureSample(docs: DataFrame, stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame =
+    sampleStratified(docs, temperatureRates(docs, stratumCol),
+      defaultRate = 1.0, stratumCol = stratumCol, idCol = idCol)
+
+  /** DSIR-style importance resampling (Xie et al. 2023: Data
+    * Selection for Language Models via Importance Resampling):
+    * score every raw document by how target-like its unigram
+    * distribution is, then keep the top `k`.
+    *
+    * Two adaptations for a distributed, oracle-checked engine:
+    * (1) feature hashing in the paper bounds a parameter server's
+    * memory; in a dataflow engine the count table IS the model, so
+    * token-identity features are used directly (strictly more
+    * faithful, same shuffle shape); (2) the per-document statistic is
+    * the add-one-smoothed ADDITIVE likelihood ratio
+    * `Σ(ct+1) · (Nraw+V) / (Σ(cr+1) · (Ntarget+V))` — exact integer
+    * sums with ONE final IEEE division, so the score (and therefore
+    * the selected set) is bit-reproducible across engines, the same
+    * determinism dodge as [[TextAnalysis.lmScore]]'s bigram score.
+    *
+    * Scale shape: two token-count shuffles (target is usually small),
+    * one join of per-(doc,token) rows against the raw/target count
+    * tables, one per-doc aggregation, one top-k. Token counts ride
+    * the shuffles — never text. Nt/Nr/V are three bounded driver
+    * scalars (model state, same contract as IVF centroids).
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def words(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(filter(split(col(textCol), " "),
+        w => w =!= "")).as("tok"): _*)
+    val ctT = words(target).groupBy("tok").agg(count(lit(1)).as("ct"))
+    val ctR = words(raw).groupBy("tok").agg(count(lit(1)).as("cr"))
+    // three bounded driver scalars: corpus token totals + raw vocab
+    val nT = ctT.agg(sum(col("ct"))).collect()(0).getLong(0)
+    val nR = ctR.agg(sum(col("cr"))).collect()(0).getLong(0)
+    val v = ctR.count()
+    words(raw, col(idCol).cast("long").as(idCol))
+      .join(ctT, Seq("tok"), "left_outer")
+      .join(ctR, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("ct"), lit(0L)) + 1L).as("num"),
+        sum(col("cr") + 1L).as("den"))
+      .select(col(idCol), col("num"), col("den"),
+        // decimal products: long×long would overflow at corpus scale
+        ((col("num").cast("decimal(38,0)") * lit(nR + v)).cast("double") /
+          (col("den").cast("decimal(38,0)") * lit(nT + v)).cast("double"))
+          .as("dsir_score"))
+      .orderBy(desc("dsir_score"), asc(idCol))
+      .limit(k)
+  }
+
   def mixtureExpand(docs: DataFrame, weights: Map[String, Double],
       defaultWeight: Double = 1.0, stratumCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {

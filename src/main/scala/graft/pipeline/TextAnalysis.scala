@@ -234,6 +234,36 @@ object TextAnalysis {
           floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
   }
 
+  /** RAG-style document chunking: overlapping token windows of
+    * `window` tokens every `stride` tokens, with deterministic
+    * per-document chunk indexes. Chunk starts are 1, 1+stride,
+    * 1+2·stride, …; the chunk count is 1 + ceil(max(n−window,0)/stride),
+    * so every token is covered, the final chunk may be short, and no
+    * chunk is wholly contained in its predecessor.
+    *
+    * Scale shape: pure map-only array ops (sequence/transform/slice)
+    * fused into the scan — chunking 100 TB is one pass with zero
+    * shuffle; chunk ids derive from (doc_id, chunk_idx) alone, so
+    * re-runs and late-arriving partitions produce identical ids
+    * (the retryable-id discipline from [[Sampling]]).
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = lit(1) +
+      floor(greatest(n - window, lit(0)).cast("double") / stride).cast("int") +
+      when(pmod(greatest(n - window, lit(0)), lit(stride)) > 0, 1).otherwise(0)
+    docs.select(col(idCol).cast("long").as(idCol),
+        explode(transform(sequence(lit(0), nChunks - 1), k =>
+          struct(k.as("chunk_idx"),
+            array_join(slice(toks, k * stride + 1, lit(window)), " ")
+              .as("chunk")))).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        size(split(col("c.chunk"), " ")).as("n_chunk_tokens"),
+        md5(col("c.chunk")).as("chunk_md5"))
+  }
+
   /** Per-document n-gram repetition metrics (the Gopher-rules
     * repetition signals): for each document, the total and distinct
     * word-n-gram occurrence counts, the frequency of its single most

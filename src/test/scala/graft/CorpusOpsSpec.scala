@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Sampling, TextAnalysis}
+
+/** Hand-computed cases for the corpus-shaping additions: RAG chunking
+  * window/stride coverage and the DSIR importance-resampling score.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def chunksOf(text: String, window: Int, stride: Int): Seq[(Int, Int)] = {
+    import spark.implicits._
+    TextAnalysis.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+        window, stride)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+  }
+
+  test("chunkDocs: stride walk covers every token, last chunk short") {
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    // n=10, w=4, s=3 → chunks at 1,4,7: [t1..t4][t4..t7][t7..t10]
+    assert(chunksOf(t10, 4, 3) == Seq((0, 4), (1, 4), (2, 4)))
+    // n=5 → chunks at 1,4: [t1..t4][t4..t5] (final chunk short)
+    val t5 = (1 to 5).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(t5, 4, 3) == Seq((0, 4), (1, 2)))
+    // n<=w → exactly one chunk, no redundant tail
+    assert(chunksOf("a b c", 4, 3) == Seq((0, 3)))
+    assert(chunksOf("a", 4, 3) == Seq((0, 1)))
+  }
+
+  test("chunkDocs: chunk text is the exact token slice") {
+    import spark.implicits._
+    val df = TextAnalysis.chunkDocs(
+      Seq((7L, "a b c d e")).toDF("doc_id", "text"), window = 3, stride = 2)
+    val got = df.orderBy("chunk_idx")
+      .select("chunk_md5").collect().map(_.getString(0)).toSeq
+    // starts 1 and 3 cover all five tokens; a third chunk [e] would
+    // be wholly contained in [c d e] and is correctly not emitted
+    val want = Seq("a b c", "c d e").map { s =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    }
+    assert(got == want)
+  }
+
+  test("importanceResample: hand-computed additive likelihood ratio") {
+    import spark.implicits._
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    // ctT: a=1 b=1, nT=2; ctR: a=2 b=2 c=1, nR=5, V=3
+    // d1: num=(1+1)*3=6, den=(2+1)*3=9, score=6*8/(9*5)=48/45
+    // d2: num=(1+1)+(0+1)=3, den=(2+1)+(1+1)=5, score=3*8/(5*5)=24/25
+    val got = Sampling.importanceResample(raw, target, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 6L, 9L, 48.0 / 45.0), (2L, 3L, 5L, 24.0 / 25.0)))
+  }
+
+  test("exactBagOfWords collapses word permutations, exact keeps them") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a c"), (2L, "a b c"), (3L, "a b"), (4L, "c a b"))
+      .toDF("doc_id", "text")
+    val bow = graft.pipeline.Dedup.exactBagOfWords(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bow == Set((1L, 3L), (3L, 1L)))
+    val ex = graft.pipeline.Dedup.exact(docs).count()
+    assert(ex == 4) // no byte-identical duplicates
+  }
+
+  test("temperatureRates: sqrt-proportional, largest stratum keeps all") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, if (i <= 64) "big" else "small"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(docs)
+    assert(rates("big") == 1.0)
+    assert(rates("small") == 6.0 / 8.0) // sqrt(36)/sqrt(64)
+    val kept = Sampling.temperatureSample(docs)
+    // exact kept set is md5-deterministic; spot-check the rate bound
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") == 64L) // rate 1.0 keeps everything
+    assert(bySrc.getOrElse("small", 0L) <= 36L)
+  }
+
+  test("importanceResample: k truncates deterministically") {
+    import spark.implicits._
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val got = Sampling.importanceResample(raw, target, k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+}
