@@ -155,12 +155,16 @@ object Sampling {
     val nT = ctT.agg(sum(col("ct"))).collect()(0).getLong(0)
     val nR = ctR.agg(sum(col("cr"))).collect()(0).getLong(0)
     val v = ctR.count()
+    // collapse to distinct (doc, token) with occurrence weights BEFORE
+    // joining the count tables: the join input is bounded by per-doc
+    // vocabulary, not corpus length
     words(raw, col(idCol).cast("long").as(idCol))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
       .join(ctT, Seq("tok"), "left_outer")
       .join(ctR, Seq("tok"))
       .groupBy(col(idCol))
-      .agg(sum(coalesce(col("ct"), lit(0L)) + 1L).as("num"),
-        sum(col("cr") + 1L).as("den"))
+      .agg(sum((coalesce(col("ct"), lit(0L)) + 1L) * col("n")).as("num"),
+        sum((col("cr") + 1L) * col("n")).as("den"))
       .select(col(idCol), col("num"), col("den"),
         // decimal products: long×long would overflow at corpus scale
         ((col("num").cast("decimal(38,0)") * lit(nR + v)).cast("double") /

@@ -84,6 +84,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bySrc.getOrElse("small", 0L) <= 36L)
   }
 
+  test("plan pins: chunking is map-only, temperature sample is a pure filter") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunkPlan = TextAnalysis.chunkDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must not shuffle:\n$chunkPlan")
+    // the sample itself (rates precomputed) compiles to scan+filter
+    val rates = Sampling.temperatureRates(docs)
+    val sampPlan = Sampling.sampleStratified(docs, rates)
+      .queryExecution.executedPlan.toString
+    assert(!sampPlan.contains("Exchange"),
+      s"temperature sample must be a pure filter:\n$sampPlan")
+  }
+
+  test("plan pin: DSIR shuffles never carry document text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Sampling.importanceResample(docs,
+        docs.where(col("lang") === "en"), k = 10)
+      .queryExecution.executedPlan.toString
+    val exchangeKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty)
+    assert(!exchangeKeys.exists(_.contains("text")),
+      s"document text must never be a partitioning key:\n$exchangeKeys")
+  }
+
   test("importanceResample: k truncates deterministically") {
     import spark.implicits._
     val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")

@@ -78,7 +78,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       filters: Seq[Filt],
       project: Seq[String],
       distinct: Boolean,
-      aggQ: Option[AggQ])
+      aggQ: Option[AggQ],
+      // HAVING(<agg-call> op k): only generated with aggQ
+      having: Option[(String, Int)],
+      // trailing query-level VALUES ?v { ... } (None entry = UNDEF);
+      // §18.2.4.3: joins AFTER aggregation + HAVING, before projection
+      values: Option[(String, Seq[Option[Term]])])
 
   // --- rendering to SPARQL text --------------------------------------------
 
@@ -108,11 +113,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case OrF(l, r) => s"(${filtText(l)} || ${filtText(r)})"
   }
 
+  private def aggCall(a: AggQ): String = s"${a.func}(${a.arg.fold("*")("?" + _)})"
+
   private def queryText(q: GenQuery): String = {
     val sb = new StringBuilder
     sb.append(q.aggQ match {
-      case Some(AggQ(group, func, arg)) =>
-        val call = s"$func(${arg.fold("*")("?" + _)})"
+      case Some(a @ AggQ(group, _, _)) =>
+        val call = aggCall(a)
         group.fold(s"SELECT ($call AS ?n)")(g => s"SELECT ?$g ($call AS ?n)")
       case None =>
         (if (q.distinct) "SELECT DISTINCT " else "SELECT ") +
@@ -138,6 +145,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.filters.foreach(f => sb.append("  FILTER " + filtText(f) + "\n"))
     sb.append("}")
     q.aggQ.foreach(_.group.foreach(g => sb.append(s" GROUP BY ?$g")))
+    for (a <- q.aggQ; (op, k) <- q.having)
+      sb.append(s" HAVING(${aggCall(a)} $op $k)")
+    q.values.foreach { case (v, rows) =>
+      sb.append(s"\nVALUES ?$v { ${rows.map(_.fold("UNDEF")(_.toNT)).mkString(" ")} }")
+    }
     sb.toString
   }
 
@@ -387,6 +399,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.filters.foreach { f =>
       sols = sols.filter(sol => evalFilt(f, sol).contains(true))
     }
+    // trailing VALUES joins after aggregation + HAVING (§18.2.4.3),
+    // before projection/DISTINCT
+    def joinValues(rows: Seq[Sol]): Seq[Sol] = q.values match {
+      case None => rows
+      case Some((v, vrows)) => rows.flatMap { sol =>
+        vrows.flatMap {
+          case None => Seq(sol) // UNDEF row binds nothing
+          case Some(t) => sol.get(v) match {
+            case Some(b) => if (b == t) Seq(sol) else Seq.empty
+            case None => Seq(sol + (v -> t))
+          }
+        }
+      }
+    }
     q.aggQ match {
       case Some(AggQ(group, func, arg)) =>
         // GROUP BY over no solutions yields no groups; the ungrouped
@@ -395,15 +421,25 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           case Some(g) => sols.groupBy(_.get(g)).toSeq
           case None => Seq((None, sols))
         }
-        groups.map { case (k, rows) =>
+        val headRows = groups.map { case (k, rows) =>
           val base: Sol = (group, k) match {
             case (Some(g), Some(t)) => Map(g -> t)
             case _ => Map.empty
           }
           naiveAgg(func, arg, rows).fold(base)(t => base + ("n" -> t))
         }
+        // HAVING recomputes the aggregate: an errored group (no ?n)
+        // or a type-error comparison drops the group
+        val kept = q.having match {
+          case None => headRows
+          case Some((op, k)) =>
+            val kt = Term.typed(k.toString, Term.XSD_INTEGER)
+            headRows.filter(row => row.get("n")
+              .flatMap(n => cmpTerms(n, op, kt)).contains(true))
+        }
+        joinValues(kept)
       case None =>
-        val projected = project(sols, q.project)
+        val projected = project(joinValues(sols), q.project)
         if (q.distinct) projected.distinct else projected
     }
   }
@@ -580,8 +616,30 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           else None
         Some(AggQ(group, func, arg))
       }
+    val having = aggQ.flatMap { _ =>
+      if (rnd.nextDouble() < 0.5)
+        Some((Seq(">", ">=", "=", "<")(rnd.nextInt(4)), rnd.nextInt(4)))
+      else None
+    }
+    val values = {
+      // agg queries: only the group var is in scope for the trailing
+      // VALUES; non-agg: any pattern var
+      val candidates = aggQ match {
+        case Some(a) => a.group.toSeq
+        case None => allVars
+      }
+      if (candidates.isEmpty || rnd.nextDouble() >= 0.3) None
+      else {
+        val v = candidates(rnd.nextInt(candidates.size))
+        val rows = (0 to rnd.nextInt(2)).map { _ =>
+          if (rnd.nextDouble() < 0.2) None
+          else Some(if (rnd.nextBoolean()) someSub() else someObj())
+        }
+        Some((v, rows))
+      }
+    }
     GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
-      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ)
+      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ, having, values)
   }
 
   // --- comparison harness ---------------------------------------------------
