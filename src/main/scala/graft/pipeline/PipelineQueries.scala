@@ -46,6 +46,12 @@ object PipelineQueries {
       val (_, wt) = Bpe.learn(docs, 4)
       Bpe.tokenCounts(docs, wt).orderBy(col("source"))
     },
+    // deterministic epoch shuffle: (shard, in-shard position) for
+    // epoch 3 — the oracle re-derives the same salted-md5 permutation
+    "pl_epoch_shuffle" -> { (s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), epoch = 3, shards = 8)
+        .orderBy(col("shard"), col("pos"))
+    },
     // order-insensitive exact dedup: word-permutation duplicates
     // collapse on the sorted-token hash pair
     "pl_dedup_bow" -> { (s, dir) =>
@@ -426,6 +432,15 @@ object PipelineQueries {
            UNION ALL SELECT 3, lhs, rhs, pc FROM m3
            UNION ALL SELECT 4, lhs, rhs, pc FROM m4)
          ORDER BY merge_rank""",
+    "pl_epoch_shuffle" ->
+      """SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  ::BIGINT AS pos
+         FROM (SELECT doc_id, md5(doc_id::VARCHAR || '#e3') AS k,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#e3'), 1, 8))::BIGINT
+                   % 8 AS shard
+               FROM documents)
+         ORDER BY shard, pos""",
     "pl_dedup_bow" ->
       """SELECT MIN(doc_id)::BIGINT AS keeper_id, COUNT(*)::BIGINT AS n_copies
          FROM (SELECT doc_id,

@@ -91,6 +91,34 @@ object Sampling {
     * materializes the repeats). This is the standard way to express a
     * DoReMi/Pile-style domain mix as a plan instead of copying bytes.
     */
+  /** Deterministic epoch shuffle: the global permutation a training
+    * run needs every epoch, expressed scalably as (shard, position
+    * within shard). Each row hashes to one of `shards` by the
+    * epoch-salted md5 of its id; position is the rank of that hash
+    * within the shard. Changing `epoch` changes the whole permutation;
+    * nothing depends on partitioning or execution order, so a re-run
+    * (or a retried partition) reproduces the identical epoch layout.
+    *
+    * Scale shape: one hash shuffle into `shards` groups and a
+    * per-shard sort — NO global total order (a single row_number over
+    * an unpartitioned window funnels the corpus through one task, the
+    * round-5 scale-killer class). Shards map 1:1 to output files, so
+    * `shards` should track cluster parallelism, exactly as epoch
+    * shards are materialized in practice.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int, shards: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(s"#e$epoch")))
+    docs.select(col(idCol),
+        key.as("k"),
+        pmod(conv(substr(key, lit(1), lit(8)), 16, 10).cast("long"),
+          lit(shards.toLong)).as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Temperature-balanced stratum rates with exponent α = 1/2: the
     * multilingual/domain rebalancing rule (sample shares ∝ n^α
     * flattens the head without drowning the tail). α is FIXED at 1/2

@@ -58,6 +58,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 6L, 9L, 48.0 / 45.0), (2L, 3L, 5L, 24.0 / 25.0)))
   }
 
+  test("epochShuffle: epoch changes the permutation; re-run reproduces it") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    def layout(e: Int) = Sampling.epochShuffle(docs, epoch = e, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e1 = layout(1)
+    assert(layout(1) == e1) // deterministic re-run
+    assert(layout(2) != e1) // epoch salt permutes
+    // every (shard, pos) slot unique; positions contiguous from 1
+    val slots = e1.values.toSeq
+    assert(slots.distinct.size == 200)
+    slots.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted == (1L to ps.size).toSeq)
+    }
+  }
+
   test("exactBagOfWords collapses word permutations, exact keeps them") {
     import spark.implicits._
     val docs = Seq((1L, "b a c"), (2L, "a b c"), (3L, "a b"), (4L, "c a b"))
