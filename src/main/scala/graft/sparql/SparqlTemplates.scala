@@ -13,6 +13,20 @@ import Sparql._
   */
 private[sparql] object SparqlTemplates {
 
+  /** §16.2 / §19.6 well-formedness of an instantiated quad: a binding
+    * that would put a literal in subject position, a non-IRI in
+    * predicate position, or a literal/quoted triple as a graph name
+    * produces NO triple for that solution (skipped, not an error).
+    * Constants hit these rules too when the grammar can't reject them
+    * (e.g. a quoted-triple template in predicate position is already a
+    * parse error, but a var is only ill-formed per binding).
+    */
+  private def wellFormedQuad(graph: Column, s: Column, p: Column): Column =
+    s.getField("termType") =!= lit(Term.LIT) &&
+      p.getField("termType") === lit(Term.IRI) &&
+      (graph.isNull || graph.getField("termType") === lit(Term.IRI) ||
+        graph.getField("termType") === lit(Term.BLANK))
+
   /** Instantiate triple-pattern templates from a solutions DataFrame
     * (CONSTRUCT and the update DELETE/INSERT templates): each pattern
     * becomes a column selection over the bindings — vars project their
@@ -65,7 +79,9 @@ private[sparql] object SparqlTemplates {
         val starSlots = slots.collect {
           case (QTriple(_, _, _), as) => as }
         val out = bound.select(cols: _*)
-        Some(starSlots.foldLeft(out)((d, c) => d.filter(col(c).isNotNull)))
+        Some(starSlots.foldLeft(out)((d, c) => d.filter(col(c).isNotNull))
+          .filter(wellFormedQuad(col("graph"), col("subject"),
+            col("predicate"))))
       }
     }
   }
@@ -112,10 +128,12 @@ private[sparql] object SparqlTemplates {
       val vars = slots.flatMap { case (n, _) => varsIn(n) }
       if (vars.exists(v => !cset.contains(v))) None
       else {
+        val slotCols = slots.map { case (n, as) => as -> nodeCol(n) }.toMap
         val quad = struct(slots.map { case (n, as) => nodeCol(n).as(as) }: _*)
         val valid = (vars.map(col(_).isNotNull) ++ slots.collect {
           case (q @ QTriple(_, _, _), _) => nodeCol(q).isNotNull
-        }).reduceOption(_ && _).getOrElse(lit(true))
+        } :+ wellFormedQuad(slotCols("graph"), slotCols("subject"),
+          slotCols("predicate"))).reduce(_ && _)
         Some(when(valid, quad))
       }
     }

@@ -782,6 +782,16 @@ class ConformanceSpec extends AnyFunSuite {
     "CONSTRUCT WHERE { ?s :p ?v }",
     Seq(":a :p \"1\"^^xsd:integer"))
 
+  graphCase("construct: §16.2 ill-formed literal subject skips the solution",
+    ":a :p \"lit\" . :a :p :b .",
+    "CONSTRUCT { ?o :inv ?s } WHERE { ?s :p ?o }",
+    Seq(":b :inv :a"))
+
+  graphCase("construct: §16.2 ill-formed non-IRI predicate skips the solution",
+    ":a :p \"lit\" . :a :p :b .",
+    "CONSTRUCT { ?s ?o :tag } WHERE { ?s :p ?o }",
+    Seq(":a :b :tag"))
+
   // ==========================================================================
   // date/time accessors (data-sparql11/functions on xsd:dateTime)
   // ==========================================================================

@@ -192,6 +192,24 @@ class UpdateConformanceSpec extends AnyFunSuite {
       q("-", iri("a"), iri("p"), iri("2"))))
   }
 
+  test("insert-where §19.6: ill-formed instantiation (literal subject) skips") {
+    val st = apply(
+      """INSERT DATA { :s2 :p1 "b" }""",
+      """INSERT { ?y ?x "a" } WHERE { ?x :p1 ?y }""")
+    // the only solution binds ?y to "b": subject would be a literal and
+    // predicate :p1 — the instantiation is skipped, not an error
+    assert(state(st) == Set(q("-", iri("s2"), iri("p1"), lit("b"))))
+  }
+
+  test("delete-where §19.6: literal-subject instantiation deletes nothing") {
+    val st = apply(
+      """INSERT DATA { :s :p "x" . :s :q :s }""",
+      """DELETE { ?o ?p ?s } WHERE { ?s ?p ?o }""")
+    // ( :s :q :s ) self-inverts and deletes itself; the literal-object
+    // solution instantiates an ill-formed quad and must be skipped
+    assert(state(st) == Set(q("-", iri("s"), iri("p"), lit("x"))))
+  }
+
   test("insert-where OPTIONAL: unbound template var skips that solution") {
     val st = apply(
       """INSERT DATA { :a :p :1 . :b :p :2 . :a :name "A" }""",
