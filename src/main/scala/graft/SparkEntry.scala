@@ -15,6 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+    graft.queries.TemporalQueries.queries ++
     graft.queries.RdfQueries.queries ++
     graft.queries.ProjectorQueries.queries ++
     graft.queries.SparqlQueries.queries ++
@@ -26,6 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+    graft.queries.TemporalQueries.oracle ++
     graft.queries.RdfQueries.oracle ++
     graft.queries.ProjectorQueries.oracle ++
     graft.queries.SparqlQueries.oracle ++

@@ -229,6 +229,40 @@ object Relational {
              (d(sum(dec(col("s_acctbal")))) / count(lit(1))).as("avg_bal"),
              count(lit(1)).as("n"))
         .orderBy(col("s_nationkey"))
+    },
+    // --- sketch aggregates (the 100 TB approximate path) ------------------
+    "q24_approx_distinct" -> { (s, dir) =>
+      // HLL++ NDV per group, gated against the exact count: the sketch
+      // merges associatively across partitions (one partial-agg
+      // shuffle, constant state per group — the scale path where exact
+      // COUNT(DISTINCT) would shuffle every distinct value). The oracle
+      // checks the exact columns and that the gate holds.
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id"), 0.02).as("hll"),
+             count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("hll") - col("exact_users"))
+            <= greatest(col("exact_users") * 0.05, lit(3.0))).as("hll_ok"))
+        .orderBy(col("event_type"))
+    },
+    "q25_approx_quantile" -> { (s, dir) =>
+      // Mergeable quantile sketch (accuracy 1e4 ⇒ 0.01% rank error) per
+      // group, gated within 5% of the exact interpolated percentile.
+      // Exact values stay Spark-side only: cross-engine float
+      // interpolation is not bit-stable, booleans are.
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+             percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
+             expr("percentile(l_extendedprice, 0.5)").as("e50"),
+             expr("percentile(l_extendedprice, 0.95)").as("e95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("a50") - col("e50")) <= col("e50") * 0.05).as("q50_ok"),
+          (abs(col("a95") - col("e95")) <= col("e95") * 0.05).as("q95_ok"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -355,6 +389,13 @@ object Relational {
       """SELECT s_nationkey, MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
          CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE)/COUNT(*) AS avg_bal,
          COUNT(*) AS n
-         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q24_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+         COUNT(*) AS n, TRUE AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q25_approx_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS q50_ok, TRUE AS q95_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

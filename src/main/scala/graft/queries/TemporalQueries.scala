@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** Temporal join entries (SURVEY.md §2.6 joins, the two shapes Spark
+  * has no built-in for): as-of join and range join over the `events`
+  * table, each checked against an explicit DuckDB re-derivation.
+  *
+  * Scale notes: q22 is one exchange of (purchases+views) rows and a
+  * per-user sorted carry — per-key history length never multiplies
+  * (the naive `rt <= lt` join materializes every prior view per
+  * purchase before picking the max). q23 equi-joins on a time bucket,
+  * so the plan is a hash-partitioned SortMergeJoin AQE can skew-split —
+  * never the BroadcastNestedLoopJoin Spark would pick for a raw
+  * inequality join (TemporalJoinsSpec pins both plans).
+  */
+object TemporalQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_asof_join" -> { (s, dir) =>
+      // For each purchase, the most recent view (at-or-before, same
+      // user), tie-broken by event_id; per-user match stats. Gap stays
+      // in integer microseconds — exact in both engines.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+      TemporalJoins.asOfJoin(
+          purchases, views,
+          leftKey = col("user_id"), rightKey = col("user_id"),
+          leftTime = col("ts"), rightTime = col("ts"),
+          rightTieBreak = col("event_id"),
+          payload = Seq(col("event_id").as("v_id"), col("ts").as("v_ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("as_of.v_id")).as("n_matched"),
+          coalesce(sum(unix_micros(col("ts")) -
+            unix_micros(col("as_of.v_ts"))), lit(0L)).as("sum_gap_us"),
+          coalesce(sum(col("as_of.v_id")), lit(0L)).as("sum_view_id"))
+        .orderBy(col("user_id"))
+    },
+    "q23_range_join" -> { (s, dir) =>
+      // Each error opens a 10-minute half-open window; count clicks
+      // (any user) inside it, then histogram errors by click count.
+      // Bucket width = window width → each interval explodes to ≤2
+      // bucket rows.
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL '10' MINUTE")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("click_ts"))
+      val counts = TemporalJoins.rangeJoin(
+          clicks, errors, pointTime = col("click_ts"),
+          intervalStart = col("w_start"), intervalEnd = col("w_end"),
+          bucketSeconds = 600L)
+        .groupBy(col("err_id")).agg(count(lit(1)).as("n_clicks"))
+      errors.join(counts, Seq("err_id"), "left")
+        .select(coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("n_clicks"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q22_asof_join" ->
+      """WITH u AS (
+           SELECT user_id AS k, ts, 0 AS side, event_id,
+                  NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts, 1, event_id, event_id, ts
+           FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER win AS v_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER win AS v_ts
+           FROM u
+           WINDOW win AS (PARTITION BY k ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT k AS user_id, COUNT(*) AS n_purchases,
+                COUNT(v_id) AS n_matched,
+                COALESCE(SUM(date_diff('microsecond', v_ts, ts)), 0)::BIGINT
+                  AS sum_gap_us,
+                COALESCE(SUM(v_id), 0)::BIGINT AS sum_view_id
+         FROM w WHERE side = 1 GROUP BY k ORDER BY user_id""",
+    "q23_range_join" ->
+      """WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT ts FROM events WHERE event_type = 'click'),
+         j AS (SELECT e.event_id,
+                      COUNT(c.ts)::BIGINT AS n_clicks
+               FROM e LEFT JOIN c
+                 ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+               GROUP BY e.event_id)
+         SELECT n_clicks, COUNT(*) AS n_errors
+         FROM j GROUP BY n_clicks ORDER BY n_clicks""")
+}
