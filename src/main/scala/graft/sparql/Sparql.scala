@@ -797,6 +797,89 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * where a blank label DOES denote a (per-solution-fresh) blank node
     * — keep their Const form for [[instantiate]].
     */
+  /** Join-order heuristic for BGPs. Inner joins of triple patterns are
+    * commutative, but the compiler folds them in author order and
+    * Catalyst never reorders them (no table stats, CBO off), so at
+    * scale a constant-bound pattern written LAST makes every earlier
+    * join materialize its full intermediate first. Each maximal
+    * consecutive run of plain triple patterns is reordered greedily:
+    * start from the most constant-bound pattern, then repeatedly take
+    * the most constant-bound pattern CONNECTED to the variables bound
+    * so far (keeping disconnected components — cross joins — last),
+    * author order breaking ties so plans stay deterministic. Runs
+    * never cross OPTIONAL/MINUS/BIND/VALUES/sub-select boundaries:
+    * left joins don't commute, and a pattern may legally share a
+    * variable with a later BIND target (§10.1) only on its own side
+    * of the BIND.
+    */
+  private[sparql] def reorderBgpRuns(elems: Seq[GroupElem]): Seq[GroupElem] = {
+    val out = Seq.newBuilder[GroupElem]
+    val run = scala.collection.mutable.ArrayBuffer.empty[GroupElem]
+    def flush(): Unit = { out ++= reorderJoinRun(run.toSeq); run.clear() }
+    elems.foreach {
+      case e @ (PatElem(_) | PathElem(_, _, _, _)) => run += e
+      case other => flush(); out += other
+    }
+    flush()
+    out.result()
+  }
+
+  /** Spec-convenience wrapper over [[reorderJoinRun]] for plain BGPs. */
+  private[sparql] def reorderBgp(tps: Seq[TriplePattern]): Seq[TriplePattern] =
+    reorderJoinRun(tps.map(PatElem.apply)).collect { case PatElem(tp) => tp }
+
+  // blank-node labels are non-distinguished VARIABLES (deblank): they
+  // carry connectivity and are never constants
+  private def nodeVars(n: Node): Set[String] = n match {
+    case Var(v) => Set(v)
+    case Const(t) if t != null && t.isBlank => Set("#bn:" + t.lex)
+    case QTriple(s, p, o) => nodeVars(s) ++ nodeVars(p) ++ nodeVars(o)
+    case _ => Set.empty
+  }
+  private def isConstNode(n: Node): Boolean = n match {
+    case Var(_) => false
+    case other => nodeVars(other).isEmpty
+  }
+  private def runElemVars(e: GroupElem): Set[String] = e match {
+    case PatElem(tp) =>
+      tp.graph.toSeq.flatMap(nodeVars).toSet ++ nodeVars(tp.s) ++
+        nodeVars(tp.p) ++ nodeVars(tp.o)
+    case PathElem(g, s, _, o) =>
+      g.toSeq.flatMap(nodeVars).toSet ++ nodeVars(s) ++ nodeVars(o)
+    case _ => Set.empty
+  }
+  // constant subjects/objects bind to few rows; a constant predicate
+  // alone still selects a whole predicate class (though the store's
+  // predicate-clustered buckets make it cheap to scan)
+  private def runElemScore(e: GroupElem): Int = e match {
+    case PatElem(tp) =>
+      (if (isConstNode(tp.s)) 4 else 0) + (if (isConstNode(tp.o)) 3 else 0) +
+        (if (isConstNode(tp.p)) 2 else 0) +
+        (if (tp.graph.exists(isConstNode)) 1 else 0)
+    case PathElem(g, s, _, o) =>
+      (if (isConstNode(s)) 4 else 0) + (if (isConstNode(o)) 3 else 0) +
+        (if (g.exists(isConstNode)) 1 else 0)
+    case _ => 0
+  }
+
+  private def reorderJoinRun(es: Seq[GroupElem]): Seq[GroupElem] =
+    if (es.size <= 1) es
+    else {
+      val remaining = scala.collection.mutable.ArrayBuffer(es.zipWithIndex: _*)
+      val picked = Seq.newBuilder[GroupElem]
+      var bound = Set.empty[String]
+      while (remaining.nonEmpty) {
+        val connected = remaining.filter { case (e, _) =>
+          runElemVars(e).intersect(bound).nonEmpty }
+        val pool = if (connected.nonEmpty) connected else remaining
+        val (e, i) = pool.minBy { case (t, j) => (-runElemScore(t), j) }
+        picked += e
+        bound ++= runElemVars(e)
+        remaining -= ((e, i))
+      }
+      picked.result()
+    }
+
   private def deblank(n: Node): Node = n match {
     case Const(t) if t != null && t.isBlank => Var("#bn:" + t.lex)
     case QTriple(s, p, o) => QTriple(deblank(s), deblank(p), deblank(o))
@@ -827,7 +910,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       val existsElems = elems.collect { case e: ExistsElem => e }
       val bindingElems = elems.filterNot(e =>
         e.isInstanceOf[FilterElem] || e.isInstanceOf[ExistsElem])
-      bindingElems.foreach {
+      reorderBgpRuns(bindingElems).foreach {
         case PatElem(tp) =>
           val next = Sol(compilePattern(quads, deblankTp(tp)), Set.empty)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
