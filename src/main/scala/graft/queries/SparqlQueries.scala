@@ -691,6 +691,37 @@ object SparqlQueries {
           regexp_extract(col("o").getField("lex"), "n/(\\d+)$", 1).cast("long").as("o"))
         .orderBy(col("s"), col("o"))
     },
+    "scale_sparql_path_seeded" -> { (s, dir) =>
+      // Same chain graph as scale_sparql_path, but the subject is
+      // BOUND: `<n/40> :next+ ?o` must run as the seeded BFS (frontier
+      // joins sized by the ≤19-node reachable set), never the
+      // full-graph doubling closure it would share with the unseeded
+      // entry. The wall-clock gap between the two entries IS the
+      // measurement.
+      val termType = "struct<termType:string,lex:string,datatype:string,lang:string>"
+      def node(c: org.apache.spark.sql.Column) = struct(
+        lit(Term.IRI).as("termType"),
+        concat(lit(s"${NS}n/"), c.cast("string")).as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val nextIri = Term.iri(s"${NS}next")
+      val quads = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("id"))
+        .filter(col("id") % 20 =!= 19)
+        .select(
+          lit(null).cast(termType).as("graph"),
+          node(col("id")).as("subject"),
+          struct(lit(Term.IRI).as("termType"), lit(nextIri.lex).as("lex"),
+            lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang")).as("predicate"),
+          node(col("id") + 1).as("obj"))
+      val res = Sparql.execute(quads,
+        s"SELECT ?o { <${NS}n/40> <${NS}next>+ ?o }")
+      res.select(
+          regexp_extract(col("o").getField("lex"), "n/(\\d+)$", 1)
+            .cast("long").as("o"))
+        .orderBy(col("o"))
+    },
     // ASK existence checks: a matching and a non-matching pattern
     "sparql_ask" -> { (s, dir) =>
       val store = fixture("sqask", dir, s) { st =>
@@ -951,6 +982,15 @@ object SparqlQueries {
              UNION
              SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
          SELECT s::BIGINT AS s, o::BIGINT AS o FROM r ORDER BY s, o""",
+    "scale_sparql_path_seeded" ->
+      """WITH RECURSIVE
+           e AS (SELECT event_id AS s, event_id + 1 AS o FROM events
+                 WHERE event_id % 20 <> 19),
+           r(o) AS (
+             SELECT o FROM e WHERE s = 40
+             UNION
+             SELECT e.o FROM r JOIN e ON r.o = e.s)
+         SELECT o::BIGINT AS o FROM r ORDER BY o""",
     "sparql_ask" ->
       "SELECT * FROM (VALUES (false), (true)) t(ask) ORDER BY ask",
     "sparql_construct" ->

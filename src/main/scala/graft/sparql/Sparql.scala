@@ -1000,7 +1000,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
         case PathElem(graph, s0, path, o0) =>
           val (s, o) = (deblank(s0), deblank(o0))
-          var pairs = pathPairs(quads, graph, path)
+          var pairs = seededPathPairs(quads, graph, path, s, o)
+            .getOrElse(pathPairs(quads, graph, path))
           // (constant quoted triples arrive as Const and filter like
           // any term; a variable-carrying QTriple endpoint is out of
           // this subset — fail loudly rather than dropping it)

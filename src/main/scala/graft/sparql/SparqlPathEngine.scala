@@ -84,6 +84,127 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     }
   }
 
+  /** Endpoint-seeded evaluation of a top-level `+`/`*` closure: when
+    * one endpoint is a constant, the full-graph transitive closure is
+    * the wrong plan — at scale it computes every reachable pair before
+    * throwing almost all of them away. Instead run ALP the way §18.4
+    * actually phrases it: breadth-first frontier expansion from the
+    * seed over the path's ONE-STEP relation. Rounds = reachable
+    * diameter from the seed (vs log2 of the whole graph's diameter for
+    * the doubling closure), but every round joins only the frontier —
+    * broadcast-sized — against the step relation, instead of
+    * re-joining the full closure with itself. Under `GRAPH ?var` the
+    * frontier carries the graph key, so all graphs expand in one loop.
+    *
+    * Returns None when no endpoint is constant or the path is not a
+    * top-level closure — callers fall back to [[pathPairs]]. `*`'s
+    * zero-length self-match is NOT added here; the caller's existing
+    * constant-endpoint zero-length logic covers it.
+    */
+  private[sparql] def seededPathPairs(quads: DataFrame, graph: Option[Node],
+      p: PathExpr, s: Node, o: Node): Option[DataFrame] = {
+    val inner = p match {
+      case PPlus(i) => Some(i)
+      case PStar(i) => Some(i)
+      case _ => None
+    }
+    inner.flatMap { i =>
+      (s, o) match {
+        case (Const(t), _) =>
+          Some(seededClosure(pathPairs(quads, graph, i), t,
+            pathGrouped(graph), forward = true))
+        case (_, Const(t)) =>
+          Some(seededClosure(pathPairs(quads, graph, i), t,
+            pathGrouped(graph), forward = false))
+        case _ => None
+      }
+    }
+  }
+
+  /** BFS fixpoint over `edges` from `seed`: all (seed, node) pairs
+    * with a ≥1-step path, set semantics. `forward = false` evaluates
+    * against the flipped relation and flips the result back (the
+    * object-seeded case). Checkpoint hygiene mirrors [[closure]]:
+    * per-round localCheckpoints, superseded rounds unpersisted
+    * immediately, the fixpoint registered for release.
+    */
+  private[sparql] def seededClosure(edges: DataFrame, seed: Term,
+      grouped: Boolean, forward: Boolean): DataFrame = {
+    def pg(prefix: String = ""): Seq[Column] =
+      if (grouped) Seq(col(s"${prefix}pg")) else Seq.empty
+    val step =
+      if (forward) edges
+      else edges.select(pg() ++ Seq(col("po").as("ps"), col("ps").as("po")): _*)
+    // each round's NEW nodes (pg?, po) become one checkpointed part —
+    // the origin is always the seed, so parts hold nodes, not pairs.
+    // The visited set is rebuilt per round as a fresh union over the
+    // parts (the parts ARE the frontiers, nothing is recomputed).
+    //
+    // Checkpoint + rewrap: when a checkpointed plan references the same
+    // LogicalRDD on both join sides (frontier and visited share
+    // parts), analyzer dedup renames the output exprIds but
+    // Dataset.checkpoint keeps the LogicalRDD's constraints on the OLD
+    // ids — any later Union over it dies in rewriteConstraints with
+    // "key not found" (verified on the 25-edge chain: output po#5L,
+    // constraint isnotnull(po#4L)). Rebuilding the frame from the
+    // pinned RDD drops the stale constraints; the ckpt handle is what
+    // gets registered for unpersist.
+    def ckpt(df: DataFrame): (DataFrame, DataFrame) = {
+      val ck = df.localCheckpoint()
+      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
+    }
+    val (init, initCk) = ckpt(step.filter(termEqFields("ps", seed))
+      .select(pg() :+ col("po"): _*).distinct())
+    var parts = List(init)
+    var handles = List(initCk)
+    var frontier = init
+    var done = frontier.count() == 0
+    // advance STRIDE edge-steps per materialized round: the chained
+    // frontier joins stay frontier-sized, but fixpoint job overhead
+    // (checkpoint + count per round) drops by the stride; the loop
+    // still terminates exactly (an empty batch means even ONE more
+    // step adds nothing, so the closure is complete)
+    val stride = 4
+    while (!done) {
+      val cond =
+        if (grouped) col("f.po") <=> col("e.ps") && col("f.pg") <=> col("e.pg")
+        else col("f.po") <=> col("e.ps")
+      val anti =
+        if (grouped) col("n.po") <=> col("v.po") && col("n.pg") <=> col("v.pg")
+        else col("n.po") <=> col("v.po")
+      val visited = parts.reduce(_.unionByName(_))
+      // distinct per hop: without it, path multiplicity compounds
+      // across the chained joins (b^stride rows on branching graphs)
+      def oneStep(f: DataFrame): DataFrame =
+        f.alias("f").join(step.alias("e"), cond)
+          .select(pg("e.").map(_.as("pg")) :+ col("e.po").as("po"): _*)
+          .distinct()
+      val hops = Iterator.iterate(oneStep(frontier))(oneStep)
+        .take(stride).toSeq
+      val (novel, novelCk) = ckpt(hops.reduce(_.unionByName(_))
+        .distinct().alias("n")
+        .join(visited.alias("v"), anti, "left_anti"))
+      if (novel.count() == 0) {
+        Checkpoints.unpersist(novelCk)
+        done = true
+      } else {
+        parts ::= novel
+        handles ::= novelCk
+        frontier = novel
+      }
+    }
+    handles.foreach { h =>
+      Option(closureScope.get()) match {
+        case Some(scope) => scope += h
+        case None => liveClosures.synchronized { liveClosures += h }
+      }
+    }
+    val tl = termLit(seed)
+    val all = parts.reduce(_.unionByName(_))
+    if (forward) all.select(pg() ++ Seq(tl.as("ps"), col("po")): _*)
+    else all.select(pg() ++ Seq(col("po").as("ps"), tl.as("po")): _*)
+  }
+
   /** Zero-length path: every node of the (scoped) graph to itself
     * (spec: all terms; restricted here to terms occurring as subject
     * or object, the practically queryable set). Under `GRAPH ?var`

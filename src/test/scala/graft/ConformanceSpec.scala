@@ -982,6 +982,30 @@ class ConformanceSpec extends AnyFunSuite {
     "SELECT ?x { ?x :p+ :d }",
     Seq(r("x" -> ":a"), r("x" -> ":b"), r("x" -> ":c")))
 
+  // seeded (constant-endpoint) closure edges: both-constant, cycles,
+  // zero-length on a term absent from the graph, dead-end seeds
+  askCase("path: both endpoints constant, reachable", PATH,
+    "ASK { :a :p+ :d }", expected = true)
+
+  askCase("path: both endpoints constant, wrong direction", PATH,
+    "ASK { :d :p+ :a }", expected = false)
+
+  askCase("path: zero-or-more matches a term absent from the graph", PATH,
+    "ASK { :nowhere :p* :nowhere }", expected = true)
+
+  askCase("path: one-or-more from an absent seed is empty", PATH,
+    "ASK { :nowhere :p+ ?x }", expected = false)
+
+  evalCase("path: seeded closure over a cycle reaches the seed itself",
+    ":a :p :b . :b :p :a .",
+    "SELECT ?x { :a :p+ ?x }",
+    Seq(r("x" -> ":a"), r("x" -> ":b")))
+
+  evalCase("path: seeded star over a cycle stays distinct",
+    ":a :p :b . :b :p :a .",
+    "SELECT ?x { :a :p* ?x }",
+    Seq(r("x" -> ":a"), r("x" -> ":b")))
+
   // ==========================================================================
   // aggregates: further cases
   // ==========================================================================
