@@ -41,11 +41,16 @@ object TemporalJoins {
     *
     * @param payload right-side columns to carry; emitted on the result
     *                as a struct column named `as_of` (null = no match)
+    * @param toleranceSeconds max lookback: a carried right row older
+    *                than this many seconds before the left time is
+    *                treated as no-match (pandas merge_asof semantics);
+    *                None = unbounded
     * @return all left columns + `as_of`
     */
   def asOfJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTime: Column, rightTime: Column,
-      rightTieBreak: Column, payload: Seq[Column]): DataFrame = {
+      rightTieBreak: Column, payload: Seq[Column],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     // side 0 (right) sorts before side 1 (left) at equal time, making
     // the carry inclusive; __tie orders equal-time right rows so
     // last() picks the max tie-break.
@@ -59,10 +64,22 @@ object TemporalJoins {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.withColumns(
+    val carried = l.unionByName(r.withColumns(
         left.columns.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap),
         allowMissingColumns = true)
       .withColumn("as_of", last(col("__payload"), ignoreNulls = true).over(w))
+    val bounded = toleranceSeconds.fold(carried) { tol =>
+      // the carried right TIME rides the same window, so the lookback
+      // bound is a plain post-filter — no second join
+      carried
+        .withColumn("__rt", last(when(col("__side") === 0, col("__t")),
+          ignoreNulls = true).over(w))
+        .withColumn("as_of", when(
+          col("__rt") >= col("__t") - expr(s"INTERVAL '$tol' SECOND"),
+          col("as_of")))
+        .drop("__rt")
+    }
+    bounded
       .filter(col("__side") === 1)
       .drop("__k", "__t", "__side", "__tie", "__payload")
   }

@@ -43,6 +43,41 @@ class SeededPathSpec extends AnyFunSuite {
     Sparql.releaseClosures()
   }
 
+  test("seeded matches unseeded on random graphs (branching, cycles)") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 0 until 6) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = Seq.fill(12 + rnd.nextInt(10))(
+        (rnd.nextInt(n), rnd.nextInt(n))).distinct
+      def node(i: Int) = struct(
+        lit(Term.IRI).as("termType"), lit(s"${NS}n/$i").as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val q = edges.map { case (a, b) =>
+        spark.range(1).select(
+          lit(null).cast(termType).as("graph"),
+          node(a).as("subject"),
+          struct(lit(Term.IRI).as("termType"), lit(s"${NS}next").as("lex"),
+            lit(null).cast("string").as("datatype"),
+            lit(null).cast("string").as("lang")).as("predicate"),
+          node(b).as("obj"))
+      }.reduce(_.unionByName(_))
+      val seedN = rnd.nextInt(n)
+      for (op <- Seq("+", "*")) {
+        val seeded = Sparql.execute(q,
+            s"SELECT ?o { <${NS}n/$seedN> <${NS}next>$op ?o }")
+          .select(col("o").getField("lex").as("l"))
+          .collect().map(_.getString(0)).toSet
+        val full = Sparql.execute(q, s"SELECT ?s ?o { ?s <${NS}next>$op ?o }")
+          .filter(col("s").getField("lex") === s"${NS}n/$seedN")
+          .select(col("o").getField("lex").as("l"))
+          .collect().map(_.getString(0)).toSet
+        assert(seeded == full, s"trial=$trial op=$op seed=$seedN edges=$edges")
+      }
+      Sparql.releaseClosures()
+    }
+  }
+
   test("seeded matches unseeded closure filtered to the seed") {
     val q = chain(12)
     val seeded = Sparql.execute(q, s"SELECT ?o { <${NS}n/3> <${NS}next>+ ?o }")

@@ -54,6 +54,20 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(5L) == Some("r4")) // later right row ignored
   }
 
+  test("asOfJoin: lookback tolerance nulls out stale matches") {
+    val got = TemporalJoins.asOfJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        rightTieBreak = col("rid"),
+        payload = Seq(col("tag")),
+        toleranceSeconds = Some(1800L)) // 30 min
+      .select(col("id"), col("as_of.tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("r3")) // zero gap: inside tolerance
+    assert(got(2L) == Some("r1")) // 30-min gap: exactly at the bound
+    assert(got(5L) == None)       // 60-min gap: outside → no match
+  }
+
   test("asOfJoin: left-row count is preserved (left-outer semantics)") {
     val out = TemporalJoins.asOfJoin(left, right, col("k"), col("k"),
       col("t"), col("t"), col("rid"), Seq(col("tag")))
