@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.queries.Tables.{d, dec}
@@ -43,6 +43,91 @@ object StreamingQueries {
       case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
+  }
+
+  /** Stream of `events.parquet` plus far-future sentinel rows (one per
+    * (id, event_type) pair, with event_id = user_id = id < 0): the
+    * final watermark then passes every real event, so watermark-driven
+    * state (outer-join null rows, custom-state timeouts) fully drains
+    * before AvailableNow terminates. Callers filter `user_id >= 0`.
+    */
+  private def eventsStreamWithSentinels(s: SparkSession, dir: String,
+      sentinels: Seq[(Long, String)]): DataFrame = {
+    val streamDir = Files.createTempDirectory("events_stream_sent")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsType = raw.schema("ts").dataType
+    val latest = raw.orderBy(col("ts").desc).limit(1)
+    def sentinel(id: Long, kind: String) = {
+      val bumped = tsType match {
+        case LongType => latest.withColumn("ts", col("ts") + lit(86400L * 100 * 1000000000L))
+        case _ => latest.withColumn("ts", col("ts") + expr("interval 100 days"))
+      }
+      bumped.withColumn("event_id", lit(id))
+        .withColumn("user_id", lit(id))
+        .withColumn("event_type", lit(kind))
+    }
+    val sentTmp = Files.createTempDirectory("sentinel")
+    sentinels.map { case (id, kind) => sentinel(id, kind) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(sentTmp.toString)
+    val part = Files.list(sentTmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, streamDir.resolve("zzz_sentinel.parquet"))
+    val stream0 = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+    tsType match {
+      case LongType => stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => stream0.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream0
+    }
+  }
+
+  /** One event row for the custom-state sessionizer. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  private val SessionGapUs = 30L * 60 * 1000000
+
+  /** Merge (startUs, lastUs, n, value×10⁴) interval aggregates whose
+    * gaps are under [[SessionGapUs]] — an incoming event can BRIDGE two
+    * open sessions, so merging is interval coalescing, not appending.
+    */
+  private[streaming] def mergeSessions(ss: List[(Long, Long, Long, Long)])
+      : List[(Long, Long, Long, Long)] =
+    ss.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long, Long)]) {
+      case ((cs, ce, cn, cv) :: rest, (s2, e2, n2, v2)) if s2 <= ce + SessionGapUs =>
+        (cs, math.max(ce, e2), cn + n2, cv + v2) :: rest
+      case (acc, s2) => s2 :: acc
+    }.reverse
+
+  /** flatMapGroupsWithState callback: per-user open sessions live in
+    * [[GroupState]]; a session only emits once the event-time watermark
+    * proves no later event can extend it (end + gap ≤ watermark), and
+    * the group's timeout is re-armed at the earliest such maturity so
+    * sessions drain without further input. Values are summed exactly as
+    * value×10⁴ longs (the DECIMAL(12,4) the oracle uses) — a double
+    * running sum would drift per fold order.
+    */
+  private def sessionize(user: Long, rows: Iterator[SessEvent],
+      state: GroupState[List[(Long, Long, Long, Long)]])
+      : Iterator[(Long, Long, Long, Long, Double)] = {
+    val incoming = rows.map { e =>
+      val us = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+      val v4 = new java.math.BigDecimal(java.lang.Double.toString(e.value))
+        .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      (us, us, 1L, v4)
+    }.toList
+    val merged = mergeSessions(state.getOption.getOrElse(Nil) ++ incoming)
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val (mature, open) = merged.partition { case (_, e, _, _) => e + SessionGapUs <= wmUs }
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open)
+      val nextUs = open.map { case (_, e, _, _) => e + SessionGapUs }.min
+      state.setTimeoutTimestamp(math.max(nextUs / 1000, state.getCurrentWatermarkMs() + 1))
+    }
+    mature.iterator.map { case (s0, e0, n, v4) =>
+      (user, s0, e0 + SessionGapUs, n, java.math.BigDecimal.valueOf(v4, 4).doubleValue) }
   }
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
@@ -119,33 +204,8 @@ object StreamingQueries {
     // equal to the batch LEFT JOIN oracle instead of a tail-truncated
     // prefix of it.
     "streaming_join_outer" -> { (s, dir) =>
-      val streamDir = Files.createTempDirectory("events_stream_outer")
-      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val tsType = raw.schema("ts").dataType
-      val latest = raw.orderBy(col("ts").desc).limit(1)
-      def sentinel(id: Long, kind: String) = {
-        val bumped = tsType match {
-          case LongType => latest.withColumn("ts", col("ts") + lit(86400L * 100 * 1000000000L))
-          case _ => latest.withColumn("ts", col("ts") + expr("interval 100 days"))
-        }
-        bumped.withColumn("event_id", lit(id))
-          .withColumn("user_id", lit(id))
-          .withColumn("event_type", lit(kind))
-      }
-      val sentTmp = Files.createTempDirectory("sentinel")
-      sentinel(-1L, "click").unionByName(sentinel(-2L, "purchase"))
-        .coalesce(1).write.mode("overwrite").parquet(sentTmp.toString)
-      val part = Files.list(sentTmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.copy(part, streamDir.resolve("zzz_sentinel.parquet"))
-      val stream0 = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
-      val stream = tsType match {
-        case LongType => stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _: TimestampNTZType => stream0.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => stream0
-      }
+      val stream = eventsStreamWithSentinels(s, dir,
+        Seq(-1L -> "click", -2L -> "purchase"))
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
@@ -163,6 +223,30 @@ object StreamingQueries {
         .filter(col("user_id") >= 0) // drop the sentinel click
         .select(col("click_id"), col("purchase_id"), col("user_id"))
         .orderBy(col("click_id"), col("purchase_id"))
+    },
+    // Custom streaming state: the sessionizer re-implemented on
+    // flatMapGroupsWithState + EventTimeTimeout instead of the built-in
+    // session_window — per-user open sessions live in GroupState,
+    // mature (end + gap ≤ watermark) sessions emit in Append mode, and
+    // timeouts re-arm at the earliest maturity so state drains on
+    // no-data micro-batches. Same oracle as streaming_session: the
+    // custom operator must agree with both the built-in and the
+    // relational lag-gap derivation. The far-future sentinel row pushes
+    // the final watermark past every real session so none is left
+    // immature when AvailableNow terminates.
+    "streaming_custom_state" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStreamWithSentinels(s, dir, Seq(-1L -> "sentinel"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[SessEvent]
+      val sessions = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(sessionize _)
+      runToTable(sessions.toDF(
+          "user_id", "session_start", "session_end", "n", "v"), "append")
+        .filter(col("user_id") >= 0) // drop the sentinel user's session
+        .orderBy(col("user_id"), col("session_start"))
     },
     // Streaming stateful dedup: every event is duplicated in-stream,
     // then dropDuplicates over (event_id, ts) with a watermark removes
@@ -203,6 +287,21 @@ object StreamingQueries {
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
          WHERE a.event_type = 'click'
          ORDER BY click_id, purchase_id""",
+    "streaming_custom_state" ->
+      """WITH brk AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS b
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(b) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM brk)
+         SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+                epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "streaming_session" ->
       """WITH brk AS (
            SELECT user_id, ts, value,
