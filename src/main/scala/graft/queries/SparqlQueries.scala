@@ -28,6 +28,12 @@ object SparqlQueries {
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[(String, String), QuadStore]()
 
+  /** Subject-bucketed tables written once per JVM per (table, sfDir) —
+    * the layout write is the pay-once cost, the entries measure reads.
+    */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   private def fixture(name: String, dir: String, s: SparkSession)(
       build: QuadStore => Unit): QuadStore =
     fixtures.computeIfAbsent((name, dir), { _ =>
@@ -80,6 +86,41 @@ object SparqlQueries {
         regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1).cast("int").as("n_nationkey"),
         col("name").getField("lex").as("n_name"),
         col("rk").getField("lex").cast("int").as("n_regionkey"))
+    },
+    // Subject-bucketed query layout (QuadStore.writeSubjectBucketed):
+    // a 3-leaf star BGP answered over the bucketed table — the
+    // zero-exchange plan shape (pinned in SparqlSpec with broadcast
+    // disabled); results must equal the relational oracle regardless
+    // of layout.
+    "sparql_bucketed_star" -> { (s, dir) =>
+      import s.implicits._
+      val table = s"sparql_spo_bucketed_${math.abs(dir.hashCode)}"
+      fixture("sqbstar", dir, s) { st =>
+        val rows = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("long"), col("s_acctbal"))
+          .as[(Long, String, Long, Double)].collect()
+        val quads = rows.toSeq.flatMap { case (k, name, nk, bal) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}supp/$k"),
+              Term.iri(s"${NS}name"), Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}supp/$k"),
+              Term.iri(s"${NS}nationkey"), Term.typed(nk.toString, Term.XSD_INTEGER)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}supp/$k"),
+              Term.iri(s"${NS}acctbal"), Term.typed(bal.toString, Term.XSD_DOUBLE)))
+        }
+        st.addQuads(0, quads)
+        st.writeSubjectBucketed(table, Files.createTempDirectory("spob").toString)
+      }
+      val res = Sparql.execute(s.table(table),
+        s"SELECT ?s ?name ?nk ?bal { ?s <${NS}name> ?name . " +
+          s"?s <${NS}nationkey> ?nk . ?s <${NS}acctbal> ?bal } ORDER BY ?s")
+      res.select(
+        regexp_extract(col("s").getField("lex"), "supp/(\\d+)$", 1)
+          .cast("long").as("s_suppkey"),
+        col("name").getField("lex").as("s_name"),
+        col("nk").getField("lex").cast("int").as("s_nationkey"),
+        col("bal").getField("lex").cast("double").as("s_acctbal"))
     },
     // FILTER < on numeric typed literals must use VALUE order: keys
     // 0..24 as "k"^^xsd:integer, < "10"^^xsd:integer keeps 0..9 (ten
@@ -630,6 +671,49 @@ object SparqlQueries {
         .unionByName(probe("all", s"FROM <${NS}g/even> FROM <${NS}g/odd>"))
         .orderBy(col("part"), col("n_regionkey"))
     },
+    // The subject-bucketed layout at event-table scale: two quads per
+    // event built DISTRIBUTED from the parquet scan, paid into a
+    // subject-bucketed table ONCE per JVM (the write is the layout
+    // cost; the bench median over reps reads the cached table), then a
+    // star BGP that plans with zero exchanges — the layout's whole
+    // point. Exact relational oracle.
+    "scale_bucketed_star" -> { (s, dir) =>
+      val termType = "struct<termType:string,lex:string,datatype:string,lang:string>"
+      def iriCol(lex: org.apache.spark.sql.Column) = struct(
+        lit(Term.IRI).as("termType"), lex.as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      def litCol(lex: org.apache.spark.sql.Column) = struct(
+        lit(Term.LIT).as("termType"), lex.as("lex"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("lang"))
+      val table = s"scale_spo_bucketed_${math.abs(dir.hashCode)}"
+      bucketedTables.computeIfAbsent((table, dir), { _ =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id").cast("long").as("id"),
+            col("event_type"), col("user_id").cast("long").as("uid"))
+        def quad(p: String, o: org.apache.spark.sql.Column) = ev.select(
+          lit(null).cast(termType).as("graph"),
+          iriCol(concat(lit(s"${NS}e/"), col("id").cast("string"))).as("subject"),
+          iriCol(lit(s"${NS}$p")).as("predicate"),
+          litCol(o).as("obj"))
+        quad("type", col("event_type"))
+          .unionByName(quad("user", col("uid").cast("string")))
+          .write.mode("overwrite")
+          .option("path", Files.createTempDirectory("scalespob").toString)
+          .bucketBy(32, "subject").sortBy("subject")
+          .format("parquet").saveAsTable(table)
+        table
+      })
+      val res = Sparql.execute(s.table(table),
+        s"SELECT ?e ?t ?u { ?e <${NS}type> ?t . ?e <${NS}user> ?u }")
+      res.select(
+          regexp_extract(col("e").getField("lex"), "e/(\\d+)$", 1)
+            .cast("long").as("e"),
+          col("t").getField("lex").as("t"),
+          col("u").getField("lex").cast("long").as("u"))
+        .orderBy(col("e"))
+    },
     // RDF-star at event-table scale: quoted-triple provenance terms
     // are BUILT in executors (TermStar.quotedOf — a codegen'd concat
     // over the parquet scan, no store, no driver hop) and destructured
@@ -812,6 +896,12 @@ object SparqlQueries {
     "sparql_count" -> "SELECT 4::BIGINT AS C",
     "sparql_bgp" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sparql_bucketed_star" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
+    "scale_bucketed_star" ->
+      """SELECT event_id AS e, event_type AS t, user_id AS u
+         FROM events ORDER BY e""",
     "sparql_filter_numeric" ->
       "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey",
     "sparql_optional_bind" ->

@@ -782,8 +782,22 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * COALESCE, while sure-bound variables keep plain null-safe
     * equality — which Catalyst plans as hash-join keys. Only patterns
     * that CAN produce unbound pay the non-equi price.
+    *
+    * `nonNull` ⊆ sure-bound vars whose column provably never holds a
+    * NULL struct: vars bound at a top-level s/p/o slot of a triple
+    * pattern (a quad row's s/p/o are never null — store invariant), a
+    * `GRAPH ?g` binding (named graphs only), path endpoints, VALUES
+    * vars with no UNDEF, constant BINDs. Joins on such a var use plain
+    * `===` instead of `<=>` — identical semantics when either side
+    * cannot be null, but the join keys stay RAW COLUMNS, which is what
+    * lets a subject-bucketed table layout satisfy the join's required
+    * distribution and run multi-leaf BGP stars with ZERO exchanges
+    * (`<=>` compiles to coalesce/isnull keys, which disqualify
+    * bucketed scans). Tracking is conservative: an empty set is always
+    * safe and falls back to `<=>`.
     */
-  private[sparql] final case class Sol(df: DataFrame, maybe: Set[String])
+  private[sparql] final case class Sol(df: DataFrame, maybe: Set[String],
+      nonNull: Set[String] = Set.empty)
 
   private def compile(quads: DataFrame, pattern: Pattern): DataFrame =
     compileSol(quads, pattern).df
@@ -896,7 +910,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       val sols = branches.map(compileSol(quads, _))
       val allVars = sols.flatMap(_.df.columns).toSet
       val df = sols.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
-      Sol(df, sols.flatMap(s => s.maybe ++ (allVars -- s.df.columns)).toSet)
+      Sol(df, sols.flatMap(s => s.maybe ++ (allVars -- s.df.columns)).toSet,
+        sols.map(_.nonNull).reduceLeft(_ intersect _))
     case Group(elems) =>
       val termType = quads.schema("subject").dataType
       // acc == None until the first binding element, so a leading
@@ -912,7 +927,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         e.isInstanceOf[FilterElem] || e.isInstanceOf[ExistsElem])
       reorderBgpRuns(bindingElems).foreach {
         case PatElem(tp) =>
-          val next = Sol(compilePattern(quads, deblankTp(tp)), Set.empty)
+          val (pdf, leafNonNull) = compilePattern(quads, deblankTp(tp))
+          val next = Sol(pdf, Set.empty, leafNonNull)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case OptElem(inner) =>
           // LeftJoin-condition semantics (§18.2.2.2): an inner filter
@@ -973,8 +989,13 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             case VVar(n) => base.df.columns.contains(n) && !base.maybe.contains(n)
             case _ => false
           }
+          val bindNonNull = expr match {
+            case VConst(_) => base.nonNull + as
+            case VVar(n) if base.nonNull.contains(n) => base.nonNull + as
+            case _ => base.nonNull
+          }
           acc = Some(Sol(base.df.withColumn(as, compileVExpr(base.df, termType, expr)),
-            if (sure) base.maybe else base.maybe + as))
+            if (sure) base.maybe else base.maybe + as, bindNonNull))
         case MinusElem(inner) =>
           acc = Some(minusJoin(cur, compileSol(quads, inner)))
         case NestedElem(p) =>
@@ -996,7 +1017,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           }.reduce(_.unionByName(_))
           val undef = vars.zipWithIndex
             .collect { case (v, i) if rows.exists(_(i).isEmpty) => v }.toSet
-          val data = Sol(df, undef)
+          val data = Sol(df, undef, vars.toSet -- undef)
           acc = Some(acc.fold(data)(d => joinShared(d, data, "inner")))
         case PathElem(graph, s0, path, o0) =>
           val (s, o) = (deblank(s0), deblank(o0))
@@ -1061,7 +1082,10 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           val proj = varSlots.toMap
           val bound = Sol(
             pairs.select(proj.toSeq.map { case (n, c) => col(c).as(n) }: _*),
-            Set.empty)
+            Set.empty,
+            // endpoint pairs come from quad s/o slots (never null);
+            // pg stays unmarked (conservative)
+            varSlots.collect { case (n, c) if c != "pg" => n }.toSet)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
       filters.foreach(f => acc = Some(applyFilter(quads, cur, f)))
@@ -1071,8 +1095,11 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
   }
 
   /** Shared-variable join compatibility (§18.3) as a join condition:
-    * sure-bound vars are plain null-safe equality (hash-join keys);
-    * maybe-unbound vars add the unbound-matches-anything disjuncts.
+    * sure-bound vars are plain null-safe equality (hash-join keys) —
+    * upgraded to raw `===` when either side is provably non-null
+    * ([[Sol.nonNull]]; `<=>` and `===` differ only when BOTH sides are
+    * null), keeping the keys bucketed-layout-compatible; maybe-unbound
+    * vars add the unbound-matches-anything disjuncts.
     */
   private[sparql] def compatCond(l: Sol, r: Sol): Column = {
     val shared = l.df.columns.toSet intersect r.df.columns.toSet
@@ -1080,6 +1107,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       if (l.maybe.contains(c) || r.maybe.contains(c))
         col(s"l.$c") <=> col(s"r.$c") ||
           col(s"l.$c").isNull || col(s"r.$c").isNull
+      else if (l.nonNull.contains(c) || r.nonNull.contains(c))
+        col(s"l.$c") === col(s"r.$c")
       else col(s"l.$c") <=> col(s"r.$c")
     }.reduceOption(_ && _).getOrElse(lit(true))
   }
@@ -1091,7 +1120,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     */
   private def existsJoin(l: Sol, r: Sol, positive: Boolean): Sol =
     Sol(l.df.alias("l").join(r.df.alias("r"), compatCond(l, r),
-      if (positive) "left_semi" else "left_anti"), l.maybe)
+      if (positive) "left_semi" else "left_anti"), l.maybe, l.nonNull)
 
   /** MINUS (§18.5): anti join, but a right solution only removes a left
     * one when at least one shared variable is bound on BOTH sides; with
@@ -1109,7 +1138,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         else compatCond(l, r) && shared.toSeq
           .map(c => col(s"l.$c").isNotNull && col(s"r.$c").isNotNull)
           .reduce(_ || _)
-      Sol(l.df.alias("l").join(r.df.alias("r"), cond, "left_anti"), l.maybe)
+      Sol(l.df.alias("l").join(r.df.alias("r"), cond, "left_anti"),
+        l.maybe, l.nonNull)
     }
   }
 
@@ -1134,6 +1164,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       if (eitherMaybe(c))
         col(s"l.$c") <=> col(s"r.$c") ||
           col(s"l.$c").isNull || col(s"r.$c").isNull
+      else if (l.nonNull.contains(c) || r.nonNull.contains(c))
+        col(s"l.$c") === col(s"r.$c")
       else col(s"l.$c") <=> col(s"r.$c")
     }
     // extra join-level filters (OPTIONAL's LeftJoin condition) see the
@@ -1162,7 +1194,14 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         l.maybe.filter(v => !shared.contains(v) || r.maybe.contains(v)) ++
           r.maybe.filter(v => !shared.contains(v) || l.maybe.contains(v))
     }
-    Sol(df, maybe)
+    // a left join keeps only the left side's guarantees (right-only
+    // vars can be null-extended); an inner join joins shared non-null
+    // vars with === so either side's guarantee carries over
+    val nonNull = how match {
+      case "left_outer" => l.nonNull -- maybe
+      case _ => (l.nonNull ++ r.nonNull) -- maybe
+    }
+    Sol(df, maybe, nonNull)
   }
 
 
@@ -1210,7 +1249,13 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       col(s"$c.datatype") <=> lit(t.datatype).cast("string") &&
       col(s"$c.lang") <=> lit(t.lang).cast("string")
 
-  private def compilePattern(quads: DataFrame, tp: TriplePattern): DataFrame = {
+  /** Returns the bindings DataFrame plus the vars bound at a TOP-LEVEL
+    * quad slot — provably non-null (see [[Sol.nonNull]]); vars
+    * destructured out of quoted-triple components are excluded (a
+    * malformed triple lex extracts to null).
+    */
+  private def compilePattern(quads: DataFrame,
+      tp: TriplePattern): (DataFrame, Set[String]) = {
     var df = tp.graph match {
       case None => quads.filter(col("graph").isNull)
       case Some(Const(t)) => quads.filter(termEqFields("graph", t))
@@ -1239,8 +1284,10 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         walk(graft.functions.TermStar.componentOf(c, 1), p)
         walk(graft.functions.TermStar.componentOf(c, 2), o)
     }
+    val nonNull = scala.collection.mutable.Set[String]()
     slots.foreach {
       case (cName, Const(t)) => df = df.filter(termEqFields(cName, t))
+      case (cName, Var(n0)) => binds += n0 -> col(cName); nonNull += n0
       case (cName, node) => walk(col(cName), node)
     }
     // repeated vars within the pattern force equality
@@ -1251,7 +1298,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       }
     }
     val proj = binds.toMap
-    df.select(proj.toSeq.map { case (n, c) => c.as(n) }: _*)
+    (df.select(proj.toSeq.map { case (n, c) => c.as(n) }: _*), nonNull.toSet)
   }
 
   // --- parser ---------------------------------------------------------------

@@ -18,7 +18,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     val cols = marked.df.columns.toSet
     val filtered = marked.df.filter(compileFilter(nf,
       n => if (cols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
-    Sol(flags.foldLeft(filtered)(_.drop(_)), sol.maybe)
+    Sol(flags.foldLeft(filtered)(_.drop(_)), sol.maybe, sol.nonNull)
   }
 
   /** Rewrite `[NOT] EXISTS` operands (anywhere in the expression tree,
@@ -145,7 +145,8 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
           .withColumn(flag, coalesce(col(flag), lit(false)))
       } else {
         val key = sol.df.select(shared.map(col): _*).distinct()
-        val keySol = Sol(key, sol.maybe.intersect(shared.toSet))
+        val keySol = Sol(key, sol.maybe.intersect(shared.toSet),
+          sol.nonNull.intersect(shared.toSet))
         val hits = keySol.df.alias("l")
           .join(innerSol.df.alias("r"), compatCond(keySol, innerSol), "left_semi")
           .withColumn(flag, lit(true))
@@ -156,7 +157,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
           .select(sol.df.columns.map(c => col(s"a.$c")) :+
             coalesce(col(s"b.$flag"), lit(false)).as(flag): _*)
       }
-    Sol(marked, sol.maybe)
+    Sol(marked, sol.maybe, sol.nonNull)
   }
 
   /** Variables referenced by a filter expression. */

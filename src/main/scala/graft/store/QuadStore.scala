@@ -295,6 +295,32 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
 
   def quads(): DataFrame = merge(readVersion(), None)
 
+  /** Materialize the current state as a SUBJECT-bucketed, per-bucket
+    * subject-sorted external parquet table, returning its DataFrame —
+    * the query-side layout for BGP-heavy workloads. The store's own
+    * whole-quad hash buckets are the WRITE layout (set-semantics
+    * merge/delete pruning); they randomize subject locality, so every
+    * multi-leaf BGP star re-shuffles each leaf on the join variable.
+    * This projection pays that shuffle ONCE: the catalog records the
+    * bucket spec, every leaf scan comes out hash-partitioned by
+    * `subject`, and the SPARQL compiler's non-null `===` join keys
+    * ([[graft.sparql.Sparql.Sol]]) let Catalyst satisfy the join
+    * distribution from the bucketing — an n-leaf star then plans with
+    * ZERO exchanges (pinned in SparqlSpec). Re-materialize after
+    * ingest batches to refresh; the relational-corpus analogue is
+    * `pipeline/CorpusLayout.writeBucketed`.
+    */
+  def writeSubjectBucketed(table: String, path: String,
+      nBuckets: Int = 32): DataFrame = {
+    quads().write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, "subject")
+      .sortBy("subject")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** [[quadsAt]] restricted to a hash-bucket subset: the base read
     * partition-prunes to the selected `bucket=k` directories and the
     * tail filters on the same key, so the scan cost tracks the bucket

@@ -242,6 +242,36 @@ class SparqlSpec extends AnyFunSuite {
       starScan.contains("subject.termType"), s"missing termType pushdown:\n$starScan")
   }
 
+  test("subject-bucketed layout: a 3-leaf star BGP plans with ZERO exchanges") {
+    val docs = (0 until 200).map { i =>
+      s"""<http://x/s$i> <http://x/p1> "a$i" .
+         |<http://x/s$i> <http://x/p2> "b$i" .
+         |<http://x/s$i> <http://x/p3> "c$i" .
+         |""".stripMargin
+    }.mkString
+    val store = ingest(docs -> "application/n-quads")
+    val t = store.writeSubjectBucketed("spo_bucketed_plan_test",
+      java.nio.file.Files.createTempDirectory("spob").toString, 8)
+    val q = "SELECT ?s ?a ?b ?c { ?s <http://x/p1> ?a . " +
+      "?s <http://x/p2> ?b . ?s <http://x/p3> ?c }"
+    // force the join path bucketing serves (broadcast would hide it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val res = Sparql.execute(t, q)
+      val plan = res.queryExecution.executedPlan.toString
+      // non-null === join keys + catalog bucket spec ⇒ every leaf scan
+      // is already hash-partitioned by subject: no shuffle anywhere
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).length == 3,
+        s"expected 3 bucketed scans:\n$plan")
+      assert(res.count() == 200)
+      // the plain (store) layout must agree on results — and shuffles
+      val base = Sparql.execute(store.quads(), q)
+      assert(base.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("FROM graph predicates reach the parquet scan") {
     val store = ingest(PATCH1 -> "application/rdf-patch")
     store.compact()
