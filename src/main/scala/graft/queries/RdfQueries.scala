@@ -191,6 +191,57 @@ object RdfQueries {
         .select(col("predicate.lex").as("predicate"), col("cnt"))
         .orderBy(col("predicate"))
     },
+    // Incrementally-maintained star-join view (JoinView): a supplier
+    // 3-predicate star, full-initialized at batch 0, then a batch of
+    // real deletes (every third supplier loses its nationkey leaf →
+    // star rows vanish), no-op re-adds, one complete new star, and one
+    // DANGLING subject (name only — must NOT appear: inner star). The
+    // incremental refresh recomputes only the touched subjects; the
+    // oracle re-derives the final rows relationally.
+    "rdf_store_join_view" -> { (s, dir) =>
+      import s.implicits._
+      val store = new QuadStore(s, Files.createTempDirectory("jvstore").toString)
+      val preds = Seq(Term.iri(s"${NS}name"), Term.iri(s"${NS}nationkey"),
+        Term.iri(s"${NS}acctbal"))
+      val view = new graft.store.JoinView(s, store,
+        Files.createTempDirectory("jvview").toString, preds)
+      val supps = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_nationkey").cast("long"), col("s_acctbal"))
+        .as[(Long, String, Long, Double)].collect()
+      store.addQuads(0, supps.toSeq.flatMap { case (k, n, nk, bal) => Seq(
+        Quad(null, Term.iri(s"${NS}supp/$k"), preds(0), Term.lit(n)),
+        Quad(null, Term.iri(s"${NS}supp/$k"), preds(1),
+          Term.typed(nk.toString, Term.XSD_INTEGER)),
+        Quad(null, Term.iri(s"${NS}supp/$k"), preds(2),
+          Term.typed(bal.toString, Term.XSD_DOUBLE))) })
+      view.refresh() // full init at batch 0
+      val ops = supps.toSeq.collect { case (k, _, nk, _) if k % 3 == 0 =>
+        QuadStore.OpRow("D", k, null, Term.iri(s"${NS}supp/$k"), preds(1),
+          Term.typed(nk.toString, Term.XSD_INTEGER)) } ++
+        supps.toSeq.collect { case (k, n, _, _) if k % 3 == 1 =>
+          QuadStore.OpRow("A", 1000 + k, null, Term.iri(s"${NS}supp/$k"),
+            preds(0), Term.lit(n)) } ++
+        Seq(
+          QuadStore.OpRow("A", 5000L, null, Term.iri(s"${NS}supp/999999"),
+            preds(0), Term.lit("zz")),
+          QuadStore.OpRow("A", 5001L, null, Term.iri(s"${NS}supp/999999"),
+            preds(1), Term.typed("7", Term.XSD_INTEGER)),
+          QuadStore.OpRow("A", 5002L, null, Term.iri(s"${NS}supp/999999"),
+            preds(2), Term.typed("1.5", Term.XSD_DOUBLE)),
+          QuadStore.OpRow("A", 5003L, null, Term.iri(s"${NS}supp/999998"),
+            preds(0), Term.lit("dangling")))
+      store.commitOps(1, ops.toDF())
+      view.refresh() // incremental: touched subjects only
+      view.result()
+        .select(
+          regexp_extract(col("subject.lex"), "supp/(\\d+)$", 1)
+            .cast("long").as("s_suppkey"),
+          col("o0").getField("lex").as("s_name"),
+          col("o1").getField("lex").cast("int").as("s_nationkey"),
+          col("o2").getField("lex").cast("double").as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
     // Incremental refresh at scale: a lineitem-derived store (~2
     // quads/row, built EXECUTOR-SIDE as one ops DataFrame, then
     // compacted to the bucketed base) and a view over it; every call
@@ -495,6 +546,12 @@ object RdfQueries {
                  (SELECT COUNT(*) FROM nation)::BIGINT
           UNION ALL SELECT '${NS}version', 1::BIGINT)
           ORDER BY predicate""",
+    "rdf_store_join_view" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         WHERE s_suppkey % 3 <> 0
+         UNION ALL
+         SELECT 999999::BIGINT, 'zz', 7, 1.5
+         ORDER BY s_suppkey""",
     "rdf_store_time_travel" ->
       """SELECT 0::BIGINT AS as_of,
                 (SELECT COUNT(*) FROM nation)::BIGINT AS n

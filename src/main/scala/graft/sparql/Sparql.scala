@@ -647,7 +647,14 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         val tvUndef = q.trailingValues.map(v => v.vars.zipWithIndex.collect {
           case (n, i) if v.rows.exists(_(i).isEmpty) => n
         }.toSet).getOrElse(Set.empty)
-        maybe = (boundSol.maybe intersect q.groupBy.toSet) ++ tvUndef ++
+        // a group key is maybe-unbound when the pattern binds it only
+        // maybe — or NEVER binds it (legal: one all-null group key,
+        // compatible with ANYTHING in the trailing-VALUES join; an
+        // intersect with boundSol.maybe alone missed the never-bound
+        // case and joined it as sure-bound ⇒ zero rows)
+        val groupMaybe = q.groupBy.toSet.filter(n =>
+          !boundSol.df.columns.contains(n) || boundSol.maybe.contains(n))
+        maybe = groupMaybe ++ tvUndef ++
           items.collect {
             case ItemAgg(func, _, as, _, _)
                 if func != "COUNT" && func != "GROUP_CONCAT" => as
@@ -683,7 +690,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
                 case (v, None) => lit(null).cast(TERM_STRUCT).as(v)
               }: _*)
             }.reduce(_.unionByName(_))
-            joinShared(Sol(kept0, boundSol.maybe intersect q.groupBy.toSet),
+            joinShared(Sol(kept0, groupMaybe),
               Sol(data, tvUndef), "inner").df
           case None => kept0
         }

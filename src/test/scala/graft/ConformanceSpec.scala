@@ -1063,6 +1063,16 @@ class ConformanceSpec extends AnyFunSuite {
     "SELECT ?s { ?s :v ?o VALUES ?o { 1 } }",
     Seq(r("s" -> ":a")))
 
+  // found by the differential fuzzer (seed 20260815, case 403): a
+  // GROUP BY variable the pattern never binds yields one all-null
+  // group key, which §18.3 makes compatible with EVERY trailing-VALUES
+  // row — it must not join as a sure-bound (equality) key
+  evalCase("values: trailing VALUES joins an unbound group key as compatible",
+    ":s1 :p0 \"a\" .",
+    """SELECT ?a (COUNT(?b) AS ?n) { :s1 :p0 ?b } GROUP BY ?a
+      |VALUES ?a { "b" :s3 }""".stripMargin,
+    Seq(r("a" -> "\"b\"", "n" -> "1"), r("a" -> ":s3", "n" -> "1")))
+
   // ==========================================================================
   // DESCRIBE smoke (form coverage; result is implementation-defined
   // but must include the resource's outgoing triples)

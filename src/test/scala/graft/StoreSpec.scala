@@ -383,6 +383,78 @@ class StoreSpec extends AnyFunSuite {
     assert(counts() == full)
   }
 
+  test("JoinView: incremental refresh equals full recompute across add/delete/no-op") {
+    import spark.implicits._
+    val store = newStore()
+    def p(n: String) = Term.iri(s"http://x/$n")
+    def quad(s: String, pred: String, o: String) =
+      Quad(null, Term.iri(s"http://x/$s"), p(pred), Term.lit(o))
+    val preds = Seq(p("name"), p("age"))
+    val view = new graft.store.JoinView(spark, store,
+      Files.createTempDirectory("joinview").toString, preds)
+    store.addQuads(0, Seq(
+      quad("a", "name", "alice"), quad("a", "age", "30"),
+      quad("b", "name", "bob"), quad("b", "age", "40"),
+      quad("c", "name", "carol"), // dangling: no age → no star row
+      quad("d", "name", "dan"), quad("d", "name", "danny"), // two names
+      quad("d", "age", "50")))
+    assert(view.refresh() == 0L)
+    def rows(): Set[(String, String, String)] = view.result().collect()
+      .map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1),
+        r.getStruct(2).getString(1))).toSet
+    assert(rows() == Set(
+      ("http://x/a", "alice", "30"), ("http://x/b", "bob", "40"),
+      ("http://x/d", "dan", "50"), ("http://x/d", "danny", "50")))
+    // batch 1: delete a leaf (a's star vanishes), no-op re-add (b
+    // unchanged), complete c's star, delete one of d's two names
+    // (one of d's two rows vanishes), add an unrelated predicate
+    // (must not touch the view), add a fresh dangling subject
+    store.commitOps(1, Seq(
+      QuadStore.OpRow("D", 0L, null, Term.iri("http://x/a"), p("age"), Term.lit("30")),
+      QuadStore.OpRow("A", 1L, null, Term.iri("http://x/b"), p("name"), Term.lit("bob")),
+      QuadStore.OpRow("A", 2L, null, Term.iri("http://x/c"), p("age"), Term.lit("60")),
+      QuadStore.OpRow("D", 3L, null, Term.iri("http://x/d"), p("name"), Term.lit("danny")),
+      QuadStore.OpRow("A", 4L, null, Term.iri("http://x/b"), p("email"), Term.lit("x")),
+      QuadStore.OpRow("A", 5L, null, Term.iri("http://x/e"), p("name"), Term.lit("eve"))
+    ).toDF())
+    assert(view.refresh() == 1L)
+    assert(rows() == Set(
+      ("http://x/b", "bob", "40"), ("http://x/c", "carol", "60"),
+      ("http://x/d", "dan", "50")))
+    // equals a from-scratch full star init on the same state
+    val fresh = new graft.store.JoinView(spark, store,
+      Files.createTempDirectory("joinview_full").toString, preds)
+    fresh.refresh()
+    assert(fresh.result().collect().map(r =>
+      (r.getStruct(0).getString(1), r.getStruct(1).getString(1),
+        r.getStruct(2).getString(1))).toSet == rows())
+    // idempotent no-change refresh
+    assert(view.refresh() == 1L)
+    // a window touching none of the view's predicates keeps the rows
+    store.commitOps(2, Seq(QuadStore.OpRow("A", 0L, null,
+      Term.iri("http://x/zz"), p("email"), Term.lit("y"))).toDF())
+    assert(view.refresh() == 2L)
+    assert(rows() == Set(
+      ("http://x/b", "bob", "40"), ("http://x/c", "carol", "60"),
+      ("http://x/d", "dan", "50")))
+  }
+
+  test("JoinView: compaction past the as-of point re-initializes correctly") {
+    import spark.implicits._
+    val store = newStore()
+    def p(n: String) = Term.iri(s"http://x/$n")
+    def quad(s: String, pred: String, o: String) =
+      Quad(null, Term.iri(s"http://x/$s"), p(pred), Term.lit(o))
+    val view = new graft.store.JoinView(spark, store,
+      Files.createTempDirectory("joinview_c").toString, Seq(p("name"), p("age")))
+    store.addQuads(0, Seq(quad("a", "name", "alice"), quad("a", "age", "30")))
+    view.refresh()
+    store.addQuads(1, Seq(quad("b", "name", "bob"), quad("b", "age", "40")))
+    store.compact() // floor passes the view's as-of batch 0
+    assert(view.refresh() == 1L)
+    assert(view.result().count() == 2)
+  }
+
   test("AggView: refresh presence check partition-prunes to touched buckets") {
     import spark.implicits._
     val store = newStore() // 16 buckets
