@@ -122,6 +122,40 @@ object SparqlQueries {
         col("nk").getField("lex").cast("int").as("s_nationkey"),
         col("bal").getField("lex").cast("double").as("s_acctbal"))
     },
+    // Cost-based BGP ordering from the store's own maintained census:
+    // an AggView grouped by predicate feeds executeWithStats, which
+    // breaks same-boundedness-class ties by real leaf cardinality
+    // (BgpReorderSpec pins the picked orders; this entry pins that the
+    // stats path returns oracle-exact results end-to-end).
+    "sparql_stats_bgp" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqstats", dir, s) { st =>
+        val rows = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, name, nk) =>
+          Seq(
+            graft.rdf.Quad(null, Term.iri(s"${NS}supp/$k"),
+              Term.iri(s"${NS}name"), Term.lit(name)),
+            graft.rdf.Quad(null, Term.iri(s"${NS}supp/$k"),
+              Term.iri(s"${NS}nationkey"),
+              Term.typed(nk.toString, Term.XSD_INTEGER)))
+        })
+      }
+      val view = new graft.store.AggView(s, store,
+        Files.createTempDirectory("sqstatsview").toString, Seq("predicate"))
+      view.refresh()
+      val res = Sparql.executeWithStats(store.quads(),
+        s"SELECT ?s ?name ?nk { ?s <${NS}name> ?name . " +
+          s"?s <${NS}nationkey> ?nk } ORDER BY ?s",
+        view.predicateCounts())
+      res.select(
+        regexp_extract(col("s").getField("lex"), "supp/(\\d+)$", 1)
+          .cast("long").as("s_suppkey"),
+        col("name").getField("lex").as("s_name"),
+        col("nk").getField("lex").cast("int").as("s_nationkey"))
+    },
     // FILTER < on numeric typed literals must use VALUE order: keys
     // 0..24 as "k"^^xsd:integer, < "10"^^xsd:integer keeps 0..9 (ten
     // rows); lexicographic order would keep only {"0","1"}
@@ -902,6 +936,9 @@ object SparqlQueries {
     "scale_bucketed_star" ->
       """SELECT event_id AS e, event_type AS t, user_id AS u
          FROM events ORDER BY e""",
+    "sparql_stats_bgp" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+         FROM supplier ORDER BY s_suppkey""",
     "sparql_filter_numeric" ->
       "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey",
     "sparql_optional_bind" ->

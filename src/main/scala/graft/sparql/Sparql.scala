@@ -833,6 +833,37 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * variable with a later BIND target (§10.1) only on its own side
     * of the BIND.
     */
+  /** Per-thread predicate-cardinality census consulted by the BGP
+    * reorder — the store side maintains it incrementally
+    * ([[graft.store.AggView]] grouped by predicate), so the ordering
+    * is COST-BASED where Catalyst has no statistics at all (these are
+    * self-joins of one DataFrame; CBO never sees them). The census is
+    * treated as complete: a predicate absent from a non-empty map
+    * estimates to ZERO rows (its leaf empties the whole join — the
+    * best possible first pick). Staleness only affects ordering,
+    * never results. Thread-scoped so concurrent HTTP queries cannot
+    * see each other's stats.
+    */
+  private val bgpStats =
+    new ThreadLocal[Map[String, Long]] {
+      override def initialValue: Map[String, Long] = Map.empty
+    }
+
+  /** Run `f` with a predicate→count census steering BGP join order. */
+  def withBgpStats[T](stats: Map[String, Long])(f: => T): T = {
+    val prev = bgpStats.get()
+    bgpStats.set(stats)
+    try f finally bgpStats.set(prev)
+  }
+
+  /** [[execute]] with a predicate-cardinality census (lex → count)
+    * steering the BGP join order — pair with
+    * `AggView(..., Seq("predicate")).predicateCounts()`.
+    */
+  def executeWithStats(quads: DataFrame, text: String,
+      predicateCounts: Map[String, Long]): DataFrame =
+    withBgpStats(predicateCounts)(execute(quads, text))
+
   private[sparql] def reorderBgpRuns(elems: Seq[GroupElem]): Seq[GroupElem] = {
     val out = Seq.newBuilder[GroupElem]
     val run = scala.collection.mutable.ArrayBuffer.empty[GroupElem]
@@ -883,6 +914,51 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     case _ => 0
   }
 
+  /** Estimated leaf cardinality from the thread's predicate census:
+    * the count of a constant-IRI predicate (absent from a non-empty
+    * census = 0 — the census is complete), MaxValue when unknowable
+    * (variable predicate, closure path, no census). Only a
+    * same-boundedness-class tie-break: a constant object still beats
+    * a merely-rare predicate.
+    */
+  private def runElemEst(e: GroupElem): Long = {
+    val stats = bgpStats.get()
+    if (stats.isEmpty) Long.MaxValue
+    else e match {
+      case PatElem(tp) => tp.p match {
+        case Const(t) if t != null && t.isIri => stats.getOrElse(t.lex, 0L)
+        case _ => Long.MaxValue
+      }
+      case PathElem(_, _, p, _) => pathEst(p, stats)
+      case _ => Long.MaxValue
+    }
+  }
+
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s < a || s < b) Long.MaxValue else s
+  }
+
+  /** Edge-relation cardinality of a path whose shape the census can
+    * bound: a link is its predicate count, inverse preserves it,
+    * alternative is a bag union (sum), a negated set is the census
+    * total minus the excluded predicates per direction listed.
+    * Closures, sequences, and `?` stay MaxValue — their pair count is
+    * not derivable from per-predicate counts.
+    */
+  private def pathEst(p: PathExpr, stats: Map[String, Long]): Long = p match {
+    case PLink(t) => stats.getOrElse(t.lex, 0L)
+    case PInv(q) => pathEst(q, stats)
+    case PAlt(l, r) => satAdd(pathEst(l, stats), pathEst(r, stats))
+    case PNeg(fwd, inv) =>
+      val total = stats.values.foldLeft(0L)(satAdd)
+      def rem(ts: Seq[Term]): Long =
+        math.max(0L, total - ts.map(t => stats.getOrElse(t.lex, 0L)).sum)
+      satAdd(if (fwd.nonEmpty) rem(fwd) else 0L,
+        if (inv.nonEmpty) rem(inv) else 0L)
+    case _ => Long.MaxValue
+  }
+
   private def reorderJoinRun(es: Seq[GroupElem]): Seq[GroupElem] =
     if (es.size <= 1) es
     else {
@@ -893,7 +969,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         val connected = remaining.filter { case (e, _) =>
           runElemVars(e).intersect(bound).nonEmpty }
         val pool = if (connected.nonEmpty) connected else remaining
-        val (e, i) = pool.minBy { case (t, j) => (-runElemScore(t), j) }
+        val (e, i) = pool.minBy { case (t, j) =>
+          (-runElemScore(t), runElemEst(t), j) }
         picked += e
         bound ++= runElemVars(e)
         remaining -= ((e, i))

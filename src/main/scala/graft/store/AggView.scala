@@ -78,6 +78,19 @@ final class AggView(spark: SparkSession, store: QuadStore, path: String,
     case None => throw new IllegalStateException("view never refreshed")
   }
 
+  /** A predicate-grouped view's counts as the lex→count census the
+    * SPARQL compiler's cost-based BGP reorder consumes
+    * (`Sparql.executeWithStats`). Driver-side by design: a dataset's
+    * distinct-predicate count is its vocabulary size — bounded and
+    * small, never corpus-scale.
+    */
+  def predicateCounts(): Map[String, Long] = {
+    require(groupCols == Seq("predicate"),
+      s"predicateCounts needs a predicate-grouped view, got $groupCols")
+    result().select(col("predicate.lex"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   private def fullAggregate(state: DataFrame): DataFrame =
     state.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("cnt"))
 

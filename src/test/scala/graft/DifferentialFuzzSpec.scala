@@ -670,6 +670,137 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }.sorted
   }
 
+  // --- CONSTRUCT differential ----------------------------------------------
+
+  /** Template node: var / constant / the (single) template blank. */
+  private sealed trait TNode
+  private case class TV(v: String) extends TNode
+  private case class TC(t: Term) extends TNode
+  private case object TB extends TNode
+
+  private def tnodeText(n: TNode): String = n match {
+    case TV(v) => s"?$v"
+    case TC(t) => t.toNT
+    case TB => "_:nb"
+  }
+
+  /** 1–3 template triples over the query's vars, constants, and at
+    * most one blank label (kept to one so the label-bijection compare
+    * below stays decidable by sorted first-use renaming). A var in
+    * predicate position deliberately allowed — a solution binding it
+    * to a non-IRI must SKIP that instantiation (§16.2), which is
+    * exactly the rule this fuzzer exists to drill.
+    */
+  private def genTemplate(rnd: scala.util.Random,
+      vars: Seq[String]): Seq[(TNode, TNode, TNode)] =
+    (0 to rnd.nextInt(2)).map { _ =>
+      def slot(pos: Int): TNode = {
+        val roll = rnd.nextDouble()
+        if (vars.nonEmpty && roll < 0.55) TV(vars(rnd.nextInt(vars.size)))
+        else if (pos != 1 && roll < 0.7) TB
+        else if (pos == 2 && rnd.nextBoolean()) TC(Term.lit("k" + rnd.nextInt(3)))
+        else TC(Term.iri("http://f/t" + rnd.nextInt(3)))
+      }
+      (slot(0), slot(1), slot(2))
+    }
+
+  /** All vars the query pattern can bind (for full projection). */
+  private def queryVars(q: GenQuery): Seq[String] = {
+    def nv(n: Node): Seq[String] = n match {
+      case V(v) => Seq(v); case _ => Seq.empty
+    }
+    def tps(ts: Seq[TP]): Seq[String] =
+      ts.flatMap(tp => nv(tp.s) ++ nv(tp.p) ++ nv(tp.o))
+    (tps(q.bgp) ++ q.paths.flatMap(pt => nv(pt.s) ++ nv(pt.o)) ++
+      q.union.toSeq.flatMap { case (a, b) => tps(a) ++ tps(b) } ++
+      tps(q.optionals.flatten) ++ q.binds.map(_._1)).distinct
+  }
+
+  /** §16.2 instantiation over the naive solutions: unbound template
+    * var → skip the triple; literal subject / non-IRI predicate →
+    * skip; the blank mints fresh per solution; the result graph is a
+    * SET.
+    */
+  private def naiveConstruct(sols: Seq[Sol],
+      tpl: Seq[(TNode, TNode, TNode)]): Set[String] =
+    sols.zipWithIndex.flatMap { case (sol, i) =>
+      tpl.flatMap { case (s, p, o) =>
+        def res(n: TNode): Option[Term] = n match {
+          case TV(v) => sol.get(v)
+          case TC(t) => Some(t)
+          case TB => Some(Term(Term.BLANK, s"nb!$i", null, null))
+        }
+        for {
+          st <- res(s) if st.isIri || st.isBlank ||
+            st.termType == Term.TRIPLE
+          pt <- res(p) if pt.isIri
+          ot <- res(o)
+        } yield s"${st.toNT} ${pt.toNT} ${ot.toNT}"
+      }
+    }.toSet
+
+  /** Label-bijection-proof comparison form: TEMPLATE-minted blanks
+    * (label `nb!<fresh>`; engine and naive mint different fresh parts)
+    * are solution-scoped, so the graphs are isomorphic iff the
+    * non-template-blank triples match exactly AND the multiset of
+    * per-blank triple groups (each group = one minted blank's triples
+    * with that label erased) matches. Data blank labels pass through
+    * literally — both sides read the same data.
+    */
+  private def constructSignature(rows: Set[String]): (Seq[String], Seq[Seq[String]]) = {
+    val T = "_:(nb![^\\s>]+)".r
+    val (tblank, plain) = rows.toSeq.partition(r => T.findFirstIn(r).isDefined)
+    val groups = tblank.groupBy(r => T.findFirstMatchIn(r).get.group(1))
+      .values.map(rs => rs.map(r => T.replaceAllIn(r, "_:•")).sorted).toSeq
+      .sortBy(_.mkString("|"))
+    (plain.sorted, groups)
+  }
+
+  test(s"differential: CONSTRUCT matches naive §16.2 instantiation on ${N / 2} random queries") {
+    import spark.implicits._
+    var skipped = 0
+    (0 until N / 2).foreach { i =>
+      val rnd = new scala.util.Random(SEED * 7000003L + i)
+      val data = genData(rnd)
+      // strip the head forms CONSTRUCT has no counterpart for and
+      // project everything so the naive solutions keep all bindings
+      val q0 = genQuery(rnd)
+      val q = q0.copy(aggQ = None, having = None, values = None,
+        distinct = false, project = queryVars(q0))
+      val tpl = genTemplate(rnd, q.project)
+      if (q.project.isEmpty) skipped += 1
+      else {
+        val naive = evalNaive(data, q)
+        if (naive.size > 20000) { skipped += 1 }
+        else {
+          val text = "CONSTRUCT { " +
+            tpl.map { case (s, p, o) =>
+              s"${tnodeText(s)} ${tnodeText(p)} ${tnodeText(o)} ."
+            }.mkString(" ") + " } WHERE " +
+            queryText(q).dropWhile(_ != '{')
+          val df = data.map { case (s, p, o) =>
+            ConformanceQuad(null, s, p, o)
+          }.toDF()
+          val engine = Sparql.execute(df, text).collect().toSeq.map { row =>
+            (1 to 3).map { j =>
+              val r = row.getStruct(j)
+              Term(r.getString(0), r.getString(1), r.getString(2),
+                r.getString(3)).toNT
+            }.mkString(" ")
+          }.toSet
+          val expected = naiveConstruct(naive, tpl)
+          assert(constructSignature(engine) == constructSignature(expected),
+            s"[$i] CONSTRUCT DIVERGENCE\n$text\ndata=${data.map {
+              case (s, p, o) => s"${s.toNT} ${p.toNT} ${o.toNT}." }.mkString(" ")}\n" +
+              s"naive=${expected.size} triples, engine=${engine.size}\n" +
+              s"missing: ${expected.diff(engine).take(3)}\n" +
+              s"extra: ${engine.diff(expected).take(3)}")
+        }
+      }
+    }
+    info(s"${N / 2} generated, $skipped skipped")
+  }
+
   test(s"differential: engine matches the naive evaluator on $N random queries") {
     import spark.implicits._
     val failures = scala.collection.mutable.ArrayBuffer[String]()
