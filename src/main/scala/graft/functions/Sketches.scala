@@ -90,7 +90,35 @@ object Sketches {
   def dotDouble(a: Column, b: Column): Column =
     ExpressionUtils.column(DotDouble(ExpressionUtils.expression(a.cast("array<double>")), ExpressionUtils.expression(b.cast("array<double>"))))
 
+  /** Z-order (Morton) value of already-scaled dimension values: bit i
+    * of dim d lands at position i·dims + d, so the sort order
+    * interleaves all dimensions' bits — rows close in EVERY dimension
+    * sort close, which is what makes multi-dimensional rectangle
+    * predicates prune row groups ([[graft.pipeline.CorpusLayout
+    * .writeZOrdered]]). Each value must already be in [0, 2^bits).
+    */
+  def zValue(scaled: Column, bits: Int): Column =
+    ExpressionUtils.column(ZValue(ExpressionUtils.expression(scaled.cast("array<bigint>")), bits))
+
   // ---- shared helpers (called from generated code: must be static) ---------
+
+  /** Interleave `bits` low bits of each array element (dim count =
+    * array length): result bit i·dims + d = bit i of element d.
+    */
+  def zInterleave(scaled: ArrayData, bits: Int): Long = {
+    val dims = scaled.numElements()
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0
+      while (d < dims) {
+        z |= ((scaled.getLong(d) >>> i) & 1L) << (i * dims + d)
+        d += 1
+      }
+      i += 1
+    }
+    z
+  }
 
   /** FNV-1a 64-bit over UTF8 bytes — deterministic, allocation-free.
     * (Internal sketch hash only; never crosses the oracle boundary.)
@@ -453,6 +481,24 @@ final case class HammingDist(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sketches.hammingDist($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
     copy(left = l, right = r)
+}
+
+/** See [[Sketches.zValue(scaled:org\.apache\.spark\.sql\.Column*]]. */
+final case class ZValue(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_value"
+  override protected def nullSafeEval(a: Any): Any =
+    Sketches.zInterleave(a.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.zInterleave($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): ZValue =
+    copy(child = c)
 }
 
 /** See [[Sketches.dotDouble(a:org\.apache\.spark\.sql\.Column*]]. */

@@ -48,4 +48,49 @@ object CorpusLayout {
   /** Drop the catalog entry (files at `path` are left in place). */
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+
+  /** Write `df` Z-ORDERED on `dims` (numeric/timestamp columns):
+    * every dimension is affinely scaled to `bits` bits against its
+    * observed [min, max] (one tiny agg pass), the bits interleave into
+    * a Morton key ([[graft.functions.Sketches.zValue]] — codegen'd),
+    * and the frame range-partitions + sorts on that key.
+    *
+    * Why this is a 100 TB layout primitive: a single-column sort gives
+    * parquet min/max row-group stats that prune ONE dimension and
+    * randomize the rest. Interleaving makes every row group a small
+    * hyper-rectangle in ALL `dims` at once, so a conjunctive range
+    * predicate (user × time, lat × lon, doc × position) skips row
+    * groups on every conjunct — the multi-dimensional analogue of the
+    * quad store's per-bucket predicate sort. The key is layout-only:
+    * it never changes results, is dropped before writing, and the
+    * scaling constants need no persistence (queries filter on the
+    * original columns; only the file order encodes them).
+    */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+      bits: Int = 18, nFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    require(dims.nonEmpty && dims.size * bits <= 62,
+      s"dims·bits must fit a long: ${dims.size}·$bits")
+    val spark = df.sparkSession
+    val aggCols = dims.flatMap(d => Seq(
+      min(col(d).cast("double")).as(s"mn_$d"),
+      max(col(d).cast("double")).as(s"mx_$d")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val top = (1L << bits) - 1
+    val scaled = dims.zipWithIndex.map { case (d, i) =>
+      val mn = bounds.getDouble(2 * i)
+      val mx = bounds.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+        floor((col(d).cast("double") - mn) / span * top).cast("long"),
+        lit(0L)), lit(top))
+    }
+    val parts = if (nFiles > 0) nFiles
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("_z", graft.functions.Sketches.zValue(array(scaled: _*), bits))
+      .repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

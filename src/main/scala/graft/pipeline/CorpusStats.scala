@@ -41,4 +41,42 @@ object CorpusStats {
     scored.filter(col("rn") <= k)
       .select(col("id"), col("token"), col("tf"), col("df"))
   }
+
+  /** EXACT corpus heavy hitters (tokens with count > total·num/den) in
+    * two scans, never shuffling the distinct-token set:
+    *
+    * Pass 1 aggregates a mergeable Misra-Gries summary
+    * ([[graft.functions.MisraGriesSummary]]) — `capacity` counters per
+    * partial state, so the shuffle is O(capacity · partitions) pairs
+    * regardless of vocabulary size, and the corpus total rides in the
+    * same single-row aggregate. Every token with true frequency
+    * > total/(capacity+1) provably survives the merge, so requiring
+    * num/den ≥ 1/(capacity+1) makes the summary a SUPERSET of the
+    * answer. Pass 2 exact-recounts only the ≤ capacity candidates (a
+    * map-side isin filter — the bounded candidate list is the only
+    * thing that ever reaches the driver) and applies the threshold as
+    * pure integer arithmetic (`cnt·den > total·num`), so the result is
+    * bit-identical across engines — no approximation survives the
+    * operator. The alternative exact plan, COUNT(*) GROUP BY token
+    * over 100 TB, shuffles every distinct token; this shuffles
+    * `capacity` pairs per partition plus the final ≤ capacity groups.
+    *
+    * Returns (word, cnt) with exact counts, ordered (-cnt, word).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String = "text",
+      capacity: Int = 29, supportNum: Long = 1, supportDen: Long = 30): DataFrame = {
+    require(supportNum > 0 && supportDen > 0 &&
+      supportNum * (capacity + 1) >= supportDen,
+      s"support $supportNum/$supportDen below the MG guarantee 1/${capacity + 1}")
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val mg = words
+      .agg(graft.functions.FreqSketch.misraGries(col("word"), capacity).as("mg"))
+      .head().getStruct(0)
+    val total = mg.getLong(0)
+    val candidates = mg.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    words.filter(col("word").isin(candidates: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * supportDen > lit(total) * supportNum)
+      .orderBy(col("cnt").desc, col("word"))
+  }
 }

@@ -97,6 +97,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("source"))
     },
+    // Z-order layout end-to-end: events rewritten Morton-ordered on
+    // (user_id, ts), then a user×time rectangle read back exactly —
+    // the layout never changes results (the oracle is the plain
+    // rectangle); CorpusOpsSpec proves the row-group pruning side.
+    "pl_zorder_rect" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zo").toString
+      CorpusLayout.writeZOrdered(ev, tmp, Seq("user_id", "ts"), bits = 16)
+      s.read.parquet(tmp)
+        .filter(col("user_id").between(40, 80) &&
+          col("ts").between(
+            lit("2024-01-05 00:00:00").cast("timestamp"),
+            lit("2024-01-10 00:00:00").cast("timestamp")))
+        .orderBy(col("event_id"))
+    },
     "pl_text_stats" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       docs.select(col("lang"), col("source"),
@@ -138,6 +153,16 @@ object PipelineQueries {
     "pl_tfidf_topterms" -> { (s, dir) =>
       CorpusStats.topTerms(t(s, dir, "documents"))
         .orderBy(col("id"), col("token"))
+    },
+    // Exact heavy hitters via a mergeable Misra-Gries summary + exact
+    // recount of the ≤29 candidates; capacity 29 < the 31-word corpus
+    // vocabulary, so the sketch's eviction/merge paths genuinely run,
+    // and the 1/30 support stays above the 1/(29+1) guarantee floor.
+    // The threshold is integer arithmetic (cnt·30 > total), so the
+    // oracle's HAVING reproduces it bit-exactly.
+    "pl_heavy_hitters" -> { (s, dir) =>
+      CorpusStats.heavyHitters(t(s, dir, "documents"),
+        capacity = 29, supportNum = 1, supportDen = 30)
     },
     // the corpus carries no natural PII, so redaction would pass
     // vacuously; plant a deterministic URL/email/IP/id suffix per doc
@@ -508,6 +533,12 @@ object PipelineQueries {
                 SUM(n)::BIGINT AS n_words
          FROM gw JOIN w4 USING (word)
          GROUP BY source ORDER BY source""",
+    "pl_zorder_rect" ->
+      """SELECT event_id, user_id, ts FROM events
+         WHERE user_id BETWEEN 40 AND 80
+           AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                      AND TIMESTAMP '2024-01-10 00:00:00'
+         ORDER BY event_id""",
     "pl_bucketed_join" ->
       """SELECT source, COUNT(*) AS n_docs,
                 SUM(n_tokens)::BIGINT AS sum_tokens
@@ -552,6 +583,12 @@ object PipelineQueries {
       """SELECT source, COUNT(*) AS n_docs,
                 SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS n_toks
          FROM documents GROUP BY source ORDER BY source""",
+    "pl_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+         SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word
+         HAVING count(*) * 30 > (SELECT count(*) FROM w)
+         ORDER BY cnt DESC, word""",
     "pl_tfidf_topterms" ->
       """WITH tok AS (
            SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token

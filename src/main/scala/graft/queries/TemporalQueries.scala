@@ -64,6 +64,18 @@ object TemporalQueries {
         .select(coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_errors"))
         .orderBy(col("n_clicks"))
+    },
+    "q26_funnel" -> { (s, dir) =>
+      // view → click → purchase within 24 h of the first view,
+      // anchored-earliest semantics: ONE exchange keyed on user + a
+      // per-user linear fold (the oracle re-derives it as iterated
+      // conditional minima — n joins the Spark plan never pays).
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+          Seq("view", "click", "purchase"),
+          maxSpanSeconds = Some(86400L))
+        .select(col("user").as("user_id"), col("depth").cast("long"),
+          col("step_1"), col("step_2"), col("step_3"))
+        .orderBy(col("user_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -99,5 +111,26 @@ object TemporalQueries {
                  ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
                GROUP BY e.event_id)
          SELECT n_clicks, COUNT(*) AS n_errors
-         FROM j GROUP BY n_clicks ORDER BY n_clicks""")
+         FROM j GROUP BY n_clicks ORDER BY n_clicks""",
+    "q26_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1)
+         SELECT u.user_id,
+                (CASE WHEN t3 IS NOT NULL THEN 3
+                      WHEN t2 IS NOT NULL THEN 2
+                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth,
+                t1 AS step_1, t2 AS step_2, t3 AS step_3
+         FROM (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('view','click','purchase')) u
+         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""")
 }

@@ -134,4 +134,83 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L))
   }
+
+  test("zValue: interleaves bits; ordering clusters both dimensions") {
+    import spark.implicits._
+    // hand-check: x=0b101, y=0b011, 3 bits → z bits (y2 x2 y1 x1 y0 x0)
+    // = 0 1 1 0 1 1 = 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.functions.Sketches.zValue(array(col("x"), col("y")), 3))
+      .head().getLong(0)
+    assert(z == 27L)
+  }
+
+  test("writeZOrdered: rectangle predicates prune row groups on BOTH dims") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.set("parquet.block.size", "16384")
+    hc.set("parquet.page.size", "4096")
+    try {
+      // independent uniform dims: a time-sorted layout prunes ts but
+      // not uid; the z-order layout must prune both
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 150000).map { i =>
+        (i.toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)
+      }
+      val df = rows.toDF("id", "uid", "t")
+      val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+      val linDir = java.nio.file.Files.createTempDirectory("lin").toString
+      graft.pipeline.CorpusLayout.writeZOrdered(df, zDir,
+        Seq("uid", "t"), bits = 16, nFiles = 4)
+      df.repartitionByRange(4, col("t")).sortWithinPartitions(col("t"))
+        .write.mode("overwrite").parquet(linDir)
+      // rectangle = 1/8 × 1/8 of the space (1/64 of the area): the
+      // time-sorted layout can only prune to the 1/8 time slice, the
+      // z-order layout confines the user range too
+      val (uLo, uHi, tLo, tHi) = (8192L, 16383L, 8192L, 16383L)
+      def overlapping(dir: String): (Int, Int) = {
+        var total = 0
+        var hit = 0
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toString), hc)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try reader.getFooter.getBlocks.asScala.foreach { b =>
+              total += 1
+              def rng(name: String): (Long, Long) = {
+                val st = b.getColumns.asScala
+                  .find(_.getPath.toDotString == name).get.getStatistics
+                (st.genericGetMin.asInstanceOf[Long],
+                  st.genericGetMax.asInstanceOf[Long])
+              }
+              val (un, ux) = rng("uid")
+              val (tn, tx) = rng("t")
+              if (ux >= uLo && un <= uHi && tx >= tLo && tn <= tHi) hit += 1
+            } finally reader.close()
+          }
+        (total, hit)
+      }
+      val (zTotal, zHit) = overlapping(zDir)
+      val (lTotal, lHit) = overlapping(linDir)
+      assert(zTotal >= 16, s"need several row groups, got $zTotal")
+      // the single-dim layout prunes ts only: ~1/4 of groups survive;
+      // z-order confines both dims: well under half of that
+      assert(zHit.toDouble / zTotal < 0.6 * lHit.toDouble / lTotal,
+        s"z-order must out-prune the linear layout: z $zHit/$zTotal vs linear $lHit/$lTotal")
+      // layout never changes results
+      val zRows = spark.read.parquet(zDir)
+        .filter(col("uid").between(uLo, uHi) && col("t").between(tLo, tHi))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expect = rows.filter(r => r._2 >= uLo && r._2 <= uHi &&
+        r._3 >= tLo && r._3 <= tHi).map(_._1).toSet
+      assert(zRows == expect)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
+  }
 }

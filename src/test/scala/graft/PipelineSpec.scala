@@ -546,4 +546,40 @@ class PipelineSpec extends AnyFunSuite {
       assert(out(i).getDouble(5) == 0.0)
     }
   }
+
+  test("Misra-Gries summary: guarantee, totals, merge across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 heavy words (1000/600/300) in a sea of 2000 singletons: a
+    // capacity-8 summary (≪ 2003 distinct) must keep every word with
+    // count > total/9 ≈ 434 (the two heaviest) as candidates, and the
+    // reported lb is a lower bound no more than total/9 under truth
+    val rows = Seq.fill(1000)("alpha") ++ Seq.fill(600)("beta") ++
+      Seq.fill(300)("gamma") ++ (0 until 2000).map(i => s"w$i")
+    val total = rows.size.toLong
+    val words = new scala.util.Random(7).shuffle(rows)
+      .toDF("word").repartition(13) // force partial buffers + merges
+    val mg = words.agg(
+      graft.functions.FreqSketch.misraGries(col("word"), 8).as("mg"))
+      .head().getStruct(0)
+    assert(mg.getLong(0) == total)
+    val items = mg.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(items.size <= 8)
+    Seq("alpha" -> 1000L, "beta" -> 600L).foreach { case (w, c) =>
+      assert(items.contains(w), s"$w must survive (count $c > ${total / 9})")
+      assert(items(w) <= c && items(w) >= c - total / 9,
+        s"$w lb ${items(w)} outside [${c - total / 9}, $c]")
+    }
+    // the two-pass operator is EXACT: equals the naive groupBy answer
+    val exact = words.groupBy("word").count()
+      .filter(col("count") * 9 > total)
+      .orderBy(col("count").desc, col("word"))
+      .as[(String, Long)].collect().toSeq
+    val got = graft.pipeline.CorpusStats.heavyHitters(
+      words.withColumnRenamed("word", "text"), "text",
+      capacity = 8, supportNum = 1, supportDen = 9)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+  }
 }

@@ -148,4 +148,59 @@ class TemporalJoinsSpec extends AnyFunSuite {
     val got = TemporalJoins.rangeJoin(p, iv, col("pt"), col("s"), col("e"), 60L)
     assert(got.count() == 1)
   }
+
+  private def funnelEvents: DataFrame = Seq(
+    // user 1: full A→B→C inside the span
+    (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+    (2L, 1L, ts("2024-01-01 11:00:00"), "B"),
+    (3L, 1L, ts("2024-01-01 12:00:00"), "C"),
+    // user 2: B precedes the first A — strictly-after drops it; the
+    // later B matches, C at the SAME instant as B must NOT chain
+    (4L, 2L, ts("2024-01-01 09:00:00"), "B"),
+    (5L, 2L, ts("2024-01-01 10:00:00"), "A"),
+    (6L, 2L, ts("2024-01-01 10:30:00"), "B"),
+    (7L, 2L, ts("2024-01-01 10:30:00"), "C"),
+    // user 3: anchored at the FIRST A; B arrives past its 1 h span
+    // even though a second A would have put it in range
+    (8L, 3L, ts("2024-01-01 08:00:00"), "A"),
+    (9L, 3L, ts("2024-01-01 09:30:00"), "A"),
+    (10L, 3L, ts("2024-01-01 10:00:00"), "B"),
+    // user 4: only non-step events — absent from the output
+    (11L, 4L, ts("2024-01-01 08:00:00"), "Z")
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("funnel: anchored-earliest semantics, strict ordering, span cut") {
+    val got = graft.operators.Funnel.funnel(funnelEvents, Seq("A", "B", "C"),
+        maxSpanSeconds = Some(3600L))
+      .orderBy("user").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byUser = got.map(r => r.getLong(0) ->
+      (r.getInt(1), (2 to 4).map(i => Option(r.getTimestamp(i))))).toMap
+    assert(byUser(1L)._1 == 2) // C at 12:00 past the 1 h span from A
+    assert(byUser(1L)._2(0).contains(ts("2024-01-01 10:00:00")))
+    assert(byUser(1L)._2(1).contains(ts("2024-01-01 11:00:00")))
+    assert(byUser(1L)._2(2).isEmpty)
+    assert(byUser(2L)._1 == 2) // same-instant C cannot follow B
+    assert(byUser(2L)._2(1).contains(ts("2024-01-01 10:30:00")))
+    assert(byUser(3L)._1 == 1) // anchored at first A, B out of span
+    // without a span, user 1 completes and user 3's B lands
+    val free = graft.operators.Funnel.funnel(funnelEvents, Seq("A", "B", "C"))
+      .orderBy("user").collect()
+    assert(free.map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 3, 2L -> 2, 3L -> 2))
+    // conversion summary: users reaching ≥ each step
+    val conv = graft.operators.Funnel.conversion(
+      graft.operators.Funnel.funnel(funnelEvents, Seq("A", "B", "C")), 3)
+      .head()
+    assert((0 to 3).map(conv.getLong) == Seq(3L, 3L, 3L, 1L))
+  }
+
+  test("funnel plan: exactly one exchange, no join, no window") {
+    val plan = graft.operators.Funnel.funnel(funnelEvents, Seq("A", "B", "C"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"funnel must be one key exchange:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"funnel must not join or window:\n$plan")
+  }
 }
