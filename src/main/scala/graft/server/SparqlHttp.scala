@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.col
 import graft.connect.{Event, MaterialisedEvent, QuadStoreSink}
 import graft.rdf.{NtWriter, RdfParse, RdfParseException, Term, TurtleWriter}
 import graft.sparql.{ResultsWriter, Sparql, SparqlService}
-import graft.store.QuadStore
+import graft.store.{AggView, QuadStore}
 
 /** SPARQL 1.1 Protocol + Graph Store Protocol endpoint over
   * [[QuadStore]] datasets — the host-server surface of the reference
@@ -72,7 +72,13 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0,
     Sparql.EvalContext(service =
       if (allowService) SparqlService.Http else SparqlService.Disabled)
 
-  private final case class Ds(store: QuadStore, lock: Object)
+  private final case class Ds(store: QuadStore, lock: Object,
+      stats: Option[AggView]) {
+    /** (view generation, census) — re-collected only when the view
+      * pointer moves, so steady-state queries pay one pointer read.
+      */
+    @volatile var census: (Long, Map[String, Long]) = (-1L, Map.empty)
+  }
   private val datasets = new java.util.concurrent.ConcurrentHashMap[String, Ds]()
 
   private val server =
@@ -81,8 +87,33 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0,
   server.setExecutor(pool)
   server.createContext("/", new Router)
 
-  def registerDataset(name: String, store: QuadStore): Unit =
-    datasets.put(name.stripPrefix("/"), Ds(store, new Object))
+  /** Register a dataset, optionally with a predicate-grouped
+    * [[AggView]] whose maintained counts steer BGP join order for
+    * every query on this endpoint ([[Sparql.withBgpStats]]) — the
+    * store keeps the statistics at change cost, the server consults
+    * them for free (one pointer read per query, a re-collect only
+    * after a refresh moves the view generation). Ordering-only:
+    * stale or absent statistics can never change results.
+    */
+  def registerDataset(name: String, store: QuadStore,
+      stats: Option[AggView] = None): Unit =
+    datasets.put(name.stripPrefix("/"), Ds(store, new Object, stats))
+
+  private[server] def censusFor(ds: Ds): Map[String, Long] = ds.stats match {
+    case None => Map.empty
+    case Some(v) =>
+      val gen = v.refreshedAt
+      if (gen < 0) Map.empty
+      else {
+        val cached = ds.census
+        if (cached._1 == gen) cached._2
+        else {
+          val fresh = v.predicateCounts()
+          ds.census = (gen, fresh)
+          fresh
+        }
+      }
+  }
 
   def start(): Unit = server.start()
 
@@ -247,7 +278,10 @@ final class SparqlHttp(spark: SparkSession, port: Int = 0,
   private val RESULT_CT = RESULT_OFFERS.map(_.swap).reverse.toMap
   private val GRAPH_CT = GRAPH_OFFERS.map(_.swap).reverse.toMap
 
-  private def handleQuery(ex: HttpExchange, req: Req, ds: Ds): Unit = {
+  private def handleQuery(ex: HttpExchange, req: Req, ds: Ds): Unit =
+    Sparql.withBgpStats(censusFor(ds)) { handleQueryInner(ex, req, ds) }
+
+  private def handleQueryInner(ex: HttpExchange, req: Req, ds: Ds): Unit = {
     val queryText = req.method match {
       case "GET" =>
         req.param("query").getOrElse(bad(400, "missing query parameter"))

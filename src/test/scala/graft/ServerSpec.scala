@@ -331,4 +331,35 @@ class ServerSpec extends AnyFunSuite {
           Term.langLit("bonjour", "fr"))))
     }
   }
+
+  test("statistics view steers queries: census cached per generation, results exact") {
+    val store = new QuadStore(spark, Files.createTempDirectory("httpds").toString)
+    store.addQuads(0, (1 to 20).flatMap { i =>
+      Seq(
+        Quad(null, Term.iri(s"http://x/s$i"), Term.iri("http://x/common"),
+          Term.lit(s"c$i")),
+        Quad(null, Term.iri(s"http://x/s$i"), Term.iri("http://x/rare"),
+          Term.lit(s"r$i")))
+    } :+ Quad(null, Term.iri("http://x/s1"), Term.iri("http://x/rare"),
+      Term.lit("extra")))
+    val view = new graft.store.AggView(spark, store,
+      Files.createTempDirectory("httpstats").toString, Seq("predicate"))
+    view.refresh()
+    val srv = new SparqlHttp(spark)
+    srv.registerDataset("ds", store, Some(view))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // a 2-leaf BGP over both predicates: correct rows with stats on
+      val q = "SELECT ?s ?c ?r WHERE { ?s <http://x/common> ?c . " +
+        "?s <http://x/rare> ?r } ORDER BY ?s ?r"
+      val r = get(s"$base/ds/query?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"), accept = "text/csv")
+      assert(r.statusCode == 200)
+      assert(r.body.trim.linesIterator.size == 22) // header + 21 rows
+      // the census the server consults is the maintained counts
+      assert(view.predicateCounts() ==
+        Map("http://x/common" -> 20L, "http://x/rare" -> 21L))
+    } finally srv.stop()
+  }
 }
