@@ -78,12 +78,15 @@ object CorpusLayout {
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
     val top = (1L << bits) - 1
     val scaled = dims.zipWithIndex.map { case (d, i) =>
-      val mn = bounds.getDouble(2 * i)
-      val mx = bounds.getDouble(2 * i + 1)
+      // an empty frame / all-null dim scales to constant 0 (layout
+      // only — there is nothing to order on that axis); null values
+      // sort first
+      val mn = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
+      val mx = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
-      least(greatest(
+      coalesce(least(greatest(
         floor((col(d).cast("double") - mn) / span * top).cast("long"),
-        lit(0L)), lit(top))
+        lit(0L)), lit(top)), lit(0L))
     }
     val parts = if (nFiles > 0) nFiles
       else spark.conf.get("spark.sql.shuffle.partitions").toInt

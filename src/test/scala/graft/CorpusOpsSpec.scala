@@ -145,6 +145,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(z == 27L)
   }
 
+  test("writeZOrdered: empty and null-valued inputs write cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zedge").toString
+    graft.pipeline.CorpusLayout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), dir, Seq("a", "b"), bits = 8)
+    assert(spark.read.parquet(dir).count() == 0)
+    graft.pipeline.CorpusLayout.writeZOrdered(
+      Seq((Option(1L), 5L), (None, 6L), (Option(9L), 7L)).toDF("a", "b"),
+      dir, Seq("a", "b"), bits = 8)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("writeZOrdered: rectangle predicates prune row groups on BOTH dims") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
