@@ -79,4 +79,44 @@ object CorpusStats {
       .filter(col("cnt") * supportDen > lit(total) * supportNum)
       .orderBy(col("cnt").desc, col("word"))
   }
+
+  /** Positional inverted index with a hot-term guard — the retrieval
+    * sibling of [[topTerms]]: token → document frequency + serialized
+    * posting list "doc:pos,pos;doc:pos,…" in ascending doc order.
+    *
+    * The guard is what makes this a 100 TB plan rather than a toy:
+    * document frequency is computed FIRST (an agg-sized relation), and
+    * only terms with df ≤ `postingCap` ever enter the posting-list
+    * collection — a stop-word's postings (≈ corpus-sized for "the")
+    * are never collected, shuffled, or materialized anywhere; hot
+    * terms emit (token, df, NULL). Stages: one posexplode scan, a
+    * (token, doc) partial-agg shuffle, the tiny df aggregation, a
+    * token-keyed join (skew-immune: every surviving token group is
+    * ≤ postingCap postings by construction), and the per-token
+    * assembly as sort_array/transform HOFs — no window, no driver
+    * loop. Postings serialize to ONE string column so the result
+    * crosses engines without nested-type hashing hazards.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", postingCap: Int = 1000): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val perDoc = tok.groupBy(col("token"), col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val dfTab = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val cold = perDoc
+      .join(dfTab.filter(col("df") <= postingCap), Seq("token"))
+      .select(col("token"), col("df"),
+        struct(col("id").as("id"),
+          concat(col("id").cast("string"), lit(":"),
+            array_join(col("positions"), ",")).as("txt")).as("p"))
+      .groupBy(col("token"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("p"))), x => x("txt")),
+        ";").as("postings"))
+    val hot = dfTab.filter(col("df") > postingCap)
+      .select(col("token"), col("df"),
+        lit(null).cast("string").as("postings"))
+    cold.unionByName(hot)
+  }
 }

@@ -86,6 +86,54 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** [[incrementalNew]] with an EXPLICIT Bloom prefilter — the
+    * steady-state crawl shape where the incoming snapshot is mostly
+    * novel: a Bloom filter over the base manifest's 64-bit hashes
+    * (Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * runtime-filter expressions, aggregated distributed, collected as
+    * ONE bounded byte blob and re-entered as a literal) splits the
+    * incoming side map-side. Bloom-negative rows are PROVABLY absent
+    * from the base — they keep without ever reaching the anti-join
+    * exchange; only the bloom-positive sliver (true dups + numBits-
+    * tunable false positives) pays the shuffle, where the exact
+    * (h64, h256) anti join removes false positives. Output is
+    * bit-identical to [[incrementalNew]] — the filter changes the
+    * plan, never the answer — so both share one oracle.
+    *
+    * At 100 TB: the blob is O(numBits) regardless of base size (the
+    * one driver-side value), the prefilter is a codegen'd scan-side
+    * expression, and the anti-join exchange shrinks from |incoming| to
+    * |dups| + fpp·|incoming|. This is the hand-held version of the
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` rewrite, for
+    * when the manifest is a maintained table rather than a join side
+    * Spark can see.
+    */
+  def incrementalNewBloom(base: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.{bridge => B}
+    val baseH = base.select(xxhash64(col(textCol)).as("h64"),
+      sha2(col(textCol), 256).as("h256")).distinct()
+    val bloomCol = B.column(new BloomFilterAggregate(
+      B.expression(col("h64")), Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+    val blob = baseH.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val keep = incoming.select(col(idCol), xxhash64(col(textCol)).as("h64"),
+        sha2(col(textCol), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    val mightBeDup = B.column(BloomFilterMightContain(
+      Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+      B.expression(col("h64"))))
+    val surelyNew = keep.filter(!mightBeDup)
+    val checked = keep.filter(mightBeDup)
+      .join(baseH, Seq("h64", "h256"), "left_anti")
+    surelyNew.unionByName(checked)
+      .select(col(idCol), col("n_copies"))
+  }
+
   // --- shingling + exact Jaccard (shared by MinHash / SimHash rerank) -------
 
   /** Distinct word n-gram shingles of a text column (native codegen'd

@@ -154,6 +154,14 @@ object PipelineQueries {
       CorpusStats.topTerms(t(s, dir, "documents"))
         .orderBy(col("id"), col("token"))
     },
+    // positional inverted index with the hot-term guard engaged: cap
+    // 350 splits the 31-token vocabulary (df 25..402 at sf0.01) so
+    // both the collected-postings branch and the NULL-postings hot
+    // branch carry rows
+    "pl_inverted_index" -> { (s, dir) =>
+      CorpusStats.invertedIndex(t(s, dir, "documents"), postingCap = 350)
+        .orderBy(col("token"))
+    },
     // Exact heavy hitters via a mergeable Misra-Gries summary + exact
     // recount of the ≤29 candidates; capacity 29 < the 31-word corpus
     // vocabulary, so the sketch's eviction/merge paths genuinely run,
@@ -178,6 +186,31 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.scrubText(col("text")).as("scrubbed"))
         .orderBy(col("doc_id"))
     },
+    // URL canonicalization: six planted variants per doc exercise
+    // case folding, default-port drop, userinfo drop, tracking-param
+    // drop + param sort, fragment drop, empty path, non-default port,
+    // multi-label public suffix. The oracle hand-writes the EXPECTED
+    // canonical strings (independent of the algorithm) rather than
+    // replaying the regex chain
+    "pl_url_normalize" -> { (s, dir) =>
+      import graft.pipeline.UrlOps
+      val id = col("doc_id").cast("string")
+      val v = col("doc_id") % 6
+      val url = when(v === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"), id,
+          lit("?utm_source=x&b=2&a=1#frag")))
+        .when(v === 1, concat(lit("https://news.example.co.uk:443/story/"), id,
+          lit("?gclid=g&z=9")))
+        .when(v === 2, concat(lit("https://user:pw@Sub.Shop.example.com:8443/p?id="), id))
+        .when(v === 3, lit("http://example.org"))
+        .when(v === 4, concat(lit("ftp://Files.Example.net/pub/"), id))
+        .otherwise(concat(lit("https://blog.example.com/post/"), id,
+          lit("?a=1&utm_medium=m&ref=r")))
+      t(s, dir, "documents").select(col("doc_id"),
+          UrlOps.normalizeUrl(url).as("norm_url"),
+          UrlOps.host(url).as("host"),
+          UrlOps.registeredDomain(UrlOps.host(url)).as("domain"))
+        .orderBy(col("doc_id"))
+    },
     "pl_dedup_exact" -> { (s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper_id"))
     },
@@ -186,6 +219,17 @@ object PipelineQueries {
     "pl_dedup_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    },
+    // same split and same oracle as pl_dedup_incremental, through the
+    // Bloom-prefiltered plan: bloom-negative rows keep map-side, only
+    // the positive sliver pays the exact anti-join shuffle — the
+    // filter must change the plan, never the answer
+    "pl_dedup_bloom" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNewBloom(
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0))
         .orderBy(col("doc_id"))
@@ -589,6 +633,24 @@ object PipelineQueries {
          SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word
          HAVING count(*) * 30 > (SELECT count(*) FROM w)
          ORDER BY cnt DESC, word""",
+    "pl_inverted_index" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         toks AS (SELECT doc_id, w[i] AS token, i - 1 AS pos
+                  FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+         pd AS (SELECT token, doc_id,
+                       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS poss
+                FROM toks GROUP BY 1, 2),
+         dft AS (SELECT token, count(*)::BIGINT AS df FROM pd GROUP BY 1),
+         cold AS (SELECT pd.token, dft.df,
+                         string_agg(pd.doc_id::VARCHAR || ':' || pd.poss,
+                                    ';' ORDER BY pd.doc_id) AS postings
+                  FROM pd JOIN dft USING (token)
+                  WHERE dft.df <= 350 GROUP BY 1, 2),
+         hot AS (SELECT token, df, NULL::VARCHAR AS postings
+                 FROM dft WHERE df > 350)
+         SELECT token, df, postings FROM cold
+         UNION ALL SELECT token, df, postings FROM hot
+         ORDER BY token""",
     "pl_tfidf_topterms" ->
       """WITH tok AS (
            SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
@@ -627,6 +689,34 @@ object PipelineQueries {
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
     "pl_dedup_incremental" ->
+      """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+              keep AS (SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+                       FROM documents WHERE doc_id % 3 = 0 GROUP BY text)
+         SELECT k.doc_id, k.n_copies FROM keep k
+         WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = k.text)
+         ORDER BY k.doc_id""",
+    "pl_url_normalize" ->
+      """SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'http://www.example.com/a/' || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'https://news.example.co.uk/story/' || doc_id || '?z=9'
+             WHEN 2 THEN 'https://sub.shop.example.com:8443/p?id=' || doc_id
+             WHEN 3 THEN 'http://example.org/'
+             WHEN 4 THEN 'ftp://files.example.net/pub/' || doc_id
+             ELSE 'https://blog.example.com/post/' || doc_id || '?a=1'
+           END AS norm_url,
+           CASE doc_id % 6
+             WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'news.example.co.uk'
+             WHEN 2 THEN 'sub.shop.example.com' WHEN 3 THEN 'example.org'
+             WHEN 4 THEN 'files.example.net' ELSE 'blog.example.com'
+           END AS host,
+           CASE doc_id % 6
+             WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'example.com' WHEN 3 THEN 'example.org'
+             WHEN 4 THEN 'example.net' ELSE 'example.com'
+           END AS domain
+         FROM documents ORDER BY doc_id""",
+    "pl_dedup_bloom" ->
       """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
               keep AS (SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
                        FROM documents WHERE doc_id % 3 = 0 GROUP BY text)

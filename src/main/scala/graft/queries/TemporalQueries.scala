@@ -76,6 +76,16 @@ object TemporalQueries {
         .select(col("user").as("user_id"), col("depth").cast("long"),
           col("step_1"), col("step_2"), col("step_3"))
         .orderBy(col("user_id"))
+    },
+    "q27_retention" -> { (s, dir) =>
+      // daily cohort retention: ONE user-keyed exchange + an
+      // output-sized (cohort, delta) aggregation + a broadcast of the
+      // one-row-per-cohort sizes; the rate is a single IEEE division
+      // of exact longs, so it hash-matches DuckDB bit-for-bit
+      graft.operators.Retention.cohortRetention(
+          t(s, dir, "events"), col("ts"), col("user_id"),
+          periodSeconds = 86400L)
+        .orderBy(col("cohort_start"), col("periods_since"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -132,5 +142,21 @@ object TemporalQueries {
                WHERE event_type IN ('view','click','purchase')) u
          LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)
-         ORDER BY user_id""")
+         ORDER BY user_id""",
+    "q27_retention" ->
+      """WITH up AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS per
+           FROM events),
+         c AS (SELECT user_id, min(per) AS cohort FROM up GROUP BY 1),
+         m AS (SELECT c.cohort, up.per - c.cohort AS delta,
+                      count(*)::BIGINT AS active_users
+               FROM up JOIN c USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort, active_users AS cohort_size FROM m
+               WHERE delta = 0)
+         SELECT make_timestamp(m.cohort * 86400000000) AS cohort_start,
+                m.delta AS periods_since, m.active_users, s.cohort_size,
+                m.active_users::DOUBLE / s.cohort_size AS retention
+         FROM m JOIN s USING (cohort)
+         ORDER BY cohort_start, periods_since""")
 }

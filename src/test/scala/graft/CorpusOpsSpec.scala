@@ -225,4 +225,63 @@ class CorpusOpsSpec extends AnyFunSuite {
       if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
     }
   }
+
+  test("invertedIndex: postings exact, hot terms guarded to NULL") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = graft.pipeline.CorpusStats
+      .invertedIndex(docs, postingCap = cap)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(run(2) == Seq(
+      ("a", 2L, Some("1:0,2;3:0")),
+      ("b", 2L, Some("1:1;2:0")),
+      ("c", 1L, Some("2:1"))))
+    // cap 1: df-2 terms go hot — df still reported, postings NULL
+    assert(run(1) == Seq(
+      ("a", 2L, None), ("b", 2L, None), ("c", 1L, Some("2:1"))))
+  }
+
+  test("incrementalNewBloom: bit-identical to the unfiltered plan") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => (i.toLong, s"text ${i % 40}"))
+      .toDF("doc_id", "text")
+    // incoming: ids 200+; half collide with base texts, half novel,
+    // plus in-snapshot copies (n_copies > 1)
+    val inc = ((0 until 30).map(i => (200L + i, s"text ${i}")) ++
+      (0 until 30).map(i => (300L + i, s"novel ${i % 20}")))
+      .toDF("doc_id", "text")
+    val plain = graft.pipeline.Dedup.incrementalNew(base, inc)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = graft.pipeline.Dedup.incrementalNewBloom(base, inc)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == plain)
+    // novel texts keep with their copy counts; base collisions drop
+    assert(plain.nonEmpty && plain.forall(_._1 >= 300L))
+  }
+
+  test("UrlOps: edges — no scheme, bare host, all params dropped") {
+    import spark.implicits._
+    import graft.pipeline.UrlOps
+    val df = Seq(
+      "example.com/path",                       // no scheme: unchanged
+      "https://EXAMPLE.com",                    // bare host, empty path
+      "https://a.example.com/x?utm_a=1&ref=2",  // every param dropped
+      "http://localhost:8080/x",                // single-label host
+      "https://example.com/CaseKept/Path"       // path case preserved
+    ).toDF("u")
+    val got = df.select(
+        UrlOps.normalizeUrl(col("u")).as("n"),
+        UrlOps.registeredDomain(UrlOps.host(col("u"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      // no scheme: URL passes through unchanged, but the host regexes
+      // still see a host-shaped prefix, so the domain key works
+      ("example.com/path", "example.com"),
+      ("https://example.com/", "example.com"),
+      ("https://a.example.com/x", "example.com"),
+      ("http://localhost:8080/x", "localhost"),
+      ("https://example.com/CaseKept/Path", "example.com")))
+  }
 }

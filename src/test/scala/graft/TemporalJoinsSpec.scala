@@ -203,4 +203,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"funnel must not join or window:\n$plan")
   }
+
+  test("cohortRetention: hand-computed matrix, in-period dups collapse") {
+    import spark.implicits._
+    // 10 s periods: u1 active in periods {0,1,3} (two events in p0 —
+    // must count once), u2 in {0,1}, u3 in {1,3}
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 33L),
+      (2L, 3L), (2L, 15L),
+      (3L, 11L), (3L, 30L)).toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = graft.operators.Retention
+      .cohortRetention(ev, col("ts"), col("user_id"), periodSeconds = 10L)
+      .orderBy("cohort_start", "periods_since")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000L, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 2L, 2L, 1.0), (0L, 3L, 1L, 2L, 0.5),
+      (10L, 0L, 1L, 1L, 1.0), (10L, 2L, 1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention plan: no window, sizes join broadcasts") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L)).toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_micros(col("sec")).as("ts"))
+    val plan = graft.operators.Retention
+      .cohortRetention(ev, col("ts"), col("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"retention must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes must broadcast:\n$plan")
+  }
 }
