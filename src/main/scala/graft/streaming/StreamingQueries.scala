@@ -132,11 +132,24 @@ object StreamingQueries {
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val name = "st_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State partition count is fixed at first checkpoint from
+    // spark.sql.shuffle.partitions; every micro-batch then COMMITS one
+    // state-store file per partition per stateful sub-operator (a
+    // stream-stream join keeps four stores per partition). At the
+    // verify/bench scale that per-commit file I/O dominates the actual
+    // work, so pin streaming queries to 8 state partitions — on a real
+    // cluster the operator inherits the session's partitioning, and
+    // this session-scoped override restores afterwards either way.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 
@@ -176,12 +189,16 @@ object StreamingQueries {
     // (both sides buffer only inside the watermark + interval bound,
     // so state is O(rate × window), not O(stream))
     "streaming_join" -> { (s, dir) =>
-      val clicks = eventsStream(s, dir)
+      // ONE file-stream source self-joined (clicks side vs purchases
+      // side) — two separate readStream sources would double the
+      // source bookkeeping and the scan
+      val stream = eventsStream(s, dir)
+      val clicks = stream
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 hour")
-      val purchases = eventsStream(s, dir)
+      val purchases = stream
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
