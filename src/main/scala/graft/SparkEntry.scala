@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.TemporalQueries.queries ++
+    graft.queries.GraphQueries.queries ++
     graft.queries.RdfQueries.queries ++
     graft.queries.ProjectorQueries.queries ++
     graft.queries.SparqlQueries.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.TemporalQueries.oracle ++
+    graft.queries.GraphQueries.oracle ++
     graft.queries.RdfQueries.oracle ++
     graft.queries.ProjectorQueries.oracle ++
     graft.queries.SparqlQueries.oracle ++
