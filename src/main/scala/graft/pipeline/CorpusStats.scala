@@ -119,4 +119,46 @@ object CorpusStats {
         lit(null).cast("string").as("postings"))
     cold.unionByName(hot)
   }
+
+  /** Distribution drift per source: the L1 distance between each
+    * source's token distribution and the whole-corpus distribution —
+    * the monitoring statistic of a mixture pipeline (a source whose
+    * language suddenly shifts shows up here before it shows up in
+    * loss curves).
+    *
+    * Exactness discipline: with per-source token counts c_st, source
+    * totals n_s, global counts c_t and corpus total n,
+    *   L1(s) = Σ_t |c_st/n_s − c_t/n| = (Σ_t |c_st·n − c_t·n_s|) / (n_s·n)
+    * and the numerator splits into tokens PRESENT in the source plus
+    * n_s·(n − Σ_present c_t) for the absent ones — so everything up to
+    * the single final IEEE division is integer arithmetic,
+    * order-independent and bit-reproducible across engines. (The
+    * integer products bound the corpus at ~3·10⁹ tokens before BIGINT
+    * overflow; past that, lift the same expressions to DECIMAL(38,0).)
+    *
+    * Plan: ONE corpus scan into the (source, token) partial-agg
+    * shuffle; global token counts ROLL UP from that agg (vocab-sized,
+    * never a second corpus pass), per-source totals broadcast, and the
+    * final per-source fold is output-sized. Returns
+    * (source, n_tokens, l1_num, l1_den, divergence in [0, 2]).
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs.select(col(sourceCol).as("src"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("src"), col("token")).agg(count(lit(1)).as("c_st"))
+    val tot = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val n = tot.agg(sum(col("c_t"))).head().getLong(0)
+    val present = st.join(tot, Seq("token")).join(broadcast(ns), Seq("src"))
+      .groupBy(col("src"))
+      .agg(sum(abs(col("c_st") * n - col("c_t") * col("n_s"))).as("a"),
+        sum(col("c_t")).as("g"))
+    ns.join(present, Seq("src"))
+      .select(col("src").as(sourceCol), col("n_s").as("n_tokens"),
+        (col("a") + col("n_s") * (lit(n) - col("g"))).as("l1_num"),
+        (col("n_s") * n).as("l1_den"))
+      .withColumn("divergence",
+        col("l1_num").cast("double") / col("l1_den").cast("double"))
+  }
 }

@@ -162,6 +162,12 @@ object PipelineQueries {
       CorpusStats.invertedIndex(t(s, dir, "documents"), postingCap = 350)
         .orderBy(col("token"))
     },
+    // per-source distribution drift: integer-exact L1 numerator and
+    // denominator, one IEEE division at the end
+    "pl_source_divergence" -> { (s, dir) =>
+      CorpusStats.sourceDivergence(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
     // Exact heavy hitters via a mergeable Misra-Gries summary + exact
     // recount of the ≤29 candidates; capacity 29 < the 31-word corpus
     // vocabulary, so the sketch's eviction/merge paths genuinely run,
@@ -651,6 +657,27 @@ object PipelineQueries {
          SELECT token, df, postings FROM cold
          UNION ALL SELECT token, df, postings FROM hot
          ORDER BY token""",
+    "pl_source_divergence" ->
+      """WITH st AS (SELECT source AS src, t.token, count(*)::BIGINT AS c_st
+                    FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                          FROM documents) t
+                    GROUP BY 1, 2),
+         tot AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+         ns AS (SELECT src, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+         n AS (SELECT sum(c_t)::BIGINT AS n FROM tot),
+         pres AS (SELECT st.src,
+                         sum(abs(st.c_st * (SELECT n FROM n)
+                                 - tot.c_t * ns.n_s))::BIGINT AS a,
+                         sum(tot.c_t)::BIGINT AS g
+                  FROM st JOIN tot USING (token) JOIN ns USING (src)
+                  GROUP BY 1)
+         SELECT ns.src AS source, ns.n_s AS n_tokens,
+                (pres.a + ns.n_s * ((SELECT n FROM n) - pres.g))::BIGINT AS l1_num,
+                (ns.n_s * (SELECT n FROM n))::BIGINT AS l1_den,
+                (pres.a + ns.n_s * ((SELECT n FROM n) - pres.g))::DOUBLE
+                  / (ns.n_s * (SELECT n FROM n)) AS divergence
+         FROM ns JOIN pres USING (src)
+         ORDER BY source""",
     "pl_tfidf_topterms" ->
       """WITH tok AS (
            SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token

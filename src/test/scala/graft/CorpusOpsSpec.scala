@@ -284,4 +284,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("http://localhost:8080/x", "localhost"),
       ("https://example.com/CaseKept/Path", "example.com")))
   }
+
+  test("sourceDivergence: hand-computed exact L1 numerators") {
+    import spark.implicits._
+    // X: "a a b" (dist a 2/3, b 1/3) vs corpus (a 2/5, b 2/5, c 1/5):
+    //   L1 = 4/15 + 1/15 + 3/15 = 8/15; Y: "b c" → 8/10
+    val docs = Seq((1L, "a a b", "X"), (2L, "b c", "Y"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.CorpusStats.sourceDivergence(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("X", 3L, 8L, 15L, 8.0 / 15.0),
+      ("Y", 2L, 8L, 10L, 8.0 / 10.0)))
+  }
 }
