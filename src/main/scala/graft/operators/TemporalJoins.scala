@@ -41,19 +41,31 @@ object TemporalJoins {
     *
     * @param payload right-side columns to carry; emitted on the result
     *                as a struct column named `as_of` (null = no match)
-    * @param toleranceSeconds max lookback: a carried right row older
-    *                than this many seconds before the left time is
-    *                treated as no-match (pandas merge_asof semantics);
+    * @param toleranceSeconds max lookback (backward) / lookahead
+    *                (forward): a carried right row further than this
+    *                many seconds from the left time is treated as
+    *                no-match (pandas merge_asof semantics);
     *                None = unbounded
+    * @param direction "backward" (most recent right ≤ left time, the
+    *                default) or "forward" (earliest right ≥ left time
+    *                — pandas merge_asof direction='forward'); both
+    *                inclusive, both tie-broken by largest
+    *                `rightTieBreak` at equal right time
     * @return all left columns + `as_of`
     */
   def asOfJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTime: Column, rightTime: Column,
       rightTieBreak: Column, payload: Seq[Column],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     // side 0 (right) sorts before side 1 (left) at equal time, making
     // the carry inclusive; __tie orders equal-time right rows so
-    // last() picks the max tie-break.
+    // last() picks the max tie-break. The forward direction is the
+    // SAME carry over time reversed (descending traversal): last
+    // non-null right then = earliest right at-or-after.
     val r = right.select(
       rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
       rightTieBreak.cast("long").as("__tie"),
@@ -62,20 +74,22 @@ object TemporalJoins {
       (left.columns.map(col) :+ leftKey.as("__k") :+ leftTime.as("__t") :+
         lit(1).as("__side") :+ lit(null).cast("long").as("__tie")): _*)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+      .orderBy(if (fwd) col("__t").desc else col("__t").asc,
+        col("__side"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r.withColumns(
         left.columns.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap),
         allowMissingColumns = true)
       .withColumn("as_of", last(col("__payload"), ignoreNulls = true).over(w))
     val bounded = toleranceSeconds.fold(carried) { tol =>
-      // the carried right TIME rides the same window, so the lookback
-      // bound is a plain post-filter — no second join
+      // the carried right TIME rides the same window, so the lookback/
+      // lookahead bound is a plain post-filter — no second join
       carried
         .withColumn("__rt", last(when(col("__side") === 0, col("__t")),
           ignoreNulls = true).over(w))
         .withColumn("as_of", when(
-          col("__rt") >= col("__t") - expr(s"INTERVAL '$tol' SECOND"),
+          if (fwd) col("__rt") <= col("__t") + expr(s"INTERVAL '$tol' SECOND")
+          else col("__rt") >= col("__t") - expr(s"INTERVAL '$tol' SECOND"),
           col("as_of")))
         .drop("__rt")
     }

@@ -65,6 +65,30 @@ object TemporalQueries {
         .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_errors"))
         .orderBy(col("n_clicks"))
     },
+    "q29_asof_forward" -> { (s, dir) =>
+      // forward as-of: for each purchase, the EARLIEST view at-or-after
+      // (same user) — the other merge_asof direction, same one-exchange
+      // plan with the traversal reversed
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+      TemporalJoins.asOfJoin(
+          purchases, views,
+          leftKey = col("user_id"), rightKey = col("user_id"),
+          leftTime = col("ts"), rightTime = col("ts"),
+          rightTieBreak = col("event_id"),
+          payload = Seq(col("event_id").as("v_id"), col("ts").as("v_ts")),
+          direction = "forward")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("as_of.v_id")).as("n_matched"),
+          coalesce(sum(unix_micros(col("as_of.v_ts")) -
+            unix_micros(col("ts"))), lit(0L)).as("sum_gap_us"),
+          coalesce(sum(col("as_of.v_id")), lit(0L)).as("sum_view_id"))
+        .orderBy(col("user_id"))
+    },
     "q26_funnel" -> { (s, dir) =>
       // view → click → purchase within 24 h of the first view,
       // anchored-earliest semantics: ONE exchange keyed on user + a
@@ -122,6 +146,29 @@ object TemporalQueries {
                GROUP BY e.event_id)
          SELECT n_clicks, COUNT(*) AS n_errors
          FROM j GROUP BY n_clicks ORDER BY n_clicks""",
+    "q29_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id AS k, ts, 0 AS side, event_id,
+                  NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts, 1, event_id, event_id, ts
+           FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER win AS v_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER win AS v_ts
+           FROM u
+           WINDOW win AS (PARTITION BY k ORDER BY ts DESC, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT k AS user_id, COUNT(*) AS n_purchases,
+                COUNT(v_id) AS n_matched,
+                COALESCE(SUM(date_diff('microsecond', ts, v_ts)), 0)::BIGINT
+                  AS sum_gap_us,
+                COALESCE(SUM(v_id), 0)::BIGINT AS sum_view_id
+         FROM w WHERE side = 1 GROUP BY k ORDER BY user_id""",
     "q26_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),

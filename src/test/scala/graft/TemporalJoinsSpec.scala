@@ -68,6 +68,32 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(5L) == None)       // 60-min gap: outside → no match
   }
 
+  test("asOfJoin forward: earliest at-or-after, same tie convention") {
+    val got = TemporalJoins.asOfJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        rightTieBreak = col("rid"),
+        payload = Seq(col("tag")), direction = "forward")
+      .select(col("id"), col("as_of.tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("r3")) // inclusive at equal time; 102 > 101
+    assert(got(2L) == Some("r3")) // next right after 09:30 is the 10:00 pair
+    assert(got(3L) == Some("r1")) // earliest right overall
+    assert(got(4L) == None)       // key absent on the right
+    assert(got(5L) == Some("r5")) // earlier right row ignored
+    val tol = TemporalJoins.asOfJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        rightTieBreak = col("rid"),
+        payload = Seq(col("tag")),
+        toleranceSeconds = Some(1800L), direction = "forward")
+      .select(col("id"), col("as_of.tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tol(2L) == Some("r3")) // 30-min lookahead: exactly at bound
+    assert(tol(3L) == None)       // 60-min gap: outside
+    assert(tol(5L) == None)       // 60-min gap: outside
+  }
+
   test("asOfJoin: left-row count is preserved (left-outer semantics)") {
     val out = TemporalJoins.asOfJoin(left, right, col("k"), col("k"),
       col("t"), col("t"), col("rid"), Seq(col("tag")))
