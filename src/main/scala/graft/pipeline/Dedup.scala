@@ -180,6 +180,46 @@ object Dedup {
     rerank(cands, withSh, threshold)
   }
 
+  /** NEAR-dup screening of an incoming snapshot against the
+    * established corpus — [[incrementalNewBloom]]'s sibling one tier
+    * up the dedup ladder: candidates come from joining the incoming
+    * side's minhash band keys against the BASE side's band keys, then
+    * exact-Jaccard rerank. Returns (id_new, id_base, j) pairs at or
+    * above `threshold`.
+    *
+    * Steady-state contract at 100 TB: the base band-key relation
+    * (id, band, key — k·|corpus|/r rows of three integers) is a
+    * MAINTAINED manifest table bucketed on (band, key), exactly like
+    * the exact-dedup hash manifest — each crawl appends its new keys
+    * and only the incoming side is ever re-shingled or re-sketched.
+    * The candidate join is new-keys against that manifest (incoming-
+    * sized probe, never base-sized), and the rerank joins shingles for
+    * the candidate ids only. Here both sides derive inline since the
+    * verify corpus rebuilds per run.
+    */
+  def incrementalNearDupMinhash(base: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5, n: Int = 3, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    def keys(withSh: DataFrame) = withSh.select(col("id"),
+      posexplode(graft.functions.Sketches.minhashBandKeys(col("sh"), k, bands))
+        .as(Seq("band", "key")))
+    val (bSh, iSh) = (sh(base), sh(incoming))
+    val cands = keys(iSh).alias("a")
+      .join(keys(bSh).alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_base"))
+      .distinct()
+    cands
+      .join(iSh.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
+      .join(bSh.select(col("id").as("id_base"), col("sh").as("sh_b")), Seq("id_base"))
+      .select(col("id_new"), col("id_base"),
+        jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** Exact-Jaccard rerank of candidate pairs against the shingle sets. */
   private def rerank(cands: DataFrame, withSh: DataFrame, threshold: Double): DataFrame = {
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))

@@ -244,6 +244,16 @@ object PipelineQueries {
       Dedup.nearDupMinhash(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // near-dup screening of a new crawl against the kept corpus: the
+    // incoming third's band keys probe the base manifest; the oracle
+    // brute-forces the exact cross-Jaccard pairs
+    "pl_dedup_incr_near" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDupMinhash(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("id_new"), col("id_base"))
+    },
     "pl_dedup_simhash" -> { (s, dir) =>
       Dedup.nearDupSimhash(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))
@@ -751,6 +761,14 @@ object PipelineQueries {
          WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = k.text)
          ORDER BY k.doc_id""",
     "pl_dedup_minhash" -> NEARDUP_ORACLE,
+    "pl_dedup_incr_near" -> (SHINGLES_CTE +
+      """ SELECT id_new, id_base, j FROM (
+            SELECT a.doc_id AS id_new, b.doc_id AS id_base,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+            FROM sh a JOIN sh b
+              ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+          WHERE j >= 0.5 ORDER BY id_new, id_base"""),
     "pl_dedup_simhash" -> NEARDUP_ORACLE,
     "pl_dedup_ngram" -> NEARDUP_ORACLE,
     "pl_strip_boilerplate" ->

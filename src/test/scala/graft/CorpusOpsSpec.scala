@@ -299,4 +299,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("X", 3L, 8L, 15L, 8.0 / 15.0),
       ("Y", 2L, 8L, 10L, 8.0 / 10.0)))
   }
+
+  test("incrementalNearDupMinhash: cross pairs only, exact j") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact copy
+      (11L, "unrelated words that match nothing in the base set"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.incrementalNearDupMinhash(base, inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((10L, 1L, 1.0)))
+  }
 }
