@@ -42,8 +42,14 @@ object GraphOps {
       scale: Long = 1000000000000L, dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    // materialize the deduplicated edge list ONCE, hash-partitioned on
+    // src: Dataset.localCheckpoint preserves outputPartitioning, so
+    // every iteration's share join co-locates against it without
+    // re-shuffling the (edge-sized) relation — only the node-sized
+    // rank table moves per round
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint() // read every round — materialize once
+      .repartition(col("src"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
