@@ -83,7 +83,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       having: Option[(String, Int)],
       // trailing query-level VALUES ?v { ... } (None entry = UNDEF);
       // §18.2.4.3: joins AFTER aggregation + HAVING, before projection
-      values: Option[(String, Seq[Option[Term]])])
+      values: Option[(String, Seq[Option[Term]])],
+      // GRAPH <g>/?g { tps } joined into the group — evaluated over
+      // the NAMED graphs only (never the default graph), the variable
+      // form iterating dataset graphs and binding the name
+      graph: Option[(Node, Seq[TP])] = None)
 
   // --- rendering to SPARQL text --------------------------------------------
 
@@ -129,6 +133,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
     q.paths.foreach(pt => sb.append(
       s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
+    q.graph.foreach { case (gn, tps) =>
+      sb.append("  GRAPH " + nodeText(gn) + " { " +
+        tps.map(tpText).mkString(" ") + " }\n")
+    }
     q.union.foreach { case (a, b) =>
       sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
         b.map(tpText).mkString(" ") + " }\n")
@@ -369,9 +377,27 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private def project(sols: Seq[Sol], vars: Seq[String]): Seq[Sol] =
     sols.map(s => s.filter { case (k, _) => vars.contains(k) })
 
-  private def evalNaive(data: Seq[(Term, Term, Term)], q: GenQuery): Seq[Sol] = {
+  private def evalNaive(data: Seq[(Term, Term, Term)], q: GenQuery,
+      named: Seq[(Term, Term, Term, Term)] = Nil): Seq[Sol] = {
     var sols = evalBgp(data, q.bgp, Seq(Map.empty))
     q.paths.foreach { pt => sols = evalPathTp(data, pt, sols) }
+    // GRAPH block: per named graph, evaluate the inner BGP over that
+    // graph's triples; the variable form binds the graph name (or
+    // checks an existing binding at the join)
+    q.graph.foreach { case (gn, tps) =>
+      val gsols = named.groupBy(_._1).toSeq.flatMap { case (g, quads) =>
+        val trip = quads.map(q4 => (q4._2, q4._3, q4._4))
+        val inner = evalBgp(trip, tps, Seq(Map.empty))
+        gn match {
+          case C(t) => if (t == g) inner else Seq.empty
+          case V(v) => inner.flatMap(sol => sol.get(v) match {
+            case Some(b) => if (b == g) Some(sol) else None
+            case None => Some(sol + (v -> g))
+          })
+        }
+      }
+      sols = join(sols, gsols)
+    }
     q.union.foreach { case (a, b) =>
       val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
       sols = join(sols, u)
@@ -517,6 +543,21 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }.distinct // an RDF graph is a SET of triples
   }
 
+  /** Named-graph quads over the same term pools, in two graphs. */
+  private def genNamedData(rnd: scala.util.Random): Seq[(Term, Term, Term, Term)] = {
+    val graphs = Seq(Term.iri("http://f/g1"), Term.iri("http://f/g2"))
+    val subs = (0 until 4).map(i => Term.iri(s"http://f/s$i"))
+    val preds = (0 until 3).map(i => Term.iri(s"http://f/p$i"))
+    val objs: Seq[Term] = subs ++
+      (0 until 4).map(i => Term.typed(i.toString, Term.XSD_INTEGER)) ++
+      Seq(Term.lit("a"), Term.lit("b"))
+    val n = 8 + rnd.nextInt(10)
+    (0 until n).map { _ =>
+      (graphs(rnd.nextInt(graphs.size)), subs(rnd.nextInt(subs.size)),
+        preds(rnd.nextInt(preds.size)), objs(rnd.nextInt(objs.size)))
+    }.distinct
+  }
+
   private def genQuery(rnd: scala.util.Random): GenQuery = {
     val varPool = Seq("a", "b", "c", "d")
     var used = scala.collection.mutable.LinkedHashSet[String]()
@@ -561,6 +602,19 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val o = if (rnd.nextDouble() < 0.6) V(sharedVar()) else C(someObj())
       PathTP(s, genPath(2), o)
     }
+    // GRAPH block: variable form binds ?g (registered in the pool so
+    // later OPTIONAL/FILTER/BIND/VALUES and projection can reference
+    // it); constant form names g1/g2 — or a graph with no quads, the
+    // empty-scope edge
+    val graphBlock =
+      if (rnd.nextDouble() >= 0.3) None
+      else {
+        val tps = genTps(1)
+        val gn =
+          if (rnd.nextDouble() < 0.5) { used += "g"; V("g") }
+          else C(Term.iri(s"http://f/g${1 + rnd.nextInt(3)}")) // g3 = empty
+        Some((gn, tps))
+      }
     val union =
       if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
     val optionals = (0 until rnd.nextInt(2)).map(_ => genTps(1))
@@ -639,7 +693,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
     }
     GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
-      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ, having, values)
+      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ, having,
+      values, graphBlock)
   }
 
   // --- comparison harness ---------------------------------------------------
@@ -765,8 +820,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // strip the head forms CONSTRUCT has no counterpart for and
       // project everything so the naive solutions keep all bindings
       val q0 = genQuery(rnd)
+      // graph also stripped: CONSTRUCT × GRAPH is pinned by the
+      // conformance suite; here the focus is template instantiation
       val q = q0.copy(aggQ = None, having = None, values = None,
-        distinct = false, project = queryVars(q0))
+        distinct = false, graph = None, project = queryVars(q0.copy(graph = None)))
       val tpl = genTemplate(rnd, q.project)
       if (q.project.isEmpty) skipped += 1
       else {
@@ -808,16 +865,19 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     (0 until N).foreach { i =>
       val rnd = new scala.util.Random(SEED * 1000003L + i)
       val data = genData(rnd)
+      val named = genNamedData(rnd)
       val q = genQuery(rnd)
       if (q.project.isEmpty && q.aggQ.isEmpty) skipped += 1
       else {
-        val naive = evalNaive(data, q)
+        val naive = evalNaive(data, q, named)
         if (naive.size > 20000) skipped += 1 // unbounded cross join: cap runtime
         else {
           val text = queryText(q)
-          val df = data.map { case (s, p, o) =>
+          val df = (data.map { case (s, p, o) =>
             ConformanceQuad(null, s, p, o)
-          }.toDF()
+          } ++ named.map { case (g, s, p, o) =>
+            ConformanceQuad(g, s, p, o)
+          }).toDF()
           val engine =
             try renderEngine(Sparql.execute(df, text))
             catch {
