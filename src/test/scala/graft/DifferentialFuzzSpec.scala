@@ -71,7 +71,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       bgp: Seq[TP],
       paths: Seq[PathTP],
       union: Option[(Seq[TP], Seq[TP])],
-      optionals: Seq[Seq[TP]],
+      // each OPTIONAL may carry an inner FILTER — §18.2.2.2 LeftJoin
+      // condition semantics (the filter sees the JOINED solution, and
+      // a row keeps its bare left part only when no compatible right
+      // row passes)
+      optionals: Seq[(Seq[TP], Option[Filt])],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
       binds: Seq[(String, String, String, Term)], // ?as := ?src op numConst
@@ -141,8 +145,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
         b.map(tpText).mkString(" ") + " }\n")
     }
-    q.optionals.foreach(o =>
-      sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") + " }\n"))
+    q.optionals.foreach { case (o, f) =>
+      sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") +
+        f.fold("")(ff => " FILTER " + filtText(ff)) + " }\n")
+    }
     q.binds.foreach { case (as, src, op, k) =>
       sb.append(s"  BIND((?$src $op ${k.toNT}) AS ?$as)\n")
     }
@@ -402,8 +408,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
       sols = join(sols, u)
     }
-    q.optionals.foreach { o =>
-      sols = leftJoin(sols, evalBgp(data, o, Seq(Map.empty)))
+    q.optionals.foreach { case (o, f) =>
+      val inner = evalBgp(data, o, Seq(Map.empty))
+      sols = f match {
+        case None => leftJoin(sols, inner)
+        case Some(ff) =>
+          // LeftJoin(Ω1, Ω2, F) = Filter(F, Join) ∪ Diff(Ω1, Ω2, F):
+          // keep the bare left row iff no compatible right row makes
+          // F true (false AND error both fail the condition)
+          sols.flatMap { a =>
+            val ext = inner.filter(b => compatible(a, b) &&
+              evalFilt(ff, a ++ b).contains(true)).map(a ++ _)
+            if (ext.nonEmpty) ext else Seq(a)
+          }
+      }
     }
     q.binds.foreach { case (as, src, op, k) =>
       // BIND arithmetic with numeric promotion; an error (unbound /
@@ -586,6 +604,26 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     def genTps(max: Int): Seq[TP] = (0 to rnd.nextInt(max)).map(_ => genTp())
 
+    def genFilt(depth: Int): Filt = {
+      val roll = rnd.nextDouble()
+      if (depth > 0 && roll < 0.2)
+        AndF(genFilt(depth - 1), genFilt(depth - 1))
+      else if (depth > 0 && roll < 0.4)
+        OrF(genFilt(depth - 1), genFilt(depth - 1))
+      else if (roll < 0.55 && used.nonEmpty)
+        Bound(used.toSeq(rnd.nextInt(used.size)), rnd.nextBoolean())
+      else {
+        val l = V(sharedVar())
+        val r = rnd.nextInt(3) match {
+          case 0 => C(Term.typed(rnd.nextInt(4).toString, Term.XSD_INTEGER))
+          case 1 => V(sharedVar())
+          case _ => C(someObj())
+        }
+        val ops = Seq("=", "!=", "<", "<=", ">", ">=")
+        Cmp(l, ops(rnd.nextInt(ops.size)), r)
+      }
+    }
+
     val bgp = genTps(2)
     def genPath(depth: Int): PathE = {
       val roll = rnd.nextDouble()
@@ -617,29 +655,14 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
     val union =
       if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
-    val optionals = (0 until rnd.nextInt(2)).map(_ => genTps(1))
+    val optionals = (0 until rnd.nextInt(2)).map { _ =>
+      val tps = genTps(1)
+      val f = if (rnd.nextDouble() < 0.4) Some(genFilt(1)) else None
+      (tps, f)
+    }
     val minus = if (rnd.nextDouble() < 0.25) Some(genTps(1)) else None
     val notExists =
       if (minus.isEmpty && rnd.nextDouble() < 0.25) Some(genTps(1)) else None
-    def genFilt(depth: Int): Filt = {
-      val roll = rnd.nextDouble()
-      if (depth > 0 && roll < 0.2)
-        AndF(genFilt(depth - 1), genFilt(depth - 1))
-      else if (depth > 0 && roll < 0.4)
-        OrF(genFilt(depth - 1), genFilt(depth - 1))
-      else if (roll < 0.55 && used.nonEmpty)
-        Bound(used.toSeq(rnd.nextInt(used.size)), rnd.nextBoolean())
-      else {
-        val l = V(sharedVar())
-        val r = rnd.nextInt(3) match {
-          case 0 => C(Term.typed(rnd.nextInt(4).toString, Term.XSD_INTEGER))
-          case 1 => V(sharedVar())
-          case _ => C(someObj())
-        }
-        val ops = Seq("=", "!=", "<", "<=", ">", ">=")
-        Cmp(l, ops(rnd.nextInt(ops.size)), r)
-      }
-    }
     val binds = (0 until (if (used.nonEmpty && rnd.nextDouble() < 0.3) 1 else 0)).map { _ =>
       val src = used.toSeq(rnd.nextInt(used.size))
       // a fresh alias never colliding with pattern vars
@@ -768,7 +791,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       ts.flatMap(tp => nv(tp.s) ++ nv(tp.p) ++ nv(tp.o))
     (tps(q.bgp) ++ q.paths.flatMap(pt => nv(pt.s) ++ nv(pt.o)) ++
       q.union.toSeq.flatMap { case (a, b) => tps(a) ++ tps(b) } ++
-      tps(q.optionals.flatten) ++ q.binds.map(_._1)).distinct
+      tps(q.optionals.flatMap(_._1)) ++ q.binds.map(_._1)).distinct
   }
 
   /** §16.2 instantiation over the naive solutions: unbound template
