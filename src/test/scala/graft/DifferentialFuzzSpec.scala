@@ -91,7 +91,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // GRAPH <g>/?g { tps } joined into the group — evaluated over
       // the NAMED graphs only (never the default graph), the variable
       // form iterating dataset graphs and binding the name
-      graph: Option[(Node, Seq[TP])] = None)
+      graph: Option[(Node, Seq[TP])] = None,
+      // { SELECT ?g (COUNT(*) AS ?m) WHERE { tps } GROUP BY ?g }
+      // joined into the outer group: §18.2 subquery scoping — only
+      // the projected pair joins out; inner uses of outer variable
+      // NAMES are fresh variables, not correlations
+      sub: Option[(String, Seq[TP])] = None)
 
   // --- rendering to SPARQL text --------------------------------------------
 
@@ -140,6 +145,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.graph.foreach { case (gn, tps) =>
       sb.append("  GRAPH " + nodeText(gn) + " { " +
         tps.map(tpText).mkString(" ") + " }\n")
+    }
+    q.sub.foreach { case (g, tps) =>
+      sb.append("  { SELECT ?" + g + " (COUNT(*) AS ?m) WHERE { " +
+        tps.map(tpText).mkString(" ") + " } GROUP BY ?" + g + " }\n")
     }
     q.union.foreach { case (a, b) =>
       sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
@@ -404,6 +413,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
       sols = join(sols, gsols)
     }
+    // subquery: evaluate the inner pattern from scratch (no outer
+    // correlation — §18.2 scoping), group on the key, project only
+    // (key, count); a never-bound key forms ONE unbound-key group
+    q.sub.foreach { case (g, tps) =>
+      val inner = evalBgp(data, tps, Seq(Map.empty))
+      val rows: Seq[Sol] = inner.groupBy(_.get(g)).toSeq.map { case (k, rs) =>
+        val base = k.fold(Map.empty: Sol)(t => Map(g -> t))
+        base + ("m" -> Term.typed(rs.size.toString, Term.XSD_INTEGER))
+      }
+      sols = join(sols, rows)
+    }
     q.union.foreach { case (a, b) =>
       val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
       sols = join(sols, u)
@@ -655,6 +675,19 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
     val union =
       if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
+    // subquery: the group key is usually an outer-shared variable so
+    // the projected (key, count) pair genuinely joins back; ?m then
+    // enters the pool for later FILTER/BIND/MINUS/projection
+    val sub =
+      if (rnd.nextDouble() >= 0.25) None
+      else {
+        val g = sharedVar()
+        val tps = TP(V(g), C(somePred()),
+          if (rnd.nextDouble() < 0.5) V(sharedVar()) else C(someObj())) +:
+          genTps(1).take(rnd.nextInt(2))
+        used += "m"
+        Some((g, tps))
+      }
     val optionals = (0 until rnd.nextInt(2)).map { _ =>
       val tps = genTps(1)
       val f = if (rnd.nextDouble() < 0.4) Some(genFilt(1)) else None
@@ -717,7 +750,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
       filters, project, distinct = rnd.nextDouble() < 0.3, aggQ, having,
-      values, graphBlock)
+      values, graphBlock, sub)
   }
 
   // --- comparison harness ---------------------------------------------------
