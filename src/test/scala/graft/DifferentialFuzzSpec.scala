@@ -51,6 +51,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   /** A path pattern slot: endpoints + path. */
   private case class PathTP(s: Node, path: PathE, o: Node)
 
+  /** A UNION branch as a full group: BGP, optional inner OPTIONAL,
+    * optional BRANCH-SCOPED filter (sees only the branch's bindings —
+    * the group-scope rule nested groups are most often wrong about).
+    */
+  private case class Branch(tps: Seq[TP], opt: Option[Seq[TP]],
+      filt: Option[Filt])
+
   private sealed trait Filt
   private case class Cmp(l: Node, op: String, r: Node) extends Filt
   private case class Bound(v: String, positive: Boolean) extends Filt
@@ -70,7 +77,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class GenQuery(
       bgp: Seq[TP],
       paths: Seq[PathTP],
-      union: Option[(Seq[TP], Seq[TP])],
+      union: Option[(Branch, Branch)],
       // each OPTIONAL may carry an inner FILTER — §18.2.2.2 LeftJoin
       // condition semantics (the filter sees the JOINED solution, and
       // a row keeps its bare left part only when no compatible right
@@ -150,9 +157,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  { SELECT ?" + g + " (COUNT(*) AS ?m) WHERE { " +
         tps.map(tpText).mkString(" ") + " } GROUP BY ?" + g + " }\n")
     }
+    def branchText(br: Branch): String =
+      br.tps.map(tpText).mkString(" ") +
+        br.opt.fold("")(o => " OPTIONAL { " + o.map(tpText).mkString(" ") + " }") +
+        br.filt.fold("")(f => " FILTER " + filtText(f))
     q.union.foreach { case (a, b) =>
-      sb.append("  { " + a.map(tpText).mkString(" ") + " } UNION { " +
-        b.map(tpText).mkString(" ") + " }\n")
+      sb.append("  { " + branchText(a) + " } UNION { " + branchText(b) + " }\n")
     }
     q.optionals.foreach { case (o, f) =>
       sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") +
@@ -425,8 +435,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sols = join(sols, rows)
     }
     q.union.foreach { case (a, b) =>
-      val u = evalBgp(data, a, Seq(Map.empty)) ++ evalBgp(data, b, Seq(Map.empty))
-      sols = join(sols, u)
+      def evalBranch(br: Branch): Seq[Sol] = {
+        var bs = evalBgp(data, br.tps, Seq(Map.empty))
+        br.opt.foreach(o => bs = leftJoin(bs, evalBgp(data, o, Seq(Map.empty))))
+        br.filt.foreach(f => bs = bs.filter(evalFilt(f, _).contains(true)))
+        bs
+      }
+      sols = join(sols, evalBranch(a) ++ evalBranch(b))
     }
     q.optionals.foreach { case (o, f) =>
       val inner = evalBgp(data, o, Seq(Map.empty))
@@ -673,8 +688,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           else C(Term.iri(s"http://f/g${1 + rnd.nextInt(3)}")) // g3 = empty
         Some((gn, tps))
       }
+    def genBranch(): Branch = Branch(genTps(1),
+      if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None,
+      if (rnd.nextDouble() < 0.3) Some(genFilt(1)) else None)
     val union =
-      if (rnd.nextDouble() < 0.3) Some((genTps(1), genTps(1))) else None
+      if (rnd.nextDouble() < 0.3) Some((genBranch(), genBranch())) else None
     // subquery: the group key is usually an outer-shared variable so
     // the projected (key, count) pair genuinely joins back; ?m then
     // enters the pool for later FILTER/BIND/MINUS/projection
@@ -823,7 +841,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     def tps(ts: Seq[TP]): Seq[String] =
       ts.flatMap(tp => nv(tp.s) ++ nv(tp.p) ++ nv(tp.o))
     (tps(q.bgp) ++ q.paths.flatMap(pt => nv(pt.s) ++ nv(pt.o)) ++
-      q.union.toSeq.flatMap { case (a, b) => tps(a) ++ tps(b) } ++
+      q.union.toSeq.flatMap { case (a, b) =>
+        tps(a.tps) ++ tps(a.opt.getOrElse(Nil)) ++
+        tps(b.tps) ++ tps(b.opt.getOrElse(Nil)) } ++
       tps(q.optionals.flatMap(_._1)) ++ q.binds.map(_._1)).distinct
   }
 
