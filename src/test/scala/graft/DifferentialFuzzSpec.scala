@@ -64,10 +64,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class AndF(l: Filt, r: Filt) extends Filt
   private case class OrF(l: Filt, r: Filt) extends Filt
 
-  /** An aggregate query head: optional GROUP BY key, the function, and
-    * its argument variable (None = COUNT(*)).
+  /** An aggregate query head: GROUP BY keys (empty = whole-pattern
+    * group), the function, and its argument variable (None =
+    * COUNT(*)). func "COUNT_DISTINCT" renders COUNT(DISTINCT ?v).
     */
-  private case class AggQ(group: Option[String], func: String, arg: Option[String])
+  private case class AggQ(group: Seq[String], func: String, arg: Option[String])
 
   /** One generated query: BGP, then optional UNION-of-two-BGPs joined
     * in, then OPTIONALs, then MINUS / NOT EXISTS, then FILTERs; with
@@ -133,14 +134,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case OrF(l, r) => s"(${filtText(l)} || ${filtText(r)})"
   }
 
-  private def aggCall(a: AggQ): String = s"${a.func}(${a.arg.fold("*")("?" + _)})"
+  private def aggCall(a: AggQ): String =
+    if (a.func == "COUNT_DISTINCT") s"COUNT(DISTINCT ?${a.arg.get})"
+    else s"${a.func}(${a.arg.fold("*")("?" + _)})"
 
   private def queryText(q: GenQuery): String = {
     val sb = new StringBuilder
     sb.append(q.aggQ match {
       case Some(a @ AggQ(group, _, _)) =>
         val call = aggCall(a)
-        group.fold(s"SELECT ($call AS ?n)")(g => s"SELECT ?$g ($call AS ?n)")
+        if (group.isEmpty) s"SELECT ($call AS ?n)"
+        else s"SELECT ${group.map("?" + _).mkString(" ")} ($call AS ?n)"
       case None =>
         (if (q.distinct) "SELECT DISTINCT " else "SELECT ") +
           q.project.map("?" + _).mkString(" ")
@@ -177,7 +181,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  FILTER NOT EXISTS { " + ne.map(tpText).mkString(" ") + " }\n"))
     q.filters.foreach(f => sb.append("  FILTER " + filtText(f) + "\n"))
     sb.append("}")
-    q.aggQ.foreach(_.group.foreach(g => sb.append(s" GROUP BY ?$g")))
+    q.aggQ.foreach(a => if (a.group.nonEmpty)
+      sb.append(" GROUP BY " + a.group.map("?" + _).mkString(" ")))
     for (a <- q.aggQ; (op, k) <- q.having)
       sb.append(s" HAVING(${aggCall(a)} $op $k)")
     q.values.foreach { case (v, rows) =>
@@ -495,16 +500,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.aggQ match {
       case Some(AggQ(group, func, arg)) =>
         // GROUP BY over no solutions yields no groups; the ungrouped
-        // head always aggregates exactly one (possibly empty) group
-        val groups: Seq[(Option[Term], Seq[Sol])] = group match {
-          case Some(g) => sols.groupBy(_.get(g)).toSeq
-          case None => Seq((None, sols))
-        }
+        // head always aggregates exactly one (possibly empty) group.
+        // Multi-key groups key on the TUPLE of (possibly unbound)
+        // values; unbound components stay unbound in the output row
+        val groups: Seq[(Seq[Option[Term]], Seq[Sol])] =
+          if (group.isEmpty) Seq((Seq.empty, sols))
+          else sols.groupBy(s => group.map(s.get)).toSeq
         val headRows = groups.map { case (k, rows) =>
-          val base: Sol = (group, k) match {
-            case (Some(g), Some(t)) => Map(g -> t)
-            case _ => Map.empty
-          }
+          val base: Sol = group.zip(k).collect {
+            case (g, Some(t)) => g -> t
+          }.toMap
           naiveAgg(func, arg, rows).fold(base)(t => base + ("n" -> t))
         }
         // HAVING recomputes the aggregate: an errored group (no ?n)
@@ -536,6 +541,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         case None => Some(int(rows.size))
         case Some(v) => Some(int(rows.count(_.contains(v))))
       }
+      case "COUNT_DISTINCT" =>
+        Some(int(rows.flatMap(_.get(arg.get)).distinct.size))
       case "SUM" | "AVG" =>
         val vals = rows.map(_.get(arg.get).flatMap(numOf))
         if (vals.exists(_.isEmpty)) None // an error poisons the group
@@ -735,13 +742,14 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val aggQ =
       if (allVars.isEmpty || rnd.nextDouble() >= 0.3) None
       else {
-        val func = Seq("COUNT", "SUM", "AVG", "MIN", "MAX")(rnd.nextInt(5))
+        val func = Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
+          "COUNT_DISTINCT")(rnd.nextInt(6))
         val arg =
           if (func == "COUNT" && rnd.nextBoolean()) None // COUNT(*)
           else Some(allVars(rnd.nextInt(allVars.size)))
         val group =
-          if (rnd.nextDouble() < 0.7) Some(allVars(rnd.nextInt(allVars.size)))
-          else None
+          if (rnd.nextDouble() < 0.3) Seq.empty
+          else rnd.shuffle(allVars).take(1 + rnd.nextInt(2)).sorted
         Some(AggQ(group, func, arg))
       }
     val having = aggQ.flatMap { _ =>
@@ -753,7 +761,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // agg queries: only the group var is in scope for the trailing
       // VALUES; non-agg: any pattern var
       val candidates = aggQ match {
-        case Some(a) => a.group.toSeq
+        case Some(a) => a.group
         case None => allVars
       }
       if (candidates.isEmpty || rnd.nextDouble() >= 0.3) None
