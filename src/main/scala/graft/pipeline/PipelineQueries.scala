@@ -162,6 +162,24 @@ object PipelineQueries {
       CorpusStats.invertedIndex(t(s, dir, "documents"), postingCap = 350)
         .orderBy(col("token"))
     },
+    // Deequ-style validation report: five per-table checks in ONE
+    // documents scan (stack-unpivoted single agg row) plus a
+    // referential-integrity anti-join across orders→customer
+    "pl_constraints" -> { (s, dir) =>
+      import Constraints._
+      val docs = t(s, dir, "documents")
+      val suite = singlePass(docs, Seq(
+        completeness("doc_text_complete", col("text")),
+        uniqueness("doc_id_unique", col("doc_id")),
+        uniqueness("doc_text_unique", col("text")),
+        satisfies("doc_chars_in_range", col("n_chars").between(1, 100000)),
+        satisfies("doc_lang_known",
+          col("lang").isin("en", "de", "fr", "es", "zh"))))
+      val fk = refIntegrity("order_cust_fk",
+        t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"))
+      suite.unionByName(fk).orderBy(col("check_name"))
+    },
     // per-source distribution drift: integer-exact L1 numerator and
     // denominator, one IEEE division at the end
     "pl_source_divergence" -> { (s, dir) =>
@@ -667,6 +685,33 @@ object PipelineQueries {
          SELECT token, df, postings FROM cold
          UNION ALL SELECT token, df, postings FROM hot
          ORDER BY token""",
+    "pl_constraints" ->
+      """WITH m AS (
+           SELECT 'doc_text_complete' AS check_name,
+                  count(text)::BIGINT AS num, count(*)::BIGINT AS den
+           FROM documents
+           UNION ALL
+           SELECT 'doc_id_unique', count(DISTINCT doc_id)::BIGINT,
+                  count(*)::BIGINT FROM documents
+           UNION ALL
+           SELECT 'doc_text_unique', count(DISTINCT text)::BIGINT,
+                  count(*)::BIGINT FROM documents
+           UNION ALL
+           SELECT 'doc_chars_in_range',
+                  count(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 END)::BIGINT,
+                  count(*)::BIGINT FROM documents
+           UNION ALL
+           SELECT 'doc_lang_known',
+                  count(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 END)::BIGINT,
+                  count(*)::BIGINT FROM documents
+           UNION ALL
+           SELECT 'order_cust_fk',
+                  count(CASE WHEN EXISTS (SELECT 1 FROM customer
+                        WHERE c_custkey = o_custkey) THEN 1 END)::BIGINT,
+                  count(o_custkey)::BIGINT
+           FROM orders WHERE o_custkey IS NOT NULL)
+         SELECT check_name, num, den, num::DOUBLE / den AS ratio
+         FROM m ORDER BY check_name""",
     "pl_source_divergence" ->
       """WITH st AS (SELECT source AS src, t.token, count(*)::BIGINT AS c_st
                     FROM (SELECT source, unnest(string_split(text, ' ')) AS token

@@ -314,4 +314,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((10L, 1L, 1.0)))
   }
+
+  test("Constraints: hand-computed suite in one scan; FK orphans") {
+    import spark.implicits._
+    import graft.pipeline.Constraints._
+    val docs = Seq((1L, Option("a")), (2L, None), (3L, Option("a")))
+      .toDF("id", "txt")
+    val suite = graft.pipeline.Constraints.singlePass(docs, Seq(
+      completeness("c", col("txt")),
+      uniqueness("u", col("txt")),
+      satisfies("s", col("id") <= 2)))
+    val got = suite.orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("c", 2L, 3L, 2.0 / 3.0),
+      ("s", 2L, 3L, 2.0 / 3.0),
+      ("u", 1L, 3L, 1.0 / 3.0)))
+    // the whole suite reads its table once and never joins
+    val plan = suite.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"suite must not join:\n$plan")
+    assert("LocalTableScan".r.findAllIn(plan).size == 1,
+      s"suite must scan once:\n$plan")
+    // FK: null child keys excluded, orphan 9 counted against
+    val child = Seq(Option(1L), Option(2L), None, Option(9L)).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val fk = graft.pipeline.Constraints.refIntegrity("fk",
+        child, col("k"), parent, col("pk")).head()
+    assert((fk.getLong(1), fk.getLong(2), fk.getDouble(3)) == (2L, 3L, 2.0 / 3.0))
+  }
 }
