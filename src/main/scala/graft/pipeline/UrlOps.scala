@@ -36,10 +36,16 @@ object UrlOps {
   def scheme(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
-  /** Lowercased host: authority minus userinfo and port. */
+  /** Lowercased host: authority minus userinfo and port. A bracketed
+    * IPv6 literal keeps its brackets (they are part of the authority
+    * syntax, and splitting on ':' inside them would truncate it).
+    */
   def host(url: Column): Column = {
     val auth = regexp_extract(afterScheme(url), "^([^/?#]*)", 1)
-    lower(regexp_extract(regexp_replace(auth, "^[^@]*@", ""), "^([^:]*)", 1))
+    val bare = regexp_replace(auth, "^[^@]*@", "")
+    when(bare.startsWith("["),
+      lower(regexp_extract(bare, "^(\\[[^\\]]+\\])", 1)))
+      .otherwise(lower(regexp_extract(bare, "^([^:]*)", 1)))
   }
 
   /** Port as a string ("" when absent). */

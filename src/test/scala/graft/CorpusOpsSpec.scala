@@ -342,4 +342,20 @@ class CorpusOpsSpec extends AnyFunSuite {
         child, col("k"), parent, col("pk")).head()
     assert((fk.getLong(1), fk.getLong(2), fk.getDouble(3)) == (2L, 3L, 2.0 / 3.0))
   }
+
+  test("UrlOps: bracketed IPv6 hosts keep their brackets and port") {
+    import spark.implicits._
+    import graft.pipeline.UrlOps
+    val df = Seq(
+      "HTTP://[2001:DB8::1]/p",
+      "http://user@[::1]:8080/x?ref=r",
+      "https://[::1]:443/y").toDF("u")
+    val got = df.select(UrlOps.normalizeUrl(col("u")).as("n"),
+        UrlOps.host(col("u")).as("h"), UrlOps.port(col("u")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("http://[2001:db8::1]/p", "[2001:db8::1]", ""),
+      ("http://[::1]:8080/x", "[::1]", "8080"),
+      ("https://[::1]/y", "[::1]", "443")))
+  }
 }
