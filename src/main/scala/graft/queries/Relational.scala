@@ -20,6 +20,25 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation -----------------------------------------------------
+    "q30_histogram" -> { (s, dir) =>
+      // equi-width histogram: bounds from ONE agg pass re-entered as
+      // a broadcast 1-row cross join (no driver constant in the
+      // plan); the bin index is per-row IEEE arithmetic in a fixed
+      // expression order, so it is bit-identical across engines, and
+      // the in-bin sum goes through the exact-DECIMAL discipline
+      val orders = t(s, dir, "orders")
+      val bounds = orders.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      orders.crossJoin(broadcast(bounds))
+        .select(
+          least(floor(((col("o_totalprice") - col("lo")) * lit(20)) /
+            (col("hi") - col("lo"))), lit(19L)).as("bin"),
+          col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          d(sum(dec(col("o_totalprice")))).as("v"))
+        .orderBy(col("bin"))
+    },
     "q1_pricing_summary" -> { (s, dir) =>
       // TPC-H Q1 shape: full-scan groupBy with partial aggregation.
       t(s, dir, "lineitem")
@@ -267,6 +286,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q30_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                    FROM orders)
+         SELECT LEAST(FLOOR(((o_totalprice - lo) * 20) / (hi - lo)), 19)::BIGINT AS bin,
+                COUNT(*)::BIGINT AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS v
+         FROM orders, s GROUP BY 1 ORDER BY bin""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
