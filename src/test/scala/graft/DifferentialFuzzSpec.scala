@@ -58,6 +58,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class Branch(tps: Seq[TP], opt: Option[Seq[TP]],
       filt: Option[Filt])
 
+  /** BIND expression kinds: arithmetic with numeric promotion,
+    * CONCAT(STR(?x), "sfx") (STR of a blank node would error — the
+    * generated data has none; unbound stays an error → ?as unbound),
+    * COALESCE over two vars + constant fallback, IF(BOUND(?c), ?t, k).
+    */
+  private sealed trait BindE
+  private case class BArith(src: String, op: String, k: Term) extends BindE
+  private case class BConcatStr(src: String, suffix: String) extends BindE
+  private case class BCoalesce(x: String, y: String, k: Term) extends BindE
+  private case class BIf(cond: String, thenV: String, k: Term) extends BindE
+
   private sealed trait Filt
   private case class Cmp(l: Node, op: String, r: Node) extends Filt
   private case class Bound(v: String, positive: Boolean) extends Filt
@@ -86,7 +97,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       optionals: Seq[(Seq[TP], Option[Filt])],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
-      binds: Seq[(String, String, String, Term)], // ?as := ?src op numConst
+      binds: Seq[(String, BindE)], // ?as := expression
       filters: Seq[Filt],
       project: Seq[String],
       distinct: Boolean,
@@ -172,8 +183,14 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") +
         f.fold("")(ff => " FILTER " + filtText(ff)) + " }\n")
     }
-    q.binds.foreach { case (as, src, op, k) =>
-      sb.append(s"  BIND((?$src $op ${k.toNT}) AS ?$as)\n")
+    q.binds.foreach { case (as, be) =>
+      val e = be match {
+        case BArith(src, op, k) => s"(?$src $op ${k.toNT})"
+        case BConcatStr(src, sfx) => s"""CONCAT(STR(?$src), "$sfx")"""
+        case BCoalesce(x, y, k) => s"COALESCE(?$x, ?$y, ${k.toNT})"
+        case BIf(c, t, k) => s"IF(BOUND(?$c), ?$t, ${k.toNT})"
+      }
+      sb.append(s"  BIND($e AS ?$as)\n")
     }
     q.minus.foreach(m =>
       sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
@@ -463,14 +480,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           }
       }
     }
-    q.binds.foreach { case (as, src, op, k) =>
-      // BIND arithmetic with numeric promotion; an error (unbound /
-      // non-numeric source) leaves ?as unbound, the row survives
+    q.binds.foreach { case (as, be) =>
+      // a BIND evaluation error leaves ?as unbound, the row survives
+      def strOf(t: Term): String = if (t.isLit) t.lex else t.lex
       sols = sols.map { sol =>
-        sol.get(src).flatMap(naiveArith(_, op, k)) match {
-          case Some(t) => sol + (as -> t)
-          case None => sol
+        val v: Option[Term] = be match {
+          case BArith(src, op, k) => sol.get(src).flatMap(naiveArith(_, op, k))
+          case BConcatStr(src, sfx) =>
+            sol.get(src).map(t => Term.lit(strOf(t) + sfx))
+          case BCoalesce(x, y, k) =>
+            sol.get(x).orElse(sol.get(y)).orElse(Some(k))
+          case BIf(c, t, k) =>
+            if (sol.contains(c)) sol.get(t) else Some(k)
         }
+        v.fold(sol)(t => sol + (as -> t))
       }
     }
     q.minus.foreach { m => sols = minusOp(sols, evalBgp(data, m, Seq(Map.empty))) }
@@ -722,16 +745,25 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val notExists =
       if (minus.isEmpty && rnd.nextDouble() < 0.25) Some(genTps(1)) else None
     val binds = (0 until (if (used.nonEmpty && rnd.nextDouble() < 0.3) 1 else 0)).map { _ =>
-      val src = used.toSeq(rnd.nextInt(used.size))
+      def pick() = used.toSeq(rnd.nextInt(used.size))
+      val src = pick()
       // a fresh alias never colliding with pattern vars
       val as = "w" + rnd.nextInt(2)
-      used += as
-      val const = rnd.nextInt(4) match {
+      val numConst = rnd.nextInt(4) match {
         case 0 => Term.typed("0.5", Term.XSD_DECIMAL)
         case 1 => Term.typed("2.5", XSD_DOUBLE)
         case _ => Term.typed(rnd.nextInt(3).toString, Term.XSD_INTEGER)
       }
-      (as, src, Seq("+", "-", "*")(rnd.nextInt(3)), const)
+      val be: BindE = rnd.nextInt(4) match {
+        case 0 => BArith(src, Seq("+", "-", "*")(rnd.nextInt(3)), numConst)
+        case 1 => BConcatStr(src, if (rnd.nextBoolean()) "s" else "")
+        case 2 => BCoalesce(src, pick(),
+          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
+        case _ => BIf(src, pick(),
+          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
+      }
+      used += as
+      (as, be)
     }
     val filters = (0 until rnd.nextInt(2)).map(_ => genFilt(1))
     val allVars = used.toSeq
