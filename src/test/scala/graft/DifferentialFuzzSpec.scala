@@ -1017,4 +1017,193 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     info(s"$N generated, $skipped skipped (empty projection / size cap)")
   }
+
+  // --- ORDER BY / LIMIT / OFFSET differential --------------------------------
+
+  /** The engine's total order key per ORDER BY expression
+    * (Sparql.sortKeys): class rank (unbound 0 < blank 1 < IRI 2 <
+    * literal 3 < quoted triple 4), then numeric double, then exact
+    * decimal, then lexical form. Components 2-4 are null for
+    * non-applicable terms; ascending sorts nulls FIRST, and DESC flips
+    * per component via Column.desc, which sorts nulls LAST — both
+    * mirrored in [[cmpKeys]]. Note the key deliberately excludes
+    * datatype/lang, so "2"^^xsd:integer vs "2.0"^^xsd:decimal break
+    * on lex and "a" vs "a"@en genuinely TIE (one equivalence class).
+    */
+  private type KV = (Int, Option[Double], Option[java.math.BigDecimal], Option[String])
+  private type KeyV = Seq[KV]
+
+  private def keyVec(sol: Sol, v: String): KV = sol.get(v) match {
+    case None => (0, None, None, None)
+    case Some(t) =>
+      val rank =
+        if (t.isBlank) 1 else if (t.isIri) 2
+        else if (t.termType == Term.TRIPLE) 4 else 3
+      val num =
+        if (t.isLit && t.datatype != null &&
+            graft.functions.TermOps.NUMERIC_DATATYPES.contains(t.datatype))
+          scala.util.Try(new java.math.BigDecimal(t.lex)).toOption
+        else None
+      (rank, num.map(_.doubleValue), num, Option(t.lex))
+  }
+
+  /** asc: nulls first; desc: values reversed, nulls last. */
+  private def cmpComp[T](a: Option[T], b: Option[T], desc: Boolean,
+      cmp: (T, T) => Int): Int = (a, b) match {
+    case (None, None) => 0
+    case (None, _) => if (desc) 1 else -1
+    case (_, None) => if (desc) -1 else 1
+    case (Some(x), Some(y)) => if (desc) cmp(y, x) else cmp(x, y)
+  }
+
+  private def cmpKV(a: KV, b: KV, desc: Boolean): Int = {
+    val c0 = if (desc) Integer.compare(b._1, a._1) else Integer.compare(a._1, b._1)
+    if (c0 != 0) return c0
+    val c1 = cmpComp[Double](a._2, b._2, desc, java.lang.Double.compare)
+    if (c1 != 0) return c1
+    val c2 = cmpComp[java.math.BigDecimal](a._3, b._3, desc, _.compareTo(_))
+    if (c2 != 0) return c2
+    cmpComp[String](a._4, b._4, desc, _.compareTo(_))
+  }
+
+  private def cmpKeys(a: KeyV, b: KeyV, flags: Seq[Boolean]): Int = {
+    var i = 0
+    while (i < flags.size) {
+      val c = cmpKV(a(i), b(i), flags(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private def renderSol(sol: Sol): String =
+    sol.toSeq.sortBy(_._1).map { case (k, t) => s"$k=${t.toNT}" }.mkString(" ")
+
+  /** Engine rows IN RESULT ORDER as solutions (renderEngine sorts —
+    * here the sequence is the point). aggQ is always stripped, so
+    * every column is a term struct.
+    */
+  private def collectSols(df: DataFrame): Seq[Sol] = {
+    val cols = df.columns.toSeq
+    df.collect().toSeq.map { row =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        row.get(i) match {
+          case null => None
+          case r: org.apache.spark.sql.Row =>
+            Some(c -> Term(r.getString(0), r.getString(1), r.getString(2),
+              r.getString(3)))
+        }
+      }.toMap
+    }
+  }
+
+  test(s"differential: ORDER BY / LIMIT / OFFSET slice semantics on ${N / 2} random queries") {
+    import spark.implicits._
+    var skipped = 0
+    (0 until N / 2).foreach { i =>
+      val rnd = new scala.util.Random(SEED * 9000011L + i)
+      val data = genData(rnd)
+      val q0 = genQuery(rnd)
+      // agg/values heads and DISTINCT carry their own ordering rules
+      // (§15.3.1) pinned by the conformance suite; GRAPH/subquery are
+      // drilled by the main test. Project EVERY pattern var so a
+      // rendered row identifies its solution completely.
+      val q = q0.copy(aggQ = None, having = None, values = None,
+        distinct = false, graph = None, sub = None,
+        project = queryVars(q0.copy(graph = None, sub = None)))
+      if (q.project.isEmpty) { skipped += 1 }
+      else {
+        val naive = evalNaive(data, q)
+        if (naive.size > 20000) { skipped += 1 }
+        else {
+          // 1-2 keys; a key may repeat a var, flip direction, or (10%)
+          // name a never-bound var — all rows then tie on that key
+          val keys: Seq[(String, Boolean)] =
+            (0 until (1 + rnd.nextInt(2))).map { _ =>
+              val v = if (rnd.nextDouble() < 0.1) "zz"
+                      else q.project(rnd.nextInt(q.project.size))
+              (v, rnd.nextBoolean())
+            }
+          val flags = keys.map(_._2)
+          val n = naive.size
+          val off = if (rnd.nextDouble() < 0.5) Some(rnd.nextInt(n + 2)) else None
+          val lim = if (off.isEmpty || rnd.nextDouble() < 0.7) Some(rnd.nextInt(n + 2)) else None
+          val ordText = " ORDER BY " + keys.map { case (v, d) =>
+            if (d) s"DESC(?$v)"
+            else if (rnd.nextBoolean()) s"ASC(?$v)" else s"?$v"
+          }.mkString(" ")
+          // the grammar allows LIMIT/OFFSET in either clause order;
+          // OFFSET always applies first semantically
+          val loText = (off, lim, rnd.nextBoolean()) match {
+            case (Some(o), Some(l), true) => s" LIMIT $l OFFSET $o"
+            case (Some(o), Some(l), false) => s" OFFSET $o LIMIT $l"
+            case (Some(o), None, _) => s" OFFSET $o"
+            case (None, Some(l), _) => s" LIMIT $l"
+            case (None, None, _) => ""
+          }
+          val text = queryText(q) + ordText + loText
+
+          val withKeys: Seq[(KeyV, String)] = naive.map(s =>
+            (keys.map(k => keyVec(s, k._1)), renderSol(
+              s.view.filterKeys(q.project.contains).toMap)))
+          val sorted = withKeys.sortWith((a, b) => cmpKeys(a._1, b._1, flags) < 0)
+          val start = off.getOrElse(0)
+          val end = math.min(n, lim.fold(n)(l => start + l))
+
+          val df = data.map { case (s, p, o) =>
+            ConformanceQuad(null, s, p, o)
+          }.toDF()
+          val eSols = collectSols(Sparql.execute(df, text))
+          val eKeys = eSols.map(s => keys.map(k => keyVec(s, k._1)))
+          val eRender = eSols.map(renderSol)
+          val diag = s"[$i]\n$text\ndata=${data.map {
+            case (s, p, o) => s"${s.toNT} ${p.toNT} ${o.toNT}." }.mkString(" ")}\n" +
+            s"naive=$n rows, slice=[$start,${math.max(start, end)}), engine=${eSols.size} rows"
+          assert(eSols.size == math.max(0, end - start), diag)
+
+          // walk the naive key classes in sorted order: a class fully
+          // inside the slice must match as a multiset; a class the
+          // OFFSET/LIMIT boundary cuts contributes exactly its overlap
+          // count, any sub-multiset of the class
+          var classStart = 0
+          var ePos = 0
+          while (classStart < n) {
+            val key = sorted(classStart)._1
+            var classEnd = classStart + 1
+            while (classEnd < n && cmpKeys(sorted(classEnd)._1, key, flags) == 0)
+              classEnd += 1
+            val lo = math.max(start, classStart)
+            val hi = math.min(end, classEnd)
+            val overlap = math.max(0, hi - lo)
+            if (overlap > 0) {
+              val got = (ePos until ePos + overlap).map { j =>
+                assert(cmpKeys(eKeys(j), key, flags) == 0,
+                  s"$diag\nrow $j out of key order: ${eRender(j)}")
+                eRender(j)
+              }
+              val classRows = (classStart until classEnd).map(sorted(_)._2)
+              if (overlap == classEnd - classStart)
+                assert(got.sorted == classRows.sorted,
+                  s"$diag\nclass mismatch at key $key:\n  naive=${classRows.sorted}\n  engine=${got.sorted}")
+              else {
+                // boundary-cut class: every returned row must exist in
+                // the class, with multiplicity
+                val avail = scala.collection.mutable.Map[String, Int]()
+                classRows.foreach(r => avail(r) = avail.getOrElse(r, 0) + 1)
+                got.foreach { r =>
+                  assert(avail.getOrElse(r, 0) > 0,
+                    s"$diag\nrow not in its boundary class: $r")
+                  avail(r) -= 1
+                }
+              }
+              ePos += overlap
+            }
+            classStart = classEnd
+          }
+          assert(ePos == eSols.size, diag)
+        }
+      }
+    }
+    info(s"${N / 2} generated, $skipped skipped")
+  }
 }
