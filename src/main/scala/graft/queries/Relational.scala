@@ -249,6 +249,41 @@ object Relational {
              count(lit(1)).as("n"))
         .orderBy(col("s_nationkey"))
     },
+    "q32_abtest" -> { (s, dir) =>
+      // two-sample Welch t over purchase values, variant = user
+      // parity: ONE scan into a 1-row conditional aggregation
+      // (map-side partials — nothing event-sized shuffles). Moments
+      // stay EXACT: decimal sums, with squares of the 2-dp values
+      // exact at scale 4 so every unscaled sum stays below 2^53 and
+      // the final decimal→double cast is a single rounding in both
+      // engines. The statistic is then one fixed-order IEEE
+      // expression over those doubles — bit-identical to DuckDB
+      // replaying the same formula.
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"), dec(col("value")).as("v"))
+      val a = p.agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        d(sum(when(col("variant") === 0, col("v")))).as("s_a"),
+        d(sum(when(col("variant") === 1, col("v")))).as("s_b"),
+        d(sum(when(col("variant") === 0,
+          (col("v") * col("v")).cast("decimal(24,4)")))).as("ss_a"),
+        d(sum(when(col("variant") === 1,
+          (col("v") * col("v")).cast("decimal(24,4)")))).as("ss_b"))
+      val m = a.select(col("*"),
+        (col("s_a") / col("n_a")).as("mean_a"),
+        (col("s_b") / col("n_b")).as("mean_b"),
+        ((col("ss_a") - ((col("s_a") * col("s_a")) / col("n_a"))) /
+          (col("n_a") - 1)).as("var_a"),
+        ((col("ss_b") - ((col("s_b") * col("s_b")) / col("n_b"))) /
+          (col("n_b") - 1)).as("var_b"))
+      m.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        col("ss_a"), col("ss_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt((col("var_a") / col("n_a")) +
+               (col("var_b") / col("n_b")))).as("t_welch"))
+    },
     // --- sketch aggregates (the 100 TB approximate path) ------------------
     "q24_approx_distinct" -> { (s, dir) =>
       // HLL++ NDV per group, gated against the exact count: the sketch
@@ -416,6 +451,29 @@ object Relational {
          CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE)/COUNT(*) AS avg_bal,
          COUNT(*) AS n
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q32_abtest" ->
+      """WITH p AS (SELECT user_id % 2 AS variant,
+                           CAST(value AS DECIMAL(12,4)) AS v
+                    FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT
+           COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+           COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+           CAST(SUM(CASE WHEN variant = 0 THEN v END) AS DOUBLE) AS s_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN v END) AS DOUBLE) AS s_b,
+           CAST(SUM(CASE WHEN variant = 0
+             THEN CAST(v * v AS DECIMAL(24,4)) END) AS DOUBLE) AS ss_a,
+           CAST(SUM(CASE WHEN variant = 1
+             THEN CAST(v * v AS DECIMAL(24,4)) END) AS DOUBLE) AS ss_b
+           FROM p),
+         m AS (SELECT *, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+           ((ss_a - ((s_a * s_a) / n_a)) / (n_a - 1)) AS var_a,
+           ((ss_b - ((s_b * s_b) / n_b)) / (n_b - 1)) AS var_b
+           FROM a)
+         SELECT n_a, n_b, s_a, s_b, ss_a, ss_b, mean_a, mean_b,
+                var_a, var_b,
+                ((mean_a - mean_b) /
+                 sqrt((var_a / n_a) + (var_b / n_b))) AS t_welch
+         FROM m""",
     "q24_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
          COUNT(*) AS n, TRUE AS hll_ok

@@ -110,6 +110,30 @@ object TemporalQueries {
           t(s, dir, "events"), col("ts"), col("user_id"),
           periodSeconds = 86400L)
         .orderBy(col("cohort_start"), col("periods_since"))
+    },
+    "q31_gap_fill" -> { (s, dir) =>
+      // time-series resample + forward fill: hourly event counts per
+      // type on a COMPLETE per-type hour grid. The grid is
+      // sequence/explode over one (min,max) agg row per type — its
+      // size is bounded by types × hours, never by event count — and
+      // the fill is a per-type running last-non-null window over that
+      // bounded grid, so the only event-sized work is the first
+      // partial-agg shuffle. Hour = integer DIV of epoch micros (a
+      // double divide could misround a boundary).
+      import org.apache.spark.sql.expressions.Window
+      val withH = t(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      val counts = withH.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val grid = counts.groupBy(col("event_type"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), col("n"),
+          last(col("n"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("event_type"), col("h"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -205,5 +229,17 @@ object TemporalQueries {
                 m.delta AS periods_since, m.active_users, s.cohort_size,
                 m.active_users::DOUBLE / s.cohort_size AS retention
          FROM m JOIN s USING (cohort)
-         ORDER BY cohort_start, periods_since""")
+         ORDER BY cohort_start, periods_since""",
+    "q31_gap_fill" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                           COUNT(*)::BIGINT AS n
+                    FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+               FROM b GROUP BY event_type)
+         SELECT g.event_type, g.h, b.n,
+                last_value(b.n IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM g LEFT JOIN b USING (event_type, h)
+         ORDER BY event_type, h""")
 }
