@@ -47,6 +47,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class PPlusE(i: PathE) extends PathE
   private case class PStarE(i: PathE) extends PathE
   private case class POptE(i: PathE) extends PathE
+  /** Negated property set `!(p|…|^q|…)` — §9.1: a mixed set is the
+    * ALTERNATIVE of the forward NPS (triples whose predicate is not in
+    * fwd) and the inverted NPS (reversed triples whose predicate is
+    * not in inv); a side with no members contributes nothing.
+    */
+  private case class PNegE(fwd: Seq[Term], inv: Seq[Term]) extends PathE
 
   /** A path pattern slot: endpoints + path. */
   private case class PathTP(s: Node, path: PathE, o: Node)
@@ -93,8 +99,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // each OPTIONAL may carry an inner FILTER — §18.2.2.2 LeftJoin
       // condition semantics (the filter sees the JOINED solution, and
       // a row keeps its bare left part only when no compatible right
-      // row passes)
-      optionals: Seq[(Seq[TP], Option[Filt])],
+      // row passes) — and/or a NESTED OPTIONAL: the group evaluates
+      // bottom-up as LeftJoin(BGP, BGP) BEFORE the outer left join,
+      // with the outer condition seeing the nested bindings too
+      optionals: Seq[(Seq[TP], Option[Filt], Option[Seq[TP]])],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
       binds: Seq[(String, BindE)], // ?as := expression
@@ -135,6 +143,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case PPlusE(i) => s"(${pathText(i)})+"
     case PStarE(i) => s"(${pathText(i)})*"
     case POptE(i) => s"(${pathText(i)})?"
+    case PNegE(fwd, inv) =>
+      "!(" + (fwd.map(_.toNT) ++ inv.map("^" + _.toNT)).mkString("|") + ")"
   }
 
   private def filtText(f: Filt): String = f match {
@@ -179,8 +189,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.union.foreach { case (a, b) =>
       sb.append("  { " + branchText(a) + " } UNION { " + branchText(b) + " }\n")
     }
-    q.optionals.foreach { case (o, f) =>
+    q.optionals.foreach { case (o, f, nested) =>
       sb.append("  OPTIONAL { " + o.map(tpText).mkString(" ") +
+        nested.fold("")(n => " OPTIONAL { " + n.map(tpText).mkString(" ") + " }") +
         f.fold("")(ff => " FILTER " + filtText(ff)) + " }\n")
     }
     q.binds.foreach { case (as, be) =>
@@ -260,6 +271,15 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       (pathPairsN(data, PPlusE(i)).toSet ++ allNodes(data).map(n => (n, n))).toSeq
     case POptE(i) =>
       (pathPairsN(data, i).toSet ++ allNodes(data).map(n => (n, n))).toSeq
+    case PNegE(fwd, inv) =>
+      // bag union of the two sides: one pair per qualifying triple per
+      // direction (a triple excluded by neither side yields TWO pairs)
+      (if (fwd.nonEmpty)
+        data.collect { case (s, p, o) if !fwd.contains(p) => (s, o) }
+      else Seq.empty) ++
+      (if (inv.nonEmpty)
+        data.collect { case (s, p, o) if !inv.contains(p) => (o, s) }
+      else Seq.empty)
   }
 
   private def allNodes(data: Seq[(Term, Term, Term)]): Set[Term] =
@@ -273,7 +293,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case PSeqE(l, r) => zeroLen(l) && zeroLen(r)
     case PAltE(l, r) => zeroLen(l) || zeroLen(r)
     case PInvE(i) => zeroLen(i)
-    case _ => false
+    case _ => false // links and negated property sets are length-1
   }
 
   private def evalPathTp(data: Seq[(Term, Term, Term)], pt: PathTP,
@@ -465,8 +485,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
       sols = join(sols, evalBranch(a) ++ evalBranch(b))
     }
-    q.optionals.foreach { case (o, f) =>
-      val inner = evalBgp(data, o, Seq(Map.empty))
+    q.optionals.foreach { case (o, f, nested) =>
+      // the optional group evaluates bottom-up: its own BGP, left-
+      // joined with any nested OPTIONAL, all from the empty solution
+      var inner = evalBgp(data, o, Seq(Map.empty))
+      nested.foreach(n => inner = leftJoin(inner, evalBgp(data, n, Seq(Map.empty))))
       sols = f match {
         case None => leftJoin(sols, inner)
         case Some(ff) =>
@@ -690,9 +713,21 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
 
     val bgp = genTps(2)
+    def genNps(): PNegE = {
+      // exclude 1-2 of the three predicates per side; at least one side
+      // non-empty (an all-empty set is not grammatical)
+      def side(p: Double) = if (rnd.nextDouble() < p)
+        rnd.shuffle(Seq(0, 1, 2)).take(1 + rnd.nextInt(2))
+          .map(i => Term.iri(s"http://f/p$i"))
+        else Seq.empty
+      val fwd = side(0.75)
+      val inv = side(if (fwd.isEmpty) 1.0 else 0.4)
+      PNegE(fwd, inv)
+    }
     def genPath(depth: Int): PathE = {
       val roll = rnd.nextDouble()
-      if (depth <= 0 || roll < 0.45) PLinkE(somePred())
+      if (depth <= 0 || roll < 0.35) PLinkE(somePred())
+      else if (roll < 0.45) genNps()
       else if (roll < 0.55) PInvE(genPath(depth - 1))
       else if (roll < 0.7) PSeqE(genPath(depth - 1), genPath(depth - 1))
       else if (roll < 0.8) PAltE(genPath(depth - 1), genPath(depth - 1))
@@ -738,8 +773,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
     val optionals = (0 until rnd.nextInt(2)).map { _ =>
       val tps = genTps(1)
+      val nested = if (rnd.nextDouble() < 0.35) Some(genTps(1)) else None
       val f = if (rnd.nextDouble() < 0.4) Some(genFilt(1)) else None
-      (tps, f)
+      (tps, f, nested)
     }
     val minus = if (rnd.nextDouble() < 0.25) Some(genTps(1)) else None
     val notExists =
@@ -884,7 +920,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       q.union.toSeq.flatMap { case (a, b) =>
         tps(a.tps) ++ tps(a.opt.getOrElse(Nil)) ++
         tps(b.tps) ++ tps(b.opt.getOrElse(Nil)) } ++
-      tps(q.optionals.flatMap(_._1)) ++ q.binds.map(_._1)).distinct
+      tps(q.optionals.flatMap(_._1)) ++
+      tps(q.optionals.flatMap(_._3.getOrElse(Nil))) ++
+      q.binds.map(_._1)).distinct
   }
 
   /** §16.2 instantiation over the naive solutions: unbound template
