@@ -683,6 +683,51 @@ object SparqlQueries {
     // FROM dataset clauses: nation quads split by key parity into two
     // named graphs; one probe reads a single graph as the default,
     // another merges both — each checked against the relational truth
+    // full group patterns inside GRAPH (§18.2.5.1): part "a" runs
+    // OPTIONAL + a block-scoped FILTER under GRAPH ?g (the optional
+    // extends within the row's own graph only); part "b" is a leading
+    // OPTIONAL whose bare rows must still carry the ?g binding — the
+    // per-graph evaluation the engine expresses by seeding the block
+    // with the named-graph-names relation.
+    "sparql_graph_group" -> { (s, dir) =>
+      import s.implicits._
+      val store = fixture("sqgg", dir, s) { st =>
+        val rows = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+          .as[(Long, String, Long)].collect()
+        st.addQuads(0, rows.toSeq.flatMap { case (k, name, rk) =>
+          val g = Term.iri(s"${NS}g/${if (k % 2 == 0) "even" else "odd"}")
+          Seq(graft.rdf.Quad(g, Term.iri(s"${NS}nation/$k"),
+              Term.iri(s"${NS}regionkey"), Term.typed(rk.toString, Term.XSD_INTEGER))) ++
+            (if (k % 3 == 0)
+              Seq(graft.rdf.Quad(g, Term.iri(s"${NS}nation/$k"),
+                Term.iri(s"${NS}name"), Term.lit(name)))
+            else Seq.empty) ++
+            (if (k == 0)
+              Seq(graft.rdf.Quad(g, Term.iri(s"${NS}nation/$k"),
+                Term.iri(s"${NS}name0"), Term.lit(name)))
+            else Seq.empty)
+        })
+      }
+      val a = Sparql.execute(store.quads(),
+        s"""SELECT ?g ?s ?nm { GRAPH ?g {
+              ?s <${NS}regionkey> ?rk
+              OPTIONAL { ?s <${NS}name> ?nm }
+              FILTER(?rk >= 1)
+            } }""")
+        .select(lit("a").as("part"),
+          regexp_extract(col("g").getField("lex"), "g/(\\w+)$", 1).as("g"),
+          regexp_extract(col("s").getField("lex"), "nation/(\\d+)$", 1)
+            .cast("int").as("s"),
+          col("nm").getField("lex").as("nm"))
+      val b = Sparql.execute(store.quads(),
+        s"SELECT ?g ?nm { GRAPH ?g { OPTIONAL { ?x <${NS}name0> ?nm } } }")
+        .select(lit("b").as("part"),
+          regexp_extract(col("g").getField("lex"), "g/(\\w+)$", 1).as("g"),
+          lit(null).cast("int").as("s"),
+          col("nm").getField("lex").as("nm"))
+      a.unionByName(b).orderBy(col("part"), col("g"), col("s"), col("nm"))
+    },
     "sparql_from" -> { (s, dir) =>
       import s.implicits._
       val store = fixture("sqfrom", dir, s) { st =>
@@ -984,6 +1029,18 @@ object SparqlQueries {
                      ELSE 'http://graft.example/survey/' || n_nationkey END AS src,
                 CASE WHEN n_nationkey % 2 = 0 THEN 'census' ELSE 'survey' END AS kind
          FROM nation ORDER BY k""",
+    "sparql_graph_group" ->
+      """SELECT 'a' AS part,
+                CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+                n_nationkey::INT AS s,
+                CASE WHEN n_nationkey % 3 = 0 THEN n_name END AS nm
+         FROM nation WHERE n_regionkey >= 1
+         UNION ALL
+         SELECT 'b', 'even', NULL,
+                (SELECT n_name FROM nation WHERE n_nationkey = 0)
+         UNION ALL
+         SELECT 'b', 'odd', NULL, NULL
+         ORDER BY part, g, s, nm""",
     "sparql_path_graph" ->
       """WITH RECURSIVE
            ea AS (SELECT n_nationkey AS s, n_nationkey + 1 AS o FROM nation

@@ -96,6 +96,18 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     */
   final case class ServiceElem(endpoint: Node, silent: Boolean,
       remoteQuery: String, inner: Pattern) extends GroupElem
+  /** `GRAPH g { ... }` with a FULL group pattern inside (OPTIONAL /
+    * BIND / UNION / nested groups / VALUES / FILTER / EXISTS):
+    * evaluated bottom-up with `g` as the active graph — every leaf
+    * pattern scoped to `g`, and under `GRAPH ?var` seeded with the
+    * named-graph-names relation so even bare rows (a leading OPTIONAL
+    * that matches nothing in some graph) carry the graph binding, per
+    * §18.2.5.1's per-graph evaluation — then joined with the
+    * group-so-far. Purely conjunctive GRAPH contents never build this
+    * element: the parser flattens them into per-leaf graph fields so
+    * BGP reordering sees one flat join run.
+    */
+  final case class GraphElem(g: Node, inner: Pattern) extends GroupElem
 
   /** Property-path expressions (SPARQL §9). Sequence, alternative and
     * inverse desugar to joins/unions at compile time; `+` and `*`
@@ -987,11 +999,19 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     TriplePattern(tp.graph.map(deblank), deblank(tp.s), deblank(tp.p),
       deblank(tp.o))
 
-  private[sparql] def compileSol(quads: DataFrame, pattern: Pattern): Sol = pattern match {
+  /** `seed`: the active-graph-names relation threaded through every
+    * sub-group evaluation under `GRAPH ?var` — §18.2.5.1 evaluates the
+    * whole group once per named graph, so even a bare row produced by
+    * a leading OPTIONAL (or a nested group's left join) must carry the
+    * graph binding. Seeding each group's accumulator with the bound
+    * names relation is that per-graph evaluation, vectorized.
+    */
+  private[sparql] def compileSol(quads: DataFrame, pattern: Pattern,
+      seed: Option[Sol] = None): Sol = pattern match {
     case Union(branches) =>
       // branches may bind different variable sets (e.g. ?g only under
       // GRAPH); SPARQL leaves the others unbound → null columns
-      val sols = branches.map(compileSol(quads, _))
+      val sols = branches.map(compileSol(quads, _, seed))
       val allVars = sols.flatMap(_.df.columns).toSet
       val df = sols.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
       Sol(df, sols.flatMap(s => s.maybe ++ (allVars -- s.df.columns)).toSet,
@@ -1000,7 +1020,8 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       val termType = quads.schema("subject").dataType
       // acc == None until the first binding element, so a leading
       // OPTIONAL/BIND operates on the empty solution, not on zero rows
-      var acc: Option[Sol] = None
+      // (or, seeded under GRAPH ?var, on the graph-names relation)
+      var acc: Option[Sol] = seed
       def cur: Sol = acc.getOrElse(Sol(unitDf(quads), Set.empty))
       // FILTER scopes over the WHOLE group regardless of position
       // (spec §17.2) — binding elements first, filters at the end; a
@@ -1024,7 +1045,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             case Group(es) =>
               val fs = es.collect { case FilterElem(f) => f }
               val rest = es.filterNot(_.isInstanceOf[FilterElem])
-              val sol0 = compileSol(quads, Group(rest))
+              val sol0 = compileSol(quads, Group(rest), seed)
               val (local, joined) =
                 fs.partition(f => varsOf(f).subsetOf(sol0.df.columns.toSet))
               // EXISTS operands inside an OPTIONAL's filters: §18.2.2.2
@@ -1059,7 +1080,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
               }
               (local.foldLeft(sol0)((a, f) => applyFilter(quads, a, f)),
                 joined)
-            case other => (compileSol(quads, other), Seq.empty[FExpr])
+            case other => (compileSol(quads, other, seed), Seq.empty[FExpr])
           }
           acc = Some(joinShared(cur, innerSol, "left_outer", joinFilters))
         case BindElem(expr, as) =>
@@ -1081,9 +1102,9 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           acc = Some(Sol(base.df.withColumn(as, compileVExpr(base.df, termType, expr)),
             if (sure) base.maybe else base.maybe + as, bindNonNull))
         case MinusElem(inner) =>
-          acc = Some(minusJoin(cur, compileSol(quads, inner)))
+          acc = Some(minusJoin(cur, compileSol(quads, inner, seed)))
         case NestedElem(p) =>
-          val inner = compileSol(quads, p)
+          val inner = compileSol(quads, p, seed)
           acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
         case SubSelectElem(q) =>
           val inner = executeSelectSol(quads, q, asTerms = true)
@@ -1091,6 +1112,22 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
         case se: ServiceElem =>
           val next = SparqlService.serviceSol(quads, cur, se)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
+        case GraphElem(g, inner) =>
+          validateGraphGroup(inner, g)
+          val pushed = pushGraph(inner, g)
+          // GRAPH ?var: seed the inner evaluation with the bound
+          // named-graph names so bare rows carry the binding (the
+          // distinct-names relation is tiny — graph count, not quad
+          // count — and broadcast-joins against everything downstream)
+          val innerSeed = g match {
+            case Var(v) => Some(Sol(
+              quads.filter(col("graph").isNotNull)
+                .select(col("graph").as(v)).distinct(),
+              Set.empty, Set(v)))
+            case _ => None
+          }
+          val rhs = compileSol(quads, pushed, innerSeed)
+          acc = Some(acc.fold(rhs)(d => joinShared(d, rhs, "inner")))
         case FilterElem(_) | ExistsElem(_, _) => () // handled below
         case ValuesElem(vars, rows) =>
           val df = rows.map { r =>
@@ -1174,8 +1211,69 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       }
       filters.foreach(f => acc = Some(applyFilter(quads, cur, f)))
       existsElems.foreach(e =>
-        acc = Some(existsJoin(cur, compileSol(quads, e.inner), e.positive)))
+        acc = Some(existsJoin(cur, compileSol(quads, e.inner, seed), e.positive)))
       cur
+  }
+
+  /** Scope every leaf pattern of `p` that has no explicit graph to the
+    * active graph `g`, recursing through all group elements EXCEPT
+    * nested GRAPH blocks (they establish their own active graph) and
+    * SERVICE (evaluated remotely — the active graph does not travel).
+    */
+  private def pushGraph(p: Pattern, g: Node): Pattern = p match {
+    case Group(es) => Group(es.map(pushGraphElem(_, g)))
+    case Union(bs) => Union(bs.map(pushGraph(_, g)))
+  }
+
+  private def pushGraphElem(e: GroupElem, g: Node): GroupElem = e match {
+    case PatElem(tp) if tp.graph.isEmpty => PatElem(tp.copy(graph = Some(g)))
+    case pe: PathElem if pe.graph.isEmpty => pe.copy(graph = Some(g))
+    case OptElem(inner) => OptElem(pushGraph(inner, g))
+    case NestedElem(pp) => NestedElem(pushGraph(pp, g))
+    case MinusElem(inner) => MinusElem(pushGraph(inner, g))
+    case ExistsElem(inner, pos) => ExistsElem(pushGraph(inner, g), pos)
+    case SubSelectElem(q) => SubSelectElem(q.copy(pattern = pushGraph(q.pattern, g)))
+    // FILTER/BIND/VALUES carry no leaf patterns (embedded-EXISTS
+    // filters are rejected by validateGraphGroup); a nested GraphElem
+    // and SERVICE keep their own scope
+    case other => other
+  }
+
+  /** The shapes a full-group GRAPH block cannot express correctly in
+    * this engine, rejected with a clear error instead of a silently
+    * wrong answer: under `GRAPH ?var`, MINUS (the pushed graph
+    * variable would count as a shared variable in §18.5's overlap
+    * test, subtracting domain-disjoint solutions the spec keeps) and
+    * sub-SELECT (per-graph aggregation would have to key on the graph
+    * variable its GROUP BY hides); under any GRAPH, a FILTER with an
+    * EMBEDDED [NOT] EXISTS operand (the active graph cannot be pushed
+    * through the mark-join rewrite) — the standalone
+    * `FILTER [NOT] EXISTS { … }` form IS supported.
+    */
+  private def validateGraphGroup(p: Pattern, g: Node): Unit = {
+    val isVar = g.isInstanceOf[Var]
+    def walk(pat: Pattern): Unit = pat match {
+      case Union(bs) => bs.foreach(walk)
+      case Group(es) => es.foreach {
+        case FilterElem(f) if existsOf(f).nonEmpty =>
+          throw new RdfParseException(
+            "EXISTS embedded in a FILTER expression inside a GRAPH group " +
+            "is not supported — use a standalone FILTER [NOT] EXISTS, or " +
+            "lift the filter out of the GRAPH block")
+        case MinusElem(_) if isVar => throw new RdfParseException(
+          "MINUS inside a GRAPH block with a variable is not supported — " +
+          "use a constant graph or restructure with FILTER NOT EXISTS")
+        case SubSelectElem(_) if isVar => throw new RdfParseException(
+          "a sub-SELECT inside a GRAPH block with a variable is not " +
+          "supported — use a constant graph")
+        case OptElem(inner) => walk(inner)
+        case NestedElem(pp) => walk(pp)
+        case MinusElem(inner) => walk(inner)
+        case ExistsElem(inner, _) => walk(inner)
+        case _ => ()
+      }
+    }
+    walk(p)
   }
 
   /** Shared-variable join compatibility (§18.3) as a join condition:
@@ -1300,6 +1398,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
       case _: ServiceElem => true
       case OptElem(inner) => containsService(inner)
       case NestedElem(pp) => containsService(pp)
+      case GraphElem(_, inner) => containsService(inner)
       case MinusElem(inner) => containsService(inner)
       case ExistsElem(inner, _) => containsService(inner)
       case SubSelectElem(q) => containsService(q.pattern)

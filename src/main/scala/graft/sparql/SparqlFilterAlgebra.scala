@@ -117,6 +117,7 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
           Seq(s, o).flatMap(nodeVars).toSet ++
             g.toSeq.flatMap(nodeVars)
         case ServiceElem(_, _, _, inner) => patternVars(inner)
+        case GraphElem(g, inner) => patternVars(inner) ++ nodeVars(g)
         case MinusElem(_) => Set.empty[String]
         case ExistsElem(_, _) => Set.empty[String]
         case FilterElem(_) => Set.empty[String]

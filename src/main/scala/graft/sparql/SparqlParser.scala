@@ -341,15 +341,26 @@ import Sparql._
           } else if (tryKeyword("GRAPH")) {
             val g = parseNode()
             parseGroup() match {
-              case Group(es) if es.forall(e =>
-                  e.isInstanceOf[PatElem] || e.isInstanceOf[FilterElem] ||
-                  e.isInstanceOf[PathElem]) =>
+              // conjunctive fast path: flatten into per-leaf graph
+              // fields so the BGP reorderer sees one flat join run.
+              // A FILTER disqualifies it — hoisted, it would read
+              // variables bound OUTSIDE its group (§17.2 scope) — and
+              // so does a leaf that already carries a graph (a nested
+              // GRAPH block this parse already flattened: its active
+              // graph must not be overwritten, and under an outer
+              // variable graph its rows cross the graph names, which
+              // only the GraphElem path expresses).
+              case Group(es) if es.forall {
+                  case PatElem(tp) => tp.graph.isEmpty
+                  case pe: PathElem => pe.graph.isEmpty
+                  case _ => false
+                } =>
                 elems ++= es.map {
                   case PatElem(tp) => PatElem(tp.copy(graph = Some(g)))
                   case pe: PathElem => pe.copy(graph = Some(g))
                   case other => other
                 }
-              case _ => fail("GRAPH block must contain a basic pattern")
+              case p => elems += GraphElem(g, p)
             }
             // Quads grammar allows '.' between GRAPH blocks and triples
             skipWs()

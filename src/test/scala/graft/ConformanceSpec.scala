@@ -754,6 +754,136 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(r("s" -> ":c")))
   }
 
+  // --- full group patterns inside GRAPH (§18.2.5.1 per-graph eval) --------
+
+  test("graph: OPTIONAL inside constant GRAPH extends within that graph only") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :o1 . :a :q :x . :b :p :o2 .",
+      "http://example/g2" -> ":a :q :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s ?v { GRAPH :g1 { ?s :p ?o OPTIONAL { ?s :q ?v } } }"),
+      Seq(r("s" -> ":a", "v" -> ":x"), r("s" -> ":b")))
+  }
+
+  test("graph: OPTIONAL inside GRAPH ?g evaluates per graph") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :o1 . :a :q :x .",
+      "http://example/g2" -> ":a :p :o2 .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?v { GRAPH ?g { ?s :p ?o OPTIONAL { ?s :q ?v } } }"),
+      Seq(r("g" -> ":g1", "v" -> ":x"), r("g" -> ":g2")))
+  }
+
+  test("graph: leading OPTIONAL under GRAPH ?g still binds ?g on bare rows") {
+    // §18.2.5.1: the group evaluates once per named graph, so the
+    // graph with no :q match contributes the bare row {g → g2}
+    val df = dataset("",
+      "http://example/g1" -> ":a :q :x .",
+      "http://example/g2" -> ":b :r :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?v { GRAPH ?g { OPTIONAL { ?s :q ?v } } }"),
+      Seq(r("g" -> ":g1", "v" -> ":x"), r("g" -> ":g2")))
+  }
+
+  test("graph: FILTER inside a GRAPH group scopes to that group") {
+    // ?x is bound OUTSIDE the GRAPH group; §17.2 scope makes the inner
+    // comparison an error for every row, emptying the group — a
+    // hoisted filter would wrongly see ?x and pass
+    val df = dataset(":d :num :x .", "http://example/g1" -> ":a :p :o1 .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s { :d :num ?x GRAPH :g1 { ?s :p ?o FILTER(?x = :x) } }"),
+      Seq.empty)
+    // control: the same filter over an inner-bound variable works
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s { GRAPH :g1 { ?s :p ?o FILTER(?o = :o1) } }"),
+      Seq(r("s" -> ":a")))
+  }
+
+  test("graph: UNION inside GRAPH ?g binds the graph per branch") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x .",
+      "http://example/g2" -> ":b :q :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { { ?s :p ?o } UNION { ?s :q ?o } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":a"), r("g" -> ":g2", "s" -> ":b")))
+  }
+
+  test("graph: BIND inside GRAPH ?g sees the graph binding") {
+    val df = dataset("", "http://example/g1" -> ":a :p :x .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?w { GRAPH ?g { ?s :p ?o BIND(?g AS ?w) } }"),
+      Seq(r("w" -> ":g1")))
+  }
+
+  test("graph: VALUES inside GRAPH ?g joins every named graph") {
+    // eval(VALUES, gi) is the same rows for every graph, then each is
+    // joined with {g → gi} — so the data crosses the graph names
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x .",
+      "http://example/g2" -> ":b :q :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?v { GRAPH ?g { VALUES ?v { :k } } }"),
+      Seq(r("g" -> ":g1", "v" -> ":k"), r("g" -> ":g2", "v" -> ":k")))
+  }
+
+  test("graph: nested GRAPH resets the active graph") {
+    // eval(Graph(:g2, P), gi) ignores gi, so the outer ?g crosses
+    // every named graph name
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x .",
+      "http://example/g2" -> ":b :q :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { GRAPH :g2 { ?s ?p ?o } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":b"), r("g" -> ":g2", "s" -> ":b")))
+  }
+
+  test("graph: MINUS inside a constant GRAPH subtracts within that graph") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :b :p :y . :a :q :z .",
+      "http://example/g2" -> ":b :q :w .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s { GRAPH :g1 { ?s :p ?o MINUS { ?s :q ?z2 } } }"),
+      Seq(r("s" -> ":b")))
+  }
+
+  test("graph: sub-SELECT inside a constant GRAPH aggregates that graph only") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :a :p :y . :b :p :z .",
+      "http://example/g2" -> ":a :p :w .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s ?c { GRAPH :g1 { { SELECT ?s (COUNT(*) AS ?c) WHERE { ?s :p ?o } GROUP BY ?s } } }"),
+      Seq(r("s" -> ":a", "c" -> "\"2\"^^xsd:integer"),
+        r("s" -> ":b", "c" -> "\"1\"^^xsd:integer")))
+  }
+
+  test("graph: FILTER NOT EXISTS inside GRAPH ?g probes the same graph") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :a :q :x . :b :p :y .",
+      "http://example/g2" -> ":c :p :z .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { ?s :p ?o FILTER NOT EXISTS { ?s :q ?o2 } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":b"), r("g" -> ":g2", "s" -> ":c")))
+  }
+
+  test("graph: unsupported GRAPH group shapes are clean errors") {
+    val df = dataset("", "http://example/g1" -> ":a :p :x .")
+    Seq(
+      // MINUS under a variable graph: the pushed graph variable would
+      // count as a shared variable in §18.5's overlap test
+      "SELECT * { GRAPH ?g { ?s :p ?o MINUS { ?s :q ?x } } }",
+      // sub-SELECT under a variable graph: per-graph aggregation
+      "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } } } }",
+      // EXISTS embedded in a FILTER expression inside any GRAPH group
+      "SELECT * { GRAPH :g1 { ?s :p ?o FILTER(EXISTS { ?s :q ?o2 } || ?o = :x) } }")
+      .foreach { q =>
+        val thrown = intercept[Exception] {
+          Sparql.execute(df, QPRELUDE + q).collect()
+        }
+        assert(thrown.isInstanceOf[graft.rdf.RdfParseException],
+          s"expected RdfParseException for [$q], got $thrown")
+      }
+  }
+
   // ==========================================================================
   // ASK / CONSTRUCT forms
   // ==========================================================================

@@ -115,10 +115,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // trailing query-level VALUES ?v { ... } (None entry = UNDEF);
       // §18.2.4.3: joins AFTER aggregation + HAVING, before projection
       values: Option[(String, Seq[Option[Term]])],
-      // GRAPH <g>/?g { tps } joined into the group — evaluated over
-      // the NAMED graphs only (never the default graph), the variable
-      // form iterating dataset graphs and binding the name
-      graph: Option[(Node, Seq[TP])] = None,
+      // GRAPH <g>/?g { tps [OPTIONAL{...}] [FILTER f] } joined into
+      // the group — evaluated over the NAMED graphs only (never the
+      // default graph), the variable form iterating dataset graphs
+      // and binding the name BEFORE the block's own OPTIONAL/FILTER
+      // run (so a filter can reference ?g); the filter scopes to the
+      // block (§17.2 — an outer variable it names is unbound → error)
+      graph: Option[(Node, Seq[TP], Option[Seq[TP]], Option[Filt])] = None,
       // { SELECT ?g (COUNT(*) AS ?m) WHERE { tps } GROUP BY ?g }
       // joined into the outer group: §18.2 subquery scoping — only
       // the projected pair joins out; inner uses of outer variable
@@ -174,9 +177,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
     q.paths.foreach(pt => sb.append(
       s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
-    q.graph.foreach { case (gn, tps) =>
+    q.graph.foreach { case (gn, tps, opt, filt) =>
       sb.append("  GRAPH " + nodeText(gn) + " { " +
-        tps.map(tpText).mkString(" ") + " }\n")
+        tps.map(tpText).mkString(" ") +
+        opt.fold("")(o => " OPTIONAL { " + o.map(tpText).mkString(" ") + " }") +
+        filt.fold("")(f => " FILTER " + filtText(f)) + " }\n")
     }
     q.sub.foreach { case (g, tps) =>
       sb.append("  { SELECT ?" + g + " (COUNT(*) AS ?m) WHERE { " +
@@ -451,17 +456,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // GRAPH block: per named graph, evaluate the inner BGP over that
     // graph's triples; the variable form binds the graph name (or
     // checks an existing binding at the join)
-    q.graph.foreach { case (gn, tps) =>
+    q.graph.foreach { case (gn, tps, opt, filt) =>
       val gsols = named.groupBy(_._1).toSeq.flatMap { case (g, quads) =>
         val trip = quads.map(q4 => (q4._2, q4._3, q4._4))
-        val inner = evalBgp(trip, tps, Seq(Map.empty))
+        var inner = evalBgp(trip, tps, Seq(Map.empty))
+        // the variable form binds the graph name FIRST (the engine
+        // seeds the block with the names relation), so the block's own
+        // OPTIONAL/FILTER see ?g; a constant form never binds it
         gn match {
-          case C(t) => if (t == g) inner else Seq.empty
-          case V(v) => inner.flatMap(sol => sol.get(v) match {
+          case C(t) => if (t != g) inner = Seq.empty
+          case V(v) => inner = inner.flatMap(sol => sol.get(v) match {
             case Some(b) => if (b == g) Some(sol) else None
             case None => Some(sol + (v -> g))
           })
         }
+        opt.foreach(o => inner = leftJoin(inner, evalBgp(trip, o, Seq(Map.empty))))
+        filt.foreach(f => inner = inner.filter(evalFilt(f, _).contains(true)))
+        inner
       }
       sols = join(sols, gsols)
     }
@@ -751,7 +762,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         val gn =
           if (rnd.nextDouble() < 0.5) { used += "g"; V("g") }
           else C(Term.iri(s"http://f/g${1 + rnd.nextInt(3)}")) // g3 = empty
-        Some((gn, tps))
+        // a full group inside GRAPH: OPTIONAL and/or a block-scoped
+        // FILTER (which may name outer variables — unbound here, per
+        // §17.2 an error that drops the row)
+        val gopt = if (rnd.nextDouble() < 0.4) Some(genTps(1)) else None
+        val gfilt = if (rnd.nextDouble() < 0.35) Some(genFilt(1)) else None
+        Some((gn, tps, gopt, gfilt))
       }
     def genBranch(): Branch = Branch(genTps(1),
       if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None,
