@@ -1102,7 +1102,11 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           acc = Some(Sol(base.df.withColumn(as, compileVExpr(base.df, termType, expr)),
             if (sure) base.maybe else base.maybe + as, bindNonNull))
         case MinusElem(inner) =>
-          acc = Some(minusJoin(cur, compileSol(quads, inner, seed)))
+          // under a seeded GRAPH ?var block the seed's variable joins
+          // (same-graph restriction) but is excluded from the §18.5
+          // domain-overlap test — see minusJoin
+          acc = Some(minusJoin(cur, compileSol(quads, inner, seed),
+            seed.map(_.df.columns.toSet).getOrElse(Set.empty)))
         case NestedElem(p) =>
           val inner = compileSol(quads, p, seed)
           acc = Some(acc.fold(inner)(d => joinShared(d, inner, "inner")))
@@ -1241,14 +1245,13 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
 
   /** The shapes a full-group GRAPH block cannot express correctly in
     * this engine, rejected with a clear error instead of a silently
-    * wrong answer: under `GRAPH ?var`, MINUS (the pushed graph
-    * variable would count as a shared variable in §18.5's overlap
-    * test, subtracting domain-disjoint solutions the spec keeps) and
-    * sub-SELECT (per-graph aggregation would have to key on the graph
-    * variable its GROUP BY hides); under any GRAPH, a FILTER with an
-    * EMBEDDED [NOT] EXISTS operand (the active graph cannot be pushed
-    * through the mark-join rewrite) — the standalone
-    * `FILTER [NOT] EXISTS { … }` form IS supported.
+    * wrong answer: under `GRAPH ?var`, sub-SELECT (per-graph
+    * aggregation would have to key on the graph variable its GROUP BY
+    * hides); under any GRAPH, a FILTER with an EMBEDDED [NOT] EXISTS
+    * operand (the active graph cannot be pushed through the mark-join
+    * rewrite) — the standalone `FILTER [NOT] EXISTS { … }` form IS
+    * supported, and so is MINUS (its domain-overlap test excludes the
+    * pushed graph variable, see [[minusJoin]]).
     */
   private def validateGraphGroup(p: Pattern, g: Node): Unit = {
     val isVar = g.isInstanceOf[Var]
@@ -1260,9 +1263,6 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             "EXISTS embedded in a FILTER expression inside a GRAPH group " +
             "is not supported — use a standalone FILTER [NOT] EXISTS, or " +
             "lift the filter out of the GRAPH block")
-        case MinusElem(_) if isVar => throw new RdfParseException(
-          "MINUS inside a GRAPH block with a variable is not supported — " +
-          "use a constant graph or restructure with FILTER NOT EXISTS")
         case SubSelectElem(_) if isVar => throw new RdfParseException(
           "a sub-SELECT inside a GRAPH block with a variable is not " +
           "supported — use a constant graph")
@@ -1309,15 +1309,24 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     * no shared variables nothing is removed. When every shared var is
     * sure-bound the overlap guard is identically true and is omitted,
     * keeping the anti join hash-joinable.
+    *
+    * `exclude`: variables that do NOT count for the §18.5 domain-
+    * overlap test (though they still join in the compatibility
+    * condition). Under `GRAPH ?var` the pushed graph variable is such:
+    * the spec evaluates both MINUS sides under the same active graph
+    * and only then adds the graph binding, so ?var correctly RESTRICTS
+    * the right side to the row's own graph but must not make
+    * domain-disjoint sides start subtracting.
     */
-  private def minusJoin(l: Sol, r: Sol): Sol = {
+  private def minusJoin(l: Sol, r: Sol, exclude: Set[String] = Set.empty): Sol = {
     val shared = l.df.columns.toSet intersect r.df.columns.toSet
-    if (shared.isEmpty) l
+    val overlap = shared -- exclude
+    if (overlap.isEmpty) l
     else {
-      val allSure = shared.forall(c => !l.maybe.contains(c) && !r.maybe.contains(c))
+      val allSure = overlap.forall(c => !l.maybe.contains(c) && !r.maybe.contains(c))
       val cond =
         if (allSure) compatCond(l, r)
-        else compatCond(l, r) && shared.toSeq
+        else compatCond(l, r) && overlap.toSeq
           .map(c => col(s"l.$c").isNotNull && col(s"r.$c").isNotNull)
           .reduce(_ || _)
       Sol(l.df.alias("l").join(r.df.alias("r"), cond, "left_anti"),

@@ -865,12 +865,30 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(r("g" -> ":g1", "s" -> ":b"), r("g" -> ":g2", "s" -> ":c")))
   }
 
+  test("graph: MINUS inside GRAPH ?g subtracts within each graph only") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :b :p :y . :a :q :z .",
+      "http://example/g2" -> ":a :p :w . :b :q :v .")
+    // :a has a same-graph :q only in g1; :b only in g2
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { ?s :p ?o MINUS { ?s :q ?z2 } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":b"), r("g" -> ":g2", "s" -> ":a")))
+  }
+
+  test("graph: domain-disjoint MINUS inside GRAPH ?g removes nothing") {
+    // §18.5: the sides share no variable (the graph binding does not
+    // count — it is added by the GRAPH evaluation, not the patterns),
+    // so nothing subtracts even though :x :r :y exists in g1
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :x :r :y .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { ?s :p ?o MINUS { ?x2 :r ?y2 } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":a")))
+  }
+
   test("graph: unsupported GRAPH group shapes are clean errors") {
     val df = dataset("", "http://example/g1" -> ":a :p :x .")
     Seq(
-      // MINUS under a variable graph: the pushed graph variable would
-      // count as a shared variable in §18.5's overlap test
-      "SELECT * { GRAPH ?g { ?s :p ?o MINUS { ?s :q ?x } } }",
       // sub-SELECT under a variable graph: per-graph aggregation
       "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } } } }",
       // EXISTS embedded in a FILTER expression inside any GRAPH group

@@ -105,6 +105,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       optionals: Seq[(Seq[TP], Option[Filt], Option[Seq[TP]])],
       minus: Option[Seq[TP]],
       notExists: Option[Seq[TP]],
+      // positive FILTER EXISTS { tps } — §8.1.1 substitution semantics
+      exists: Option[Seq[TP]] = None,
       binds: Seq[(String, BindE)], // ?as := expression
       filters: Seq[Filt],
       project: Seq[String],
@@ -115,13 +117,15 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // trailing query-level VALUES ?v { ... } (None entry = UNDEF);
       // §18.2.4.3: joins AFTER aggregation + HAVING, before projection
       values: Option[(String, Seq[Option[Term]])],
-      // GRAPH <g>/?g { tps [OPTIONAL{...}] [FILTER f] } joined into
-      // the group — evaluated over the NAMED graphs only (never the
-      // default graph), the variable form iterating dataset graphs
-      // and binding the name BEFORE the block's own OPTIONAL/FILTER
+      // GRAPH <g>/?g { tps [OPTIONAL{...}] [MINUS{...}] [FILTER f] }
+      // joined into the group — evaluated over the NAMED graphs only
+      // (never the default graph), the variable form iterating dataset
+      // graphs and binding the name BEFORE the block's own elements
       // run (so a filter can reference ?g); the filter scopes to the
-      // block (§17.2 — an outer variable it names is unbound → error)
-      graph: Option[(Node, Seq[TP], Option[Seq[TP]], Option[Filt])] = None,
+      // block (§17.2 — an outer variable it names is unbound → error),
+      // and the MINUS subtracts within the row's own graph with the
+      // graph binding excluded from the §18.5 domain-overlap test
+      graph: Option[(Node, Seq[TP], Option[Seq[TP]], Option[Seq[TP]], Option[Filt])] = None,
       // { SELECT ?g (COUNT(*) AS ?m) WHERE { tps } GROUP BY ?g }
       // joined into the outer group: §18.2 subquery scoping — only
       // the projected pair joins out; inner uses of outer variable
@@ -177,10 +181,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
     q.paths.foreach(pt => sb.append(
       s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
-    q.graph.foreach { case (gn, tps, opt, filt) =>
+    q.graph.foreach { case (gn, tps, opt, gminus, filt) =>
       sb.append("  GRAPH " + nodeText(gn) + " { " +
         tps.map(tpText).mkString(" ") +
         opt.fold("")(o => " OPTIONAL { " + o.map(tpText).mkString(" ") + " }") +
+        gminus.fold("")(m => " MINUS { " + m.map(tpText).mkString(" ") + " }") +
         filt.fold("")(f => " FILTER " + filtText(f)) + " }\n")
     }
     q.sub.foreach { case (g, tps) =>
@@ -212,6 +217,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
     q.notExists.foreach(ne =>
       sb.append("  FILTER NOT EXISTS { " + ne.map(tpText).mkString(" ") + " }\n"))
+    q.exists.foreach(ex =>
+      sb.append("  FILTER EXISTS { " + ex.map(tpText).mkString(" ") + " }\n"))
     q.filters.foreach(f => sb.append("  FILTER " + filtText(f) + "\n"))
     sb.append("}")
     q.aggQ.foreach(a => if (a.group.nonEmpty)
@@ -456,7 +463,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // GRAPH block: per named graph, evaluate the inner BGP over that
     // graph's triples; the variable form binds the graph name (or
     // checks an existing binding at the join)
-    q.graph.foreach { case (gn, tps, opt, filt) =>
+    q.graph.foreach { case (gn, tps, opt, gminus, filt) =>
       val gsols = named.groupBy(_._1).toSeq.flatMap { case (g, quads) =>
         val trip = quads.map(q4 => (q4._2, q4._3, q4._4))
         var inner = evalBgp(trip, tps, Seq(Map.empty))
@@ -471,6 +478,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           })
         }
         opt.foreach(o => inner = leftJoin(inner, evalBgp(trip, o, Seq(Map.empty))))
+        // the MINUS right side evaluates under the same active graph
+        // and never binds the graph variable (§18.5 overlap uses only
+        // the patterns' own variables)
+        gminus.foreach(m => inner = minusOp(inner, evalBgp(trip, m, Seq(Map.empty))))
         filt.foreach(f => inner = inner.filter(evalFilt(f, _).contains(true)))
         inner
       }
@@ -536,6 +547,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       sols = sols.filter(sol => evalBgp(data,
         ne.map(tp => TP(subst(tp.s, sol), subst(tp.p, sol), subst(tp.o, sol))),
         Seq(Map.empty)).isEmpty)
+    }
+    q.exists.foreach { ex =>
+      sols = sols.filter(sol => evalBgp(data,
+        ex.map(tp => TP(subst(tp.s, sol), subst(tp.p, sol), subst(tp.o, sol))),
+        Seq(Map.empty)).nonEmpty)
     }
     q.filters.foreach { f =>
       sols = sols.filter(sol => evalFilt(f, sol).contains(true))
@@ -766,8 +782,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         // FILTER (which may name outer variables — unbound here, per
         // §17.2 an error that drops the row)
         val gopt = if (rnd.nextDouble() < 0.4) Some(genTps(1)) else None
+        val gminus = if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None
         val gfilt = if (rnd.nextDouble() < 0.35) Some(genFilt(1)) else None
-        Some((gn, tps, gopt, gfilt))
+        Some((gn, tps, gopt, gminus, gfilt))
       }
     def genBranch(): Branch = Branch(genTps(1),
       if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None,
@@ -796,6 +813,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val minus = if (rnd.nextDouble() < 0.25) Some(genTps(1)) else None
     val notExists =
       if (minus.isEmpty && rnd.nextDouble() < 0.25) Some(genTps(1)) else None
+    val existsPos =
+      if (minus.isEmpty && notExists.isEmpty && rnd.nextDouble() < 0.2)
+        Some(genTps(1)) else None
     val binds = (0 until (if (used.nonEmpty && rnd.nextDouble() < 0.3) 1 else 0)).map { _ =>
       def pick() = used.toSeq(rnd.nextInt(used.size))
       val src = pick()
@@ -858,9 +878,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         Some((v, rows))
       }
     }
-    GenQuery(bgp, paths, union, optionals, minus, notExists, binds.toSeq,
-      filters, project, distinct = rnd.nextDouble() < 0.3, aggQ, having,
-      values, graphBlock, sub)
+    GenQuery(bgp, paths, union, optionals, minus, notExists, existsPos,
+      binds.toSeq, filters, project, distinct = rnd.nextDouble() < 0.3,
+      aggQ, having, values, graphBlock, sub)
   }
 
   // --- comparison harness ---------------------------------------------------
