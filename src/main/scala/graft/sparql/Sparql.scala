@@ -1078,7 +1078,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
                   }
                 }
               }
-              (local.foldLeft(sol0)((a, f) => applyFilter(quads, a, f)),
+              (local.foldLeft(sol0)((a, f) => applyFilter(quads, a, f, seed)),
                 joined)
             case other => (compileSol(quads, other, seed), Seq.empty[FExpr])
           }
@@ -1213,7 +1213,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
             varSlots.collect { case (n, c) if c != "pg" => n }.toSet)
           acc = Some(acc.fold(bound)(d => joinShared(d, bound, "inner")))
       }
-      filters.foreach(f => acc = Some(applyFilter(quads, cur, f)))
+      filters.foreach(f => acc = Some(applyFilter(quads, cur, f, seed)))
       existsElems.foreach(e =>
         acc = Some(existsJoin(cur, compileSol(quads, e.inner, seed), e.positive)))
       cur
@@ -1237,32 +1237,57 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     case MinusElem(inner) => MinusElem(pushGraph(inner, g))
     case ExistsElem(inner, pos) => ExistsElem(pushGraph(inner, g), pos)
     case SubSelectElem(q) => SubSelectElem(q.copy(pattern = pushGraph(q.pattern, g)))
-    // FILTER/BIND/VALUES carry no leaf patterns (embedded-EXISTS
-    // filters are rejected by validateGraphGroup); a nested GraphElem
-    // and SERVICE keep their own scope
+    // a FILTER's leaf patterns live in embedded [NOT] EXISTS operands
+    case FilterElem(f) => FilterElem(pushGraphF(f, g))
+    // BIND/VALUES carry no leaf patterns; a nested GraphElem and
+    // SERVICE keep their own scope
     case other => other
   }
 
-  /** The shapes a full-group GRAPH block cannot express correctly in
-    * this engine, rejected with a clear error instead of a silently
-    * wrong answer: under `GRAPH ?var`, sub-SELECT (per-graph
+  /** Push the active graph into a filter expression's embedded
+    * `[NOT] EXISTS` operands (anywhere in the tree, incl. IF
+    * conditions — mirrors [[rewriteExists]]'s traversal).
+    */
+  private def pushGraphF(f0: FExpr, g: Node): FExpr = {
+    def fw(f: FExpr): FExpr = f match {
+      case FExists(inner, pos) => FExists(pushGraph(inner, g), pos)
+      case FAnd(a, b) => FAnd(fw(a), fw(b))
+      case FOr(a, b) => FOr(fw(a), fw(b))
+      case FNot(e) => FNot(fw(e))
+      case FCmp(l, op, r) => FCmp(vw(l), op, vw(r))
+      case FIn(e, items, p) => FIn(vw(e), items.map(vw), p)
+      case FSameTerm(l, r) => FSameTerm(vw(l), vw(r))
+      case FEbv(e) => FEbv(vw(e))
+      case other => other
+    }
+    def vw(v: VExpr): VExpr = v match {
+      case VIf(c, t, e) => VIf(fw(c), vw(t), vw(e))
+      case VBool(c) => VBool(fw(c))
+      case VCoalesce(args) => VCoalesce(args.map(vw))
+      case VFn(fn, a) => VFn(fn, vw(a))
+      case VBin(op, l, r) => VBin(op, vw(l), vw(r))
+      case VFnN(fn, args) => VFnN(fn, args.map(vw))
+      case VCast(dt, a) => VCast(dt, vw(a))
+      case other => other
+    }
+    fw(f0)
+  }
+
+  /** The one shape a full-group GRAPH block cannot express correctly
+    * in this engine, rejected with a clear error instead of a silently
+    * wrong answer: under `GRAPH ?var`, a sub-SELECT (per-graph
     * aggregation would have to key on the graph variable its GROUP BY
-    * hides); under any GRAPH, a FILTER with an EMBEDDED [NOT] EXISTS
-    * operand (the active graph cannot be pushed through the mark-join
-    * rewrite) — the standalone `FILTER [NOT] EXISTS { … }` form IS
-    * supported, and so is MINUS (its domain-overlap test excludes the
-    * pushed graph variable, see [[minusJoin]]).
+    * hides). Everything else works: MINUS's domain-overlap test
+    * excludes the pushed graph variable ([[minusJoin]]), and FILTERs
+    * with embedded [NOT] EXISTS get the active graph pushed into the
+    * operand patterns ([[pushGraphF]]) with the mark-join probe seeded
+    * per graph ([[markExists]]).
     */
   private def validateGraphGroup(p: Pattern, g: Node): Unit = {
     val isVar = g.isInstanceOf[Var]
     def walk(pat: Pattern): Unit = pat match {
       case Union(bs) => bs.foreach(walk)
       case Group(es) => es.foreach {
-        case FilterElem(f) if existsOf(f).nonEmpty =>
-          throw new RdfParseException(
-            "EXISTS embedded in a FILTER expression inside a GRAPH group " +
-            "is not supported — use a standalone FILTER [NOT] EXISTS, or " +
-            "lift the filter out of the GRAPH block")
         case SubSelectElem(_) if isVar => throw new RdfParseException(
           "a sub-SELECT inside a GRAPH block with a variable is not " +
           "supported — use a constant graph")

@@ -13,8 +13,9 @@ import graft.rdf.{RdfParseException, Term}
   */
 private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
   import Sparql._
-  private[sparql] def applyFilter(quads: DataFrame, sol: Sol, f: FExpr): Sol = {
-    val (marked, nf, flags) = rewriteExists(quads, sol, f)
+  private[sparql] def applyFilter(quads: DataFrame, sol: Sol, f: FExpr,
+      seed: Option[Sol] = None): Sol = {
+    val (marked, nf, flags) = rewriteExists(quads, sol, f, seed)
     val cols = marked.df.columns.toSet
     val filtered = marked.df.filter(compileFilter(nf,
       n => if (cols.contains(n)) col(n) else lit(null).cast(TERM_STRUCT)))
@@ -28,13 +29,13 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     * join is an equi/compat join, no solution row ever duplicates.
     */
   private[sparql] def rewriteExists(quads: DataFrame, sol0: Sol,
-      f0: FExpr): (Sol, FExpr, Seq[String]) = {
+      f0: FExpr, seed: Option[Sol] = None): (Sol, FExpr, Seq[String]) = {
     var sol = sol0
     val flags = scala.collection.mutable.ArrayBuffer[String]()
     def fw(f: FExpr): FExpr = f match {
       case FExists(inner, positive) =>
         val flag = s"#exists${flags.size}"
-        sol = markExists(quads, sol, inner, flag)
+        sol = markExists(quads, sol, inner, flag, seed)
         flags += flag
         FFlag(flag, positive)
       case FAnd(a, b) => FAnd(fw(a), fw(b))
@@ -134,8 +135,11 @@ private[sparql] trait SparqlFilterAlgebra { this: Sparql.type =>
     * the inner pattern evaluates once, not per row.
     */
   private[sparql] def markExists(quads: DataFrame, sol: Sol, inner: Pattern,
-      flag: String): Sol = {
-    val innerSol = compileSol(quads, inner)
+      flag: String, seed: Option[Sol] = None): Sol = {
+    // `seed`: under GRAPH ?var the inner pattern evaluates per graph —
+    // seeding keeps even its bare rows carrying the graph binding, so
+    // the compat probe restricts to the row's own graph
+    val innerSol = compileSol(quads, inner, seed)
     val shared = sol.df.columns.filterNot(_.startsWith("#"))
       .filter(innerSol.df.columns.contains).toSeq
     val marked =

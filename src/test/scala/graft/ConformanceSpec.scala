@@ -886,13 +886,25 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(r("g" -> ":g1", "s" -> ":a")))
   }
 
+  test("graph: EXISTS embedded in a FILTER expression scopes to the active graph") {
+    // :a has a :q in g1 only; :b has one in g2 only — the embedded
+    // EXISTS probes the row's own graph, and the || arm rescues :c
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :a :q :z . :b :p :y . :c :p :k .",
+      "http://example/g2" -> ":b :q :w .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { ?s :p ?o FILTER(EXISTS { ?s :q ?o2 } || ?o = :k) } }"),
+      Seq(r("g" -> ":g1", "s" -> ":a"), r("g" -> ":g1", "s" -> ":c")))
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?s { GRAPH :g1 { ?s :p ?o FILTER(!(EXISTS { ?s :q ?o2 })) } }"),
+      Seq(r("s" -> ":b"), r("s" -> ":c")))
+  }
+
   test("graph: unsupported GRAPH group shapes are clean errors") {
     val df = dataset("", "http://example/g1" -> ":a :p :x .")
     Seq(
       // sub-SELECT under a variable graph: per-graph aggregation
-      "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } } } }",
-      // EXISTS embedded in a FILTER expression inside any GRAPH group
-      "SELECT * { GRAPH :g1 { ?s :p ?o FILTER(EXISTS { ?s :q ?o2 } || ?o = :x) } }")
+      "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } } } }")
       .foreach { q =>
         val thrown = intercept[Exception] {
           Sparql.execute(df, QPRELUDE + q).collect()
