@@ -75,6 +75,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class BCoalesce(x: String, y: String, k: Term) extends BindE
   private case class BIf(cond: String, thenV: String, k: Term) extends BindE
 
+  private case class GBlock(gn: Node, tps: Seq[TP],
+      union: Option[(Seq[TP], Seq[TP])], opt: Option[Seq[TP]],
+      bind: Option[(String, BindE)], minus: Option[Seq[TP]],
+      filt: Option[Filt])
+
   private sealed trait Filt
   private case class Cmp(l: Node, op: String, r: Node) extends Filt
   private case class Bound(v: String, positive: Boolean) extends Filt
@@ -117,15 +122,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // trailing query-level VALUES ?v { ... } (None entry = UNDEF);
       // §18.2.4.3: joins AFTER aggregation + HAVING, before projection
       values: Option[(String, Seq[Option[Term]])],
-      // GRAPH <g>/?g { tps [OPTIONAL{...}] [MINUS{...}] [FILTER f] }
-      // joined into the group — evaluated over the NAMED graphs only
-      // (never the default graph), the variable form iterating dataset
-      // graphs and binding the name BEFORE the block's own elements
-      // run (so a filter can reference ?g); the filter scopes to the
-      // block (§17.2 — an outer variable it names is unbound → error),
-      // and the MINUS subtracts within the row's own graph with the
-      // graph binding excluded from the §18.5 domain-overlap test
-      graph: Option[(Node, Seq[TP], Option[Seq[TP]], Option[Seq[TP]], Option[Filt])] = None,
+      // GRAPH <g>/?g { tps [{A} UNION {B}] [OPTIONAL{...}] [BIND]
+      // [MINUS{...}] [FILTER f] } joined into the group — evaluated
+      // over the NAMED graphs only (never the default graph), the
+      // variable form iterating dataset graphs and binding the name
+      // BEFORE the block's own elements run (so any of them can
+      // reference ?g); the filter scopes to the block (§17.2 — an
+      // outer variable it names is unbound → error), and the MINUS
+      // subtracts within the row's own graph with the graph binding
+      // excluded from the §18.5 domain-overlap test
+      graph: Option[GBlock] = None,
       // { SELECT ?g (COUNT(*) AS ?m) WHERE { tps } GROUP BY ?g }
       // joined into the outer group: §18.2 subquery scoping — only
       // the projected pair joins out; inner uses of outer variable
@@ -162,6 +168,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case OrF(l, r) => s"(${filtText(l)} || ${filtText(r)})"
   }
 
+  private def bindText(be: BindE): String = be match {
+    case BArith(src, op, k) => s"(?$src $op ${k.toNT})"
+    case BConcatStr(src, sfx) => s"""CONCAT(STR(?$src), "$sfx")"""
+    case BCoalesce(x, y, k) => s"COALESCE(?$x, ?$y, ${k.toNT})"
+    case BIf(c, t, k) => s"IF(BOUND(?$c), ?$t, ${k.toNT})"
+  }
+
   private def aggCall(a: AggQ): String =
     if (a.func == "COUNT_DISTINCT") s"COUNT(DISTINCT ?${a.arg.get})"
     else s"${a.func}(${a.arg.fold("*")("?" + _)})"
@@ -181,10 +194,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
     q.paths.foreach(pt => sb.append(
       s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
-    q.graph.foreach { case (gn, tps, opt, gminus, filt) =>
+    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt) =>
       sb.append("  GRAPH " + nodeText(gn) + " { " +
         tps.map(tpText).mkString(" ") +
+        gunion.fold("")(u => " { " + u._1.map(tpText).mkString(" ") +
+          " } UNION { " + u._2.map(tpText).mkString(" ") + " }") +
         opt.fold("")(o => " OPTIONAL { " + o.map(tpText).mkString(" ") + " }") +
+        gbind.fold("") { case (as, be) => s" BIND(${bindText(be)} AS ?$as)" } +
         gminus.fold("")(m => " MINUS { " + m.map(tpText).mkString(" ") + " }") +
         filt.fold("")(f => " FILTER " + filtText(f)) + " }\n")
     }
@@ -205,13 +221,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         f.fold("")(ff => " FILTER " + filtText(ff)) + " }\n")
     }
     q.binds.foreach { case (as, be) =>
-      val e = be match {
-        case BArith(src, op, k) => s"(?$src $op ${k.toNT})"
-        case BConcatStr(src, sfx) => s"""CONCAT(STR(?$src), "$sfx")"""
-        case BCoalesce(x, y, k) => s"COALESCE(?$x, ?$y, ${k.toNT})"
-        case BIf(c, t, k) => s"IF(BOUND(?$c), ?$t, ${k.toNT})"
-      }
-      sb.append(s"  BIND($e AS ?$as)\n")
+      sb.append(s"  BIND(${bindText(be)} AS ?$as)\n")
     }
     q.minus.foreach(m =>
       sb.append("  MINUS { " + m.map(tpText).mkString(" ") + " }\n"))
@@ -463,13 +473,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // GRAPH block: per named graph, evaluate the inner BGP over that
     // graph's triples; the variable form binds the graph name (or
     // checks an existing binding at the join)
-    q.graph.foreach { case (gn, tps, opt, gminus, filt) =>
+    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt) =>
       val gsols = named.groupBy(_._1).toSeq.flatMap { case (g, quads) =>
         val trip = quads.map(q4 => (q4._2, q4._3, q4._4))
         var inner = evalBgp(trip, tps, Seq(Map.empty))
         // the variable form binds the graph name FIRST (the engine
         // seeds the block with the names relation), so the block's own
-        // OPTIONAL/FILTER see ?g; a constant form never binds it
+        // elements see ?g; a constant form never binds it
         gn match {
           case C(t) => if (t != g) inner = Seq.empty
           case V(v) => inner = inner.flatMap(sol => sol.get(v) match {
@@ -477,7 +487,14 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             case None => Some(sol + (v -> g))
           })
         }
+        gunion.foreach { case (a, b) =>
+          inner = join(inner,
+            evalBgp(trip, a, Seq(Map.empty)) ++ evalBgp(trip, b, Seq(Map.empty)))
+        }
         opt.foreach(o => inner = leftJoin(inner, evalBgp(trip, o, Seq(Map.empty))))
+        gbind.foreach { case (as, be) =>
+          inner = inner.map(sol => evalBind(be, sol).fold(sol)(t => sol + (as -> t)))
+        }
         // the MINUS right side evaluates under the same active graph
         // and never binds the graph variable (§18.5 overlap uses only
         // the patterns' own variables)
@@ -527,19 +544,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     q.binds.foreach { case (as, be) =>
       // a BIND evaluation error leaves ?as unbound, the row survives
-      def strOf(t: Term): String = if (t.isLit) t.lex else t.lex
-      sols = sols.map { sol =>
-        val v: Option[Term] = be match {
-          case BArith(src, op, k) => sol.get(src).flatMap(naiveArith(_, op, k))
-          case BConcatStr(src, sfx) =>
-            sol.get(src).map(t => Term.lit(strOf(t) + sfx))
-          case BCoalesce(x, y, k) =>
-            sol.get(x).orElse(sol.get(y)).orElse(Some(k))
-          case BIf(c, t, k) =>
-            if (sol.contains(c)) sol.get(t) else Some(k)
-        }
-        v.fold(sol)(t => sol + (as -> t))
-      }
+      sols = sols.map(sol => evalBind(be, sol).fold(sol)(t => sol + (as -> t)))
     }
     q.minus.foreach { m => sols = minusOp(sols, evalBgp(data, m, Seq(Map.empty))) }
     q.notExists.foreach { ne =>
@@ -655,6 +660,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  /** One BIND expression over a solution; None = evaluation error →
+    * the alias stays unbound and the row survives.
+    */
+  private def evalBind(be: BindE, sol: Sol): Option[Term] = be match {
+    case BArith(src, op, k) => sol.get(src).flatMap(naiveArith(_, op, k))
+    case BConcatStr(src, sfx) => sol.get(src).map(t => Term.lit(t.lex + sfx))
+    case BCoalesce(x, y, k) => sol.get(x).orElse(sol.get(y)).orElse(Some(k))
+    case BIf(c, t, k) => if (sol.contains(c)) sol.get(t) else Some(k)
+  }
+
   // --- generation -----------------------------------------------------------
 
   private def genData(rnd: scala.util.Random): Seq[(Term, Term, Term)] = {
@@ -767,6 +782,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val o = if (rnd.nextDouble() < 0.6) V(sharedVar()) else C(someObj())
       PathTP(s, genPath(2), o)
     }
+    def genBindE(): BindE = {
+      def pick() = used.toSeq(rnd.nextInt(used.size))
+      val src = pick()
+      val numConst = rnd.nextInt(4) match {
+        case 0 => Term.typed("0.5", Term.XSD_DECIMAL)
+        case 1 => Term.typed("2.5", XSD_DOUBLE)
+        case _ => Term.typed(rnd.nextInt(3).toString, Term.XSD_INTEGER)
+      }
+      rnd.nextInt(4) match {
+        case 0 => BArith(src, Seq("+", "-", "*")(rnd.nextInt(3)), numConst)
+        case 1 => BConcatStr(src, if (rnd.nextBoolean()) "s" else "")
+        case 2 => BCoalesce(src, pick(),
+          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
+        case _ => BIf(src, pick(),
+          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
+      }
+    }
     // GRAPH block: variable form binds ?g (registered in the pool so
     // later OPTIONAL/FILTER/BIND/VALUES and projection can reference
     // it); constant form names g1/g2 — or a graph with no quads, the
@@ -781,10 +813,22 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         // a full group inside GRAPH: OPTIONAL and/or a block-scoped
         // FILTER (which may name outer variables — unbound here, per
         // §17.2 an error that drops the row)
+        val gunion =
+          if (rnd.nextDouble() < 0.25) Some((genTps(1), genTps(1))) else None
         val gopt = if (rnd.nextDouble() < 0.4) Some(genTps(1)) else None
+        val gbind =
+          if (used.nonEmpty && rnd.nextDouble() < 0.25) {
+            val as = "y" + rnd.nextInt(2)
+            if (used.contains(as)) None
+            else {
+              val be = genBindE()
+              used += as
+              Some((as, be))
+            }
+          } else None
         val gminus = if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None
         val gfilt = if (rnd.nextDouble() < 0.35) Some(genFilt(1)) else None
-        Some((gn, tps, gopt, gminus, gfilt))
+        Some(GBlock(gn, tps, gunion, gopt, gbind, gminus, gfilt))
       }
     def genBranch(): Branch = Branch(genTps(1),
       if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None,
@@ -817,23 +861,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       if (minus.isEmpty && notExists.isEmpty && rnd.nextDouble() < 0.2)
         Some(genTps(1)) else None
     val binds = (0 until (if (used.nonEmpty && rnd.nextDouble() < 0.3) 1 else 0)).map { _ =>
-      def pick() = used.toSeq(rnd.nextInt(used.size))
-      val src = pick()
       // a fresh alias never colliding with pattern vars
       val as = "w" + rnd.nextInt(2)
-      val numConst = rnd.nextInt(4) match {
-        case 0 => Term.typed("0.5", Term.XSD_DECIMAL)
-        case 1 => Term.typed("2.5", XSD_DOUBLE)
-        case _ => Term.typed(rnd.nextInt(3).toString, Term.XSD_INTEGER)
-      }
-      val be: BindE = rnd.nextInt(4) match {
-        case 0 => BArith(src, Seq("+", "-", "*")(rnd.nextInt(3)), numConst)
-        case 1 => BConcatStr(src, if (rnd.nextBoolean()) "s" else "")
-        case 2 => BCoalesce(src, pick(),
-          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
-        case _ => BIf(src, pick(),
-          if (rnd.nextBoolean()) numConst else Term.lit("dflt"))
-      }
+      val be = genBindE()
       used += as
       (as, be)
     }
