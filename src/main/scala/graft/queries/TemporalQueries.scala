@@ -111,6 +111,31 @@ object TemporalQueries {
           periodSeconds = 86400L)
         .orderBy(col("cohort_start"), col("periods_since"))
     },
+    "q33_sessions" -> { (s, dir) =>
+      // batch sessionization (the batch twin of streaming_session): a
+      // session breaks when the same-user gap exceeds 30 min; ids are
+      // a running sum of break flags. ONE user-keyed exchange — both
+      // window passes and the final aggregation share the user_id
+      // partitioning, so Catalyst plans a single sort and no second
+      // shuffle; gaps stay in integer microseconds (exact in both
+      // engines), ties broken by event_id.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            lit(1800L * 1000000L), 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+          (unix_micros(max(col("ts"))) -
+            unix_micros(min(col("ts")))).as("dur_us"))
+        .orderBy(col("user_id"), col("sess"))
+    },
     "q31_gap_fill" -> { (s, dir) =>
       // time-series resample + forward fill: hourly event counts per
       // type on a COMPLETE per-type hour grid. The grid is
@@ -230,6 +255,21 @@ object TemporalQueries {
                 m.active_users::DOUBLE / s.cohort_size AS retention
          FROM m JOIN s USING (cohort)
          ORDER BY cohort_start, periods_since""",
+    "q33_sessions" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess
+           FROM f)
+         SELECT user_id, sess, COUNT(*)::BIGINT AS n_events,
+                min(ts) AS t_start, max(ts) AS t_end,
+                date_diff('microsecond', min(ts), max(ts))::BIGINT AS dur_us
+         FROM g GROUP BY 1, 2 ORDER BY user_id, sess""",
     "q31_gap_fill" ->
       """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
                            COUNT(*)::BIGINT AS n
