@@ -1046,8 +1046,21 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
               val fs = es.collect { case FilterElem(f) => f }
               val rest = es.filterNot(_.isInstanceOf[FilterElem])
               val sol0 = compileSol(quads, Group(rest), seed)
-              val (local, joined) =
-                fs.partition(f => varsOf(f).subsetOf(sol0.df.columns.toSet))
+              // local evaluation (inside the group, before the join)
+              // is an optimization of the LeftJoin-condition semantics
+              // and is only sound when every filter variable's MERGED
+              // value provably equals its inner value: it must be an
+              // inner column, and not maybe-unbound inner while ALSO
+              // bound on the left (there the merge would take the
+              // left's value where the inner is null — a local read
+              // sees null instead)
+              val outerCols0 = cur.df.columns.toSet
+              def localOk(f: FExpr): Boolean = {
+                val vs = varsOf(f)
+                vs.subsetOf(sol0.df.columns.toSet) &&
+                  vs.forall(v => !(sol0.maybe.contains(v) && outerCols0.contains(v)))
+              }
+              val (local, joined) = fs.partition(localOk)
               // EXISTS operands inside an OPTIONAL's filters: §18.2.2.2
               // evaluates the filter as part of the LeftJoin condition
               // with the LEFT solution visible. The local rewrite sees
@@ -1062,7 +1075,7 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
               fs.foreach { f =>
                 val exs = existsOf(f)
                 if (exs.nonEmpty) {
-                  if (!varsOf(f).subsetOf(innerCols))
+                  if (!localOk(f))
                     throw new RdfParseException(
                       "EXISTS inside an OPTIONAL filter that also references " +
                       "variables bound outside the optional group is not " +
@@ -1117,7 +1130,6 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
           val next = SparqlService.serviceSol(quads, cur, se)
           acc = Some(acc.fold(next)(d => joinShared(d, next, "inner")))
         case GraphElem(g, inner) =>
-          validateGraphGroup(inner, g)
           val pushed = pushGraph(inner, g)
           // GRAPH ?var: seed the inner evaluation with the bound
           // named-graph names so bare rows carry the binding (the
@@ -1236,7 +1248,10 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     case NestedElem(pp) => NestedElem(pushGraph(pp, g))
     case MinusElem(inner) => MinusElem(pushGraph(inner, g))
     case ExistsElem(inner, pos) => ExistsElem(pushGraph(inner, g), pos)
-    case SubSelectElem(q) => SubSelectElem(q.copy(pattern = pushGraph(q.pattern, g)))
+    case SubSelectElem(q) => g match {
+      case Var(v) => SubSelectElem(rewriteSubSelectForGraphVar(q, v, g))
+      case _ => SubSelectElem(q.copy(pattern = pushGraph(q.pattern, g)))
+    }
     // a FILTER's leaf patterns live in embedded [NOT] EXISTS operands
     case FilterElem(f) => FilterElem(pushGraphF(f, g))
     // BIND/VALUES carry no leaf patterns; a nested GraphElem and
@@ -1273,32 +1288,56 @@ object Sparql extends SparqlPathEngine with SparqlExprCompiler with SparqlFilter
     fw(f0)
   }
 
-  /** The one shape a full-group GRAPH block cannot express correctly
-    * in this engine, rejected with a clear error instead of a silently
-    * wrong answer: under `GRAPH ?var`, a sub-SELECT (per-graph
-    * aggregation would have to key on the graph variable its GROUP BY
-    * hides). Everything else works: MINUS's domain-overlap test
-    * excludes the pushed graph variable ([[minusJoin]]), and FILTERs
-    * with embedded [NOT] EXISTS get the active graph pushed into the
-    * operand patterns ([[pushGraphF]]) with the mark-join probe seeded
-    * per graph ([[markExists]]).
+  /** Rewrite a sub-SELECT under `GRAPH ?v` into its per-graph form:
+    * the active graph is pushed onto the pattern leaves, ?v joins the
+    * projection, and an aggregating subquery additionally groups on
+    * ?v — §18.2.5.1's per-graph evaluation expressed as one grouped
+    * query over all graphs at once. Shapes whose per-graph semantics
+    * this rewrite cannot express are rejected with a clear error
+    * instead of a silently wrong answer:
+    *  - the subquery already uses ?v (the rewrite would capture it);
+    *  - ORDER BY / LIMIT / OFFSET / trailing VALUES (a per-graph
+    *    slice is not one global slice);
+    *  - an ungrouped aggregate head (`SELECT (COUNT(*) AS ?c)`):
+    *    §18.2.4 gives EVERY graph a row — count 0 for a graph with
+    *    no matches — which grouping on ?v cannot produce.
     */
-  private def validateGraphGroup(p: Pattern, g: Node): Unit = {
-    val isVar = g.isInstanceOf[Var]
-    def walk(pat: Pattern): Unit = pat match {
-      case Union(bs) => bs.foreach(walk)
-      case Group(es) => es.foreach {
-        case SubSelectElem(_) if isVar => throw new RdfParseException(
-          "a sub-SELECT inside a GRAPH block with a variable is not " +
-          "supported — use a constant graph")
-        case OptElem(inner) => walk(inner)
-        case NestedElem(pp) => walk(pp)
-        case MinusElem(inner) => walk(inner)
-        case ExistsElem(inner, _) => walk(inner)
-        case _ => ()
+  private def rewriteSubSelectForGraphVar(q: Query, v: String, g: Node): Query = {
+    def err(what: String): Nothing = throw new RdfParseException(
+      s"$what inside a sub-SELECT under GRAPH ?$v is not supported — " +
+      "use a constant graph")
+    val projected = q.projection match {
+      case SelectAll => Seq.empty
+      case SelectItems(items) => items.map {
+        case ItemVar(n) => n
+        case ItemExpr(_, as) => as
+        case ItemAgg(_, _, as, _, _) => as
+        case other => sys.error(s"unexpected item $other")
       }
     }
-    walk(p)
+    if (patternVars(q.pattern).contains(v) || projected.contains(v) ||
+        q.groupBy.contains(v))
+      err(s"a use of the graph variable ?$v")
+    if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined)
+      err("ORDER BY / LIMIT / OFFSET")
+    if (q.trailingValues.isDefined) err("trailing VALUES")
+    val hasAgg = q.groupBy.nonEmpty || q.having.nonEmpty ||
+      (q.projection match {
+        case SelectItems(items) => items.exists {
+          case _: ItemAgg => true
+          case ItemExpr(e, _) => aggsOfV(e).nonEmpty
+          case _ => false
+        }
+        case SelectAll => false
+      })
+    if (hasAgg && q.groupBy.isEmpty) err("an ungrouped aggregate head")
+    val pushed = q.copy(pattern = pushGraph(q.pattern, g))
+    q.projection match {
+      case SelectAll => pushed // the pushed pattern binds ?v; * keeps it
+      case SelectItems(items) => pushed.copy(
+        projection = SelectItems(items :+ ItemVar(v)),
+        groupBy = if (hasAgg) q.groupBy :+ v else q.groupBy)
+    }
   }
 
   /** Shared-variable join compatibility (§18.3) as a join condition:

@@ -900,11 +900,31 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(r("s" -> ":b"), r("s" -> ":c")))
   }
 
+  test("graph: sub-SELECT inside GRAPH ?g evaluates per graph") {
+    val df = dataset("",
+      "http://example/g1" -> ":a :p :x . :a :p :y . :b :p :z .",
+      "http://example/g2" -> ":a :p :w .")
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s { GRAPH ?g { { SELECT DISTINCT ?s WHERE { ?s :p ?o } } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":a"), r("g" -> ":g1", "s" -> ":b"),
+        r("g" -> ":g2", "s" -> ":a")))
+    checkRows(Sparql.execute(df, QPRELUDE +
+      "SELECT ?g ?s ?c { GRAPH ?g { { SELECT ?s (COUNT(*) AS ?c) WHERE { ?s :p ?o } GROUP BY ?s } } }"),
+      Seq(r("g" -> ":g1", "s" -> ":a", "c" -> "\"2\"^^xsd:integer"),
+        r("g" -> ":g1", "s" -> ":b", "c" -> "\"1\"^^xsd:integer"),
+        r("g" -> ":g2", "s" -> ":a", "c" -> "\"1\"^^xsd:integer")))
+  }
+
   test("graph: unsupported GRAPH group shapes are clean errors") {
     val df = dataset("", "http://example/g1" -> ":a :p :x .")
     Seq(
-      // sub-SELECT under a variable graph: per-graph aggregation
-      "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } } } }")
+      // ungrouped aggregate head: §18.2.4 gives EVERY graph a row
+      // (count 0 for a no-match graph) — grouping on ?g cannot
+      "SELECT * { GRAPH ?g { { SELECT (COUNT(*) AS ?c) WHERE { ?s :p ?o } } } }",
+      // a per-graph slice is not one global slice
+      "SELECT * { GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } LIMIT 1 } } }",
+      // the rewrite would capture the subquery's own ?g
+      "SELECT * { GRAPH ?g { { SELECT ?g WHERE { ?g :p ?o } } } }")
       .foreach { q =>
         val thrown = intercept[Exception] {
           Sparql.execute(df, QPRELUDE + q).collect()

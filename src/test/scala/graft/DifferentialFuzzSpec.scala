@@ -78,7 +78,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private case class GBlock(gn: Node, tps: Seq[TP],
       union: Option[(Seq[TP], Seq[TP])], opt: Option[Seq[TP]],
       bind: Option[(String, BindE)], minus: Option[Seq[TP]],
-      filt: Option[Filt])
+      filt: Option[Filt],
+      // { SELECT ?k (COUNT(*) AS ?u) WHERE { tps } GROUP BY ?k }
+      // inside the block: under GRAPH ?var the engine rewrites it to
+      // group on the graph variable too (per-graph aggregation)
+      sub: Option[(String, Seq[TP])] = None)
 
   private sealed trait Filt
   private case class Cmp(l: Node, op: String, r: Node) extends Filt
@@ -194,9 +198,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     q.bgp.foreach(tp => sb.append("  " + tpText(tp) + "\n"))
     q.paths.foreach(pt => sb.append(
       s"  ${nodeText(pt.s)} ${pathText(pt.path)} ${nodeText(pt.o)} .\n"))
-    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt) =>
+    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt, gsub) =>
       sb.append("  GRAPH " + nodeText(gn) + " { " +
         tps.map(tpText).mkString(" ") +
+        gsub.fold("") { case (k, stps) => " { SELECT ?" + k +
+          " (COUNT(*) AS ?u) WHERE { " + stps.map(tpText).mkString(" ") +
+          " } GROUP BY ?" + k + " }" } +
         gunion.fold("")(u => " { " + u._1.map(tpText).mkString(" ") +
           " } UNION { " + u._2.map(tpText).mkString(" ") + " }") +
         opt.fold("")(o => " OPTIONAL { " + o.map(tpText).mkString(" ") + " }") +
@@ -473,7 +480,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // GRAPH block: per named graph, evaluate the inner BGP over that
     // graph's triples; the variable form binds the graph name (or
     // checks an existing binding at the join)
-    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt) =>
+    q.graph.foreach { case GBlock(gn, tps, gunion, opt, gbind, gminus, filt, gsub) =>
       val gsols = named.groupBy(_._1).toSeq.flatMap { case (g, quads) =>
         val trip = quads.map(q4 => (q4._2, q4._3, q4._4))
         var inner = evalBgp(trip, tps, Seq(Map.empty))
@@ -486,6 +493,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             case Some(b) => if (b == g) Some(sol) else None
             case None => Some(sol + (v -> g))
           })
+        }
+        gsub.foreach { case (k, stps) =>
+          // §18.2 subquery scoping per active graph: evaluate from
+          // scratch over THIS graph's triples, project only (k, u)
+          val srows = evalBgp(trip, stps, Seq(Map.empty))
+            .groupBy(_.get(k)).toSeq.map { case (kv, rs) =>
+              val base = kv.fold(Map.empty: Sol)(t => Map(k -> t))
+              base + ("u" -> Term.typed(rs.size.toString, Term.XSD_INTEGER))
+            }
+          inner = join(inner, srows)
         }
         gunion.foreach { case (a, b) =>
           inner = join(inner,
@@ -828,7 +845,38 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           } else None
         val gminus = if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None
         val gfilt = if (rnd.nextDouble() < 0.35) Some(genFilt(1)) else None
-        Some(GBlock(gn, tps, gunion, gopt, gbind, gminus, gfilt))
+        // subquery key: any pattern var except the graph variable
+        // (the engine's per-graph rewrite would reject the capture)
+        val gsub =
+          if (rnd.nextDouble() >= 0.25) None
+          else {
+            // the key must not be the graph variable (engine rejects
+            // the capture) nor the block BIND's alias (the projected
+            // key would make that a rebind)
+            val bindAliases = gbind.map(_._1).toSet
+            val cands = used.toSeq.filterNot(v => v == "g" || bindAliases(v))
+            if (cands.isEmpty) None
+            else {
+              val k = cands(rnd.nextInt(cands.size))
+              // no variable named ?g anywhere in the subquery — the
+              // engine's per-graph rewrite rejects that capture
+              def subVar(): String = {
+                val c2 = used.toSeq.filterNot(_ == "g")
+                if (c2.nonEmpty && rnd.nextDouble() < 0.7)
+                  c2(rnd.nextInt(c2.size))
+                else { val v = Seq("a", "b", "c", "d")(rnd.nextInt(4)); used += v; v }
+              }
+              val stps = TP(V(k), C(somePred()),
+                if (rnd.nextDouble() < 0.5) V(subVar()) else C(someObj())) +:
+                (0 until rnd.nextInt(2)).map { _ =>
+                  TP(V(subVar()), C(somePred()),
+                    if (rnd.nextDouble() < 0.5) V(subVar()) else C(someObj()))
+                }
+              used += "u"
+              Some((k, stps))
+            }
+          }
+        Some(GBlock(gn, tps, gunion, gopt, gbind, gminus, gfilt, gsub))
       }
     def genBranch(): Branch = Branch(genTps(1),
       if (rnd.nextDouble() < 0.3) Some(genTps(1)) else None,
