@@ -46,9 +46,13 @@ object GraphOps {
     // src: Dataset.localCheckpoint preserves outputPartitioning, so
     // every iteration's share join co-locates against it without
     // re-shuffling the (edge-sized) relation — only the node-sized
-    // rank table moves per round
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // rank table moves per round. Dedup runs AFTER the src repartition
+    // (HashPartitioning(src) satisfies the (src, dst) clustering —
+    // same-src rows are colocated), so the edge list crosses the
+    // network once, not twice (guide §2.4).
+    val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -272,7 +272,9 @@ object Dedup {
   def nearDupSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3,
       maxBucket: Int = 64): DataFrame = {
+    // shingle arrays materialize once for the rerank's two joins
     val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     // chunks ride the exploded keys (8 longs — cheap) so the hamming
     // prefilter runs INSIDE the join, before the distinct: on
     // homogeneous corpora the bucket join can emit millions of pairs
@@ -281,14 +283,17 @@ object Dedup {
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), graft.functions.Sketches.simhashChunks(col("toks")).as("chunks"),
         posexplode(graft.functions.Sketches.simhashPairKeys(col("toks"))).as(Seq("band", "key")))
-    val keyed = if (maxBucket <= 0) keyed0 else {
+    val keyed = (if (maxBucket <= 0) keyed0 else {
       // one partial-agg shuffle over (band,key) counts, then a
       // semi-join; removes the quadratic tail of signal-free buckets
       val small = keyed0.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
         .select(col("band"), col("key"))
       keyed0.join(small, Seq("band", "key"), "left_semi")
-    }
+      // the bucket self-join reads this twice; without the checkpoint
+      // each side re-tokenizes + re-sketches the corpus and re-runs
+      // the bucket-count semi-join (no exchange reuse in the plan)
+    }).localCheckpoint()
     val a = keyed.alias("a")
     val b = keyed.alias("b")
     val within = a.join(b, col("a.band") === col("b.band") &&
@@ -327,22 +332,45 @@ object Dedup {
   def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shingling itself is cheap codegen (re-shingling beat
+    // materializing the arrays in the block manager when measured);
+    // the expensive duplicated work is the prefix pipeline, pinned
+    // below
     val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     val sized = withSh.withColumn("len", size(col("sh"))).filter(col("len") > 0)
     val tok = sized.select(col("id"), col("len"), explode(col("sh")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // prefix SELECTION stays on the token strings (the global
+    // (df, tok) order is part of the prefix-filter theorem); only the
+    // JOIN KEY is hashed to 8 bytes — string-equal implies hash-equal,
+    // so hashed candidates are a superset and the exact rerank makes
+    // the output identical. The checkpoint lets the self-join read the
+    // (small) prefix relation twice instead of recomputing the
+    // freq-join + per-doc window on both sides.
     val prefix = tok.join(freq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
       .filter(col("rk") <= col("len") - ceil(col("len") * lit(threshold)) + 1)
-      .select(col("id"), col("len"), col("tok"))
+      .select(col("id"), col("len"), col("rk"), xxhash64(col("tok")).as("tok"))
+      .localCheckpoint()
     val a = prefix.alias("a")
     val b = prefix.alias("b")
+    // PPJoin positional filter (exact, like the length filter): a
+    // match at prefix positions (rk_a, rk_b) bounds the overlap by
+    // min(len_a - rk_a, len_b - rk_b) + 1, and J ≥ t needs overlap ≥
+    // t·(len_a+len_b)/(1+t); pairs provably below threshold never
+    // reach the distinct or the rerank. The tiny epsilon keeps a
+    // boundary-exact overlap from being pruned by double rounding —
+    // the filter may only ADMIT extras (the rerank removes them).
+    val overlapNeeded =
+      (col("a.len") + col("b.len")) * lit(threshold / (1 + threshold)) - lit(1e-9)
     val cands = a.join(b, col("a.tok") === col("b.tok") &&
         col("a.id") < col("b.id") &&
         // pairwise length filter: J ≥ t needs t·|a| ≤ |b| ≤ |a|/t
         col("b.len") * lit(threshold) <= col("a.len") &&
-        col("a.len") * lit(threshold) <= col("b.len"))
+        col("a.len") * lit(threshold) <= col("b.len") &&
+        (least(col("a.len") - col("a.rk"), col("b.len") - col("b.rk")) + 1)
+          .cast("double") >= overlapNeeded)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     rerank(cands, withSh, threshold)
@@ -454,11 +482,17 @@ object Dedup {
       col("id_b").cast("long").as("b"))
     val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    def sumOf(df: DataFrame): String =
-      String.valueOf(df.agg(sum(col("comp")).cast("decimal(38,0)")).head.get(0))
-    var cur = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var curSum = sumOf(cur)
+    // the fixpoint label-sum piggybacks on each round's checkpoint job
+    // (observe): one driver round-trip per round instead of two
+    def ckptWithSum(df: DataFrame): (DataFrame, String) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("comp")).cast("decimal(38,0)").as("s"))
+        .localCheckpoint()
+      (ck, String.valueOf(obs.get("s")))
+    }
+    var (cur, curSum) = ckptWithSum(
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var fixed = false
     while (!fixed) {
       val nbr = cur.select(col("id").as("b"), col("comp").as("bcomp"))
@@ -469,11 +503,10 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       val jump = step.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val next = step.join(jump, step("comp") === jump("jid"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val nextSum = sumOf(next)
+      val (next, nextSum) = ckptWithSum(
+        step.join(jump, step("comp") === jump("jid"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")))
       if (nextSum == curSum) { Checkpoints.unpersist(next); fixed = true }
       else { Checkpoints.unpersist(cur); cur = next; curSum = nextSum }
     }

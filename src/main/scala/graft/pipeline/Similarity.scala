@@ -194,27 +194,35 @@ object Similarity {
   }
 
   private[pipeline] def trainCentroids(e: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
-    // fail fast on non-finite components: the decimal-mean cast would
-    // turn NaN/Inf into NULL and avg() would silently skip them,
-    // yielding a quietly biased centroid instead of a visible error
-    val poisoned = e.filter(exists(col("v"),
-      x => isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity))
-      .limit(1).count()
+    // ONE pass does both pre-checks (guide §1.2 — don't pay two full
+    // scans for two scalars): the count, and a fail-fast on non-finite
+    // components (the decimal-mean cast would turn NaN/Inf into NULL
+    // and avg() would silently skip them, yielding a quietly biased
+    // centroid instead of a visible error).
+    val Seq(n, poisoned) = e.agg(count(lit(1)),
+        sum(when(exists(col("v"), x => isnan(x) ||
+          x === Double.PositiveInfinity || x === Double.NegativeInfinity), 1L)
+          .otherwise(0L)))
+      .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
     require(poisoned == 0, "ivfTopK: embeddings contain NaN/Infinity components")
-    val n = e.count()
+    val dim = e.select(size(col("v"))).head().getInt(0)
     var centroids = strideSample(e, nlist, n).map(unit)
     for (_ <- 0 until iters) {
+      // exact DECIMAL means: double partial sums merge in shuffle
+      // arrival order and would make centroids (hence the literal
+      // recall oracle) run-to-run nondeterministic. Means are computed
+      // as one per-dimension column aggregation — the posexplode form
+      // this replaces shuffled dim× the rows through two aggregations
+      // for the same decimal-exact result (guide §2.3: aggregate
+      // columns, don't explode rows).
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1).cast("decimal(28,14)"))
+          .cast("double").as(s"m$i"))
       val means = assignCells(e, centroids)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        // exact DECIMAL mean: double partial sums merge in shuffle
-        // arrival order and would make centroids (hence the literal
-        // recall oracle) run-to-run nondeterministic
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("m"))
         .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("c"))
-        .collect().map(r => r.getInt(0) -> unit(r.getSeq[Double](1).toArray)).toMap
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          unit((1 to dim).map(r.getDouble).toArray)).toMap
       // an emptied cell keeps its previous centroid
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
@@ -359,14 +367,16 @@ object Similarity {
         element_at(halfN2, col("mi") + 1),
         (c, h) => graft.functions.Sketches.dotDouble(col("s"), c) - h)
       val cell = (array_position(scores, array_max(scores)) - 1).cast("int")
-      val means = subs.select(col("mi"), cell.as("cell"),
-          posexplode(col("s")).as(Seq("pos", "x")))
-        .groupBy(col("mi"), col("cell"), col("pos"))
-        .agg(avg(col("x").cast("decimal(28,14)")).cast("double").as("mn"))
+      // per-dimension columnar decimal means (same rationale as
+      // trainCentroids: one aggregation, no posexplode row blowup)
+      val meanCols = (0 until dsub).map(i =>
+        avg(element_at(col("s"), i + 1).cast("decimal(28,14)"))
+          .cast("double").as(s"mn$i"))
+      val means = subs.select(col("mi"), cell.as("cell"), col("s"))
         .groupBy(col("mi"), col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("pm"))
-        .select(col("mi"), col("cell"), transform(col("pm"), p => p.getField("mn")).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (2 until 2 + dsub).map(r.getDouble).toArray)
         .toMap
       books = books.indices.toArray.map(mi =>
         books(mi).indices.toArray.map(j => means.getOrElse((mi, j), books(mi)(j))))
@@ -422,7 +432,11 @@ object Similarity {
     * grouped by query so partial coverage of one query can't mask
     * another.
     */
-  private def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
+  private def recallOf(brute0: DataFrame, approx: DataFrame): DataFrame = {
+    // the truth side is read twice (hit join + per-query totals);
+    // without the checkpoint each read re-runs the full brute-force
+    // scan+window — the most expensive plan in every recall entry
+    val brute = brute0.localCheckpoint()
     val perQuery = brute
       .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))

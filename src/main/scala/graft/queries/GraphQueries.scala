@@ -15,12 +15,14 @@ object GraphQueries {
   import Tables._
 
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // no distinct here: pagerankInt deduplicates as part of its one
+    // src-partitioning exchange, so a pre-distinct would only add a
+    // second full shuffle of the edge list for the same result
     val pairs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"),
         (col("l_suppkey") + 10000000L).as("s"))
-      .distinct()
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }

@@ -1,6 +1,6 @@
 package graft.sparql
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.plans.Checkpoints
@@ -132,9 +132,18 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
       grouped: Boolean, forward: Boolean): DataFrame = {
     def pg(prefix: String = ""): Seq[Column] =
       if (grouped) Seq(col(s"${prefix}pg")) else Seq.empty
-    val step =
+    // materialize the one-step relation ONCE, hash-partitioned on its
+    // join key: every hop of every round joins against it, and without
+    // the checkpoint each hop re-derives it from the source scan
+    // (measured: 24 re-scans for a 6-round stride-4 loop — most of the
+    // entry's wall time). localCheckpoint preserves the partitioning,
+    // so each hop's join shuffles only the frontier side — the step
+    // relation never moves again. Freed after the loop.
+    val stepKey = pg() :+ col("ps")
+    val step = (
       if (forward) edges
       else edges.select(pg() ++ Seq(col("po").as("ps"), col("ps").as("po")): _*)
+    ).repartition(stepKey: _*).localCheckpoint()
     // each round's NEW nodes (pg?, po) become one checkpointed part —
     // the origin is always the seed, so parts hold nodes, not pairs.
     // The visited set is rebuilt per round as a fresh union over the
@@ -149,16 +158,20 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     // constraint isnotnull(po#4L)). Rebuilding the frame from the
     // pinned RDD drops the stale constraints; the ckpt handle is what
     // gets registered for unpersist.
-    def ckpt(df: DataFrame): (DataFrame, DataFrame) = {
-      val ck = df.localCheckpoint()
-      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
+    // the row count piggybacks on the checkpoint job via observe() —
+    // one driver round-trip per round instead of two
+    def ckpt(df: DataFrame): (DataFrame, DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck,
+        obs.get("n").asInstanceOf[Long])
     }
-    val (init, initCk) = ckpt(step.filter(termEqFields("ps", seed))
+    val (init, initCk, initN) = ckpt(step.filter(termEqFields("ps", seed))
       .select(pg() :+ col("po"): _*).distinct())
     var parts = List(init)
     var handles = List(initCk)
     var frontier = init
-    var done = frontier.count() == 0
+    var done = initN == 0
     // advance STRIDE edge-steps per materialized round: the chained
     // frontier joins stay frontier-sized, but fixpoint job overhead
     // (checkpoint + count per round) drops by the stride; the loop
@@ -181,10 +194,10 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
           .distinct()
       val hops = Iterator.iterate(oneStep(frontier))(oneStep)
         .take(stride).toSeq
-      val (novel, novelCk) = ckpt(hops.reduce(_.unionByName(_))
+      val (novel, novelCk, novelN) = ckpt(hops.reduce(_.unionByName(_))
         .distinct().alias("n")
         .join(visited.alias("v"), anti, "left_anti"))
-      if (novel.count() == 0) {
+      if (novelN == 0) {
         Checkpoints.unpersist(novelCk)
         done = true
       } else {
@@ -193,6 +206,8 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         frontier = novel
       }
     }
+    // every part is materialized; nothing reads the step relation again
+    Checkpoints.unpersist(step)
     handles.foreach { h =>
       Option(closureScope.get()) match {
         case Some(scope) => scope += h
@@ -260,8 +275,61 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     // simply joins along, so one fixpoint loop covers every graph in
     // parallel rather than looping per graph
     val grouped = edges.columns.contains("pg")
-    var cur = edges.distinct().localCheckpoint()
-    var size = cur.count()
+    // The one-step relation materializes once either way (the loop
+    // reads it every round); its count decides the plan shape below.
+    val first = edges.distinct().localCheckpoint()
+    val firstCount = first.count()
+    // Small relations run the fixpoint directly on the term structs —
+    // the dictionary machinery below would cost more than it saves.
+    // Large ones dictionary-encode to 8-byte ids before the fixpoint
+    // (optimization guide §2.3 — shuffle keys, not payloads): every
+    // doubling round joins and distincts a closure-sized relation, and
+    // with four-field term structs (IRI lex strings) each round
+    // shuffles ~10x the bytes the reachability question needs. Terms
+    // hash to xxhash64 ids, the fixpoint runs on longs, and ONE decode
+    // join at the end restores the structs. The hash is verified
+    // INJECTIVE over this relation's term set first (one aggregate
+    // over the node dictionary); on the astronomically unlikely
+    // collision the loop simply runs on the original structs, so the
+    // result is exact either way, never probabilistic. The cutoff is a
+    // size-of-the-data test, not a core-count tunable.
+    if (firstCount < 65536) closureLoop(first, grouped, firstCount)
+    else {
+      val termCols = (if (grouped) Seq("pg") else Seq.empty) ++ Seq("ps", "po")
+      val dict = termCols.map(c => first.select(col(c).as("t")))
+        .reduce(_.unionByName(_)).distinct()
+        .select(xxhash64(col("t")).as("tid"), col("t")).localCheckpoint()
+      val Row(nTerms: Long, nIds: Long) =
+        dict.agg(count(lit(1)), countDistinct(col("tid"))).head()
+      if (nTerms != nIds) {
+        Checkpoints.unpersist(dict)
+        closureLoop(first, grouped, firstCount)
+      } else {
+        Option(closureScope.get()) match {
+          case Some(scope) => scope += dict
+          case None => liveClosures.synchronized { liveClosures += dict }
+        }
+        val encoded = first.select(termCols.map(c => xxhash64(col(c)).as(c)): _*)
+          .localCheckpoint()
+        Checkpoints.unpersist(first)
+        val looped = closureLoop(encoded, grouped, firstCount)
+        termCols.foldLeft(looped) { (df, c) =>
+          df.join(dict.select(col("tid").as(c), col("t").as(s"${c}_t")), Seq(c))
+        }.select(termCols.map(c => col(s"${c}_t").as(c)): _*)
+      }
+    }
+  }
+
+  /** The doubling fixpoint itself, over whatever column types ride the
+    * (pg?, ps, po) relation — longs on the encoded fast path, term
+    * structs otherwise. `edges` must already be distinct and
+    * localCheckpoint'd with `edgeCount` rows (the caller materialized
+    * it once to pick the plan shape).
+    */
+  private def closureLoop(edges: DataFrame, grouped: Boolean,
+      edgeCount: Long): DataFrame = {
+    var cur = edges
+    var size = edgeCount
     var fixed = false
     while (!fixed) {
       val cond =
@@ -269,11 +337,16 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         else col("l.po") <=> col("r.ps")
       val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
         Seq(col("l.ps").as("ps"), col("r.po").as("po"))
+      // the fixpoint count piggybacks on the checkpoint job (observe):
+      // one driver round-trip per round instead of two
+      val obs = org.apache.spark.sql.Observation()
       val next = cur.alias("l")
         .join(cur.alias("r"), cond)
         .select(keep: _*)
-        .unionByName(cur).distinct().localCheckpoint()
-      val n = next.count()
+        .unionByName(cur).distinct()
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val n = obs.get("n").asInstanceOf[Long]
       if (n == size) { Checkpoints.unpersist(next); fixed = true }
       else { size = n; Checkpoints.unpersist(cur); cur = next }
     }

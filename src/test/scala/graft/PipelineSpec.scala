@@ -40,8 +40,12 @@ class PipelineSpec extends AnyFunSuite {
     // the document text as a partitioning key
     assert(exchangeKeys.forall(!_.contains("text#")),
       s"document text rides an exchange: $exchangeKeys")
-    assert(exchangeKeys.exists(_.contains("tok")),
-      s"no prefix-token exchange: $exchangeKeys")
+    // the prefix relation is checkpointed (computed once for both join
+    // sides), so at test scale the join may be broadcast instead of
+    // exchanged — the pin is that the JOIN keys on the prefix token
+    assert("Join \\[tok".r.findFirstIn(plan).isDefined ||
+        exchangeKeys.exists(_.contains("tok")),
+      s"candidate join does not key on the prefix token:\n$plan")
   }
 
   test("ANN training init is a hash sample, not a single-partition window") {
