@@ -272,9 +272,10 @@ object Dedup {
   def nearDupSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.5, maxHamming: Int = 9, n: Int = 3,
       maxBucket: Int = 64): DataFrame = {
-    // shingle arrays materialize once for the rerank's two joins
+    // NOT checkpointed: re-shingling for the rerank's two joins beat
+    // materializing the arrays in an in-JVM A/B (2.6-2.9 s keyed-only
+    // vs 2.8-3.7 s with this also checkpointed)
     val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .localCheckpoint()
     // chunks ride the exploded keys (8 longs — cheap) so the hamming
     // prefilter runs INSIDE the join, before the distinct: on
     // homogeneous corpora the bucket join can emit millions of pairs
@@ -344,15 +345,15 @@ object Dedup {
     // (df, tok) order is part of the prefix-filter theorem); only the
     // JOIN KEY is hashed to 8 bytes — string-equal implies hash-equal,
     // so hashed candidates are a superset and the exact rerank makes
-    // the output identical. The checkpoint lets the self-join read the
-    // (small) prefix relation twice instead of recomputing the
-    // freq-join + per-doc window on both sides.
+    // the output identical. Deliberately NOT checkpointed: AQE reuses
+    // the freq/window exchanges across the self-join sides, and an
+    // in-JVM A/B measured the checkpoint barrier 2x SLOWER than the
+    // shared-exchange plan (4.4-6.0 s vs 2.2-3.4 s per run).
     val prefix = tok.join(freq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
       .filter(col("rk") <= col("len") - ceil(col("len") * lit(threshold)) + 1)
       .select(col("id"), col("len"), col("rk"), xxhash64(col("tok")).as("tok"))
-      .localCheckpoint()
     val a = prefix.alias("a")
     val b = prefix.alias("b")
     // PPJoin positional filter (exact, like the length filter): a
@@ -478,10 +479,15 @@ object Dedup {
   def clusterComponents(pairs: DataFrame, ids: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     import graft.plans.Checkpoints
+    // materialize the pair list ONCE before the symmetrizing union:
+    // e0 appears on both union branches, and a lazy plan re-runs the
+    // entire upstream candidate pipeline (shingling, candidate join,
+    // rerank) per branch
     val e0 = pairs.select(col("id_a").cast("long").as("a"),
-      col("id_b").cast("long").as("b"))
+      col("id_b").cast("long").as("b")).localCheckpoint()
     val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    Checkpoints.unpersist(e0)
     // the fixpoint label-sum piggybacks on each round's checkpoint job
     // (observe): one driver round-trip per round instead of two
     def ckptWithSum(df: DataFrame): (DataFrame, String) = {
