@@ -60,9 +60,9 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         // both branches yields two solutions — only the closure forms
         // (+ * ?) carry the cardinality-1 rule
         pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r))
-      case PPlus(i) => closure(pathPairs(quads, graph, i))
+      case PPlus(i) => closure(pathPairs(quads, graph, i), leafStep(i))
       case PStar(i) =>
-        closure(pathPairs(quads, graph, i))
+        closure(pathPairs(quads, graph, i), leafStep(i))
           .unionByName(identityPairs(quads, graph)).distinct()
       case POpt(i) =>
         pathPairs(quads, graph, i)
@@ -270,7 +270,27 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     * [[liveClosures]] so [[releaseClosures]] can free it once the
     * query's result has been consumed.
     */
-  private[sparql] def closure(edges: DataFrame): DataFrame = {
+  /** Whether a path's one-step relation is a bare scan shape
+    * (filter+project over the quads — cheap to re-execute) as opposed
+    * to containing joins/fixpoints of its own. Decides whether
+    * [[closure]] materializes the relation before referencing it
+    * several times (count gate, dictionary build, encode).
+    */
+  private def leafStep(p: PathExpr): Boolean = p match {
+    case PLink(_) | PNeg(_, _) => true
+    case PInv(i) => leafStep(i)
+    case PAlt(l, r) => leafStep(l) && leafStep(r)
+    case _ => false // PSeq (a join), nested closures, POpt (a distinct)
+  }
+
+  private[sparql] def closure(edges0: DataFrame,
+      cheapStep: Boolean = false): DataFrame = {
+    // a composite one-step relation (joins, nested closures) is
+    // referenced several times below (count gate, dictionary, encode)
+    // — materialize it once; a leaf step is a bare scan and re-reads
+    // cheaper than it checkpoints
+    val stepCk = if (cheapStep) None else Some(edges0.localCheckpoint())
+    val edges = stepCk.getOrElse(edges0)
     // a `pg` column means per-graph closure (GRAPH ?var): the graph
     // simply joins along, so one fixpoint loop covers every graph in
     // parallel rather than looping per graph
@@ -300,7 +320,7 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         .observe(obs, count(lit(1)).as("n")).localCheckpoint()
       closureLoop(first, grouped, obs.get("n").asInstanceOf[Long])
     }
-    if (rawCount < 65536) structLoop()
+    val result = if (rawCount < 65536) structLoop()
     else {
       val termCols = (if (grouped) Seq("pg") else Seq.empty) ++ Seq("ps", "po")
       // one exchange, one job: group raw term occurrences by their
@@ -341,6 +361,9 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         }.select(termCols.map(c => col(s"${c}_t").as(c)): _*)
       }
     }
+    // every consumer of the one-step relation has materialized
+    stepCk.foreach(Checkpoints.unpersist(_))
+    result
   }
 
   /** The doubling fixpoint itself, over whatever column types ride the
