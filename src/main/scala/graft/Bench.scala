@@ -101,13 +101,29 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // medians print ms-rounded: at 150+ entries full-double medians made
+    // the line ~5 KB and the driver's tail capture truncated it mid-JSON
+    // (PERF r07/r08 `per_query` came back empty) — rounding keeps the
+    // line compact; 1 ms is far below the sandbox noise floor anyway
+    val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val spread = if (calib.min > 0) r3(calib.max / calib.min) else -1.0
     val cal = s"""{"samples":[${calib.map(r3).mkString(",")}],""" +
       s""""median":${r3(calib.sorted.apply(calib.length / 2))},"spread":$spread}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
+    // also persist the line next to the plan dumps: a capture that
+    // truncates stdout can be cross-checked against this byte-identical
+    // copy (best-effort — the bench result is the printed line)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "plans/r09/bench_official.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // the JSON stays the FINAL line on stdout (spark.stop() can log)
+    println(line)
   }
 }

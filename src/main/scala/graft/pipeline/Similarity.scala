@@ -205,6 +205,7 @@ object Similarity {
           .otherwise(0L)))
       .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
     require(poisoned == 0, "ivfTopK: embeddings contain NaN/Infinity components")
+    require(n > 0, "ivfTopK: no embeddings to train on")
     val dim = e.select(size(col("v"))).head().getInt(0)
     var centroids = strideSample(e, nlist, n).map(unit)
     for (_ <- 0 until iters) {

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-// Temporary profiling scratchpad (not committed): times sub-steps of
-// heavy entries. runMain graft.Scratch <which>
+// Dev-only profiling scratchpad (test scope — never ships): times
+// sub-steps of heavy entries. sbt 'Test/runMain graft.Scratch <which>'
 object Scratch {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -56,6 +56,84 @@ object Scratch {
             dt
           }
           println(f"[entrybench] $n%-28s min=${ts.min}%7.3f med=${ts.sorted.apply(ts.length / 2)}%7.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
+      case "countab" =>
+        // count() identity variants over the adds-only scale store:
+        // (1) current hash-pair fold, (2) adds-only hash distinct,
+        // (3) per-term-id distinct + injectivity check (exact),
+        // (4) struct distinct (exact, wide)
+        import java.nio.file.Files
+        val storePath = Files.createTempDirectory("scalestore").toString
+        val store = new graft.store.QuadStore(spark, storePath)
+        val events = streaming.IngestPipeline.syntheticEvents(spark, 10000L, 1000)
+        (0 until 4).foreach { b =>
+          streaming.IngestPipeline.ingest(
+            events.filter(expr("offset div 2500") === b), store, b.toLong,
+            countApplied = false)
+        }
+        val paths = store.committedSegments().map(n => s"$storePath/$n")
+        val raw = spark.read.parquet(paths: _*)
+        val Q = Seq("graph", "subject", "predicate", "obj")
+        for (rep <- 1 to 3) {
+          time(s"$rep: store.count (hash-pair fold)")(println(store.count()))
+          time(s"$rep: hash-pair distinct") {
+            println(raw.select(xxhash64(Q.map(col): _*).as("h64"),
+                hash(Q.map(col): _*).as("h32"))
+              .dropDuplicates("h64", "h32").count())
+          }
+          time(s"$rep: term-id distinct + inj check") {
+            val terms = raw.select(explode(array(Q.map(col): _*)).as("t"))
+              .filter(col("t").isNotNull)
+            val inj = terms.groupBy(xxhash64(col("t")).as("tid"))
+              .agg(countDistinct(col("t")).as("nd"))
+              .agg(max(col("nd"))).head().getLong(0)
+            require(inj == 1L, "not injective")
+            val ids = raw.select(Q.map(c =>
+              when(col(c).isNotNull, xxhash64(col(c))).as(c)): _*)
+            println(ids.dropDuplicates(Q).count())
+          }
+          time(s"$rep: term-id distinct only") {
+            val ids = raw.select(Q.map(c =>
+              when(col(c).isNotNull, xxhash64(col(c))).as(c)): _*)
+            println(ids.dropDuplicates(Q).count())
+          }
+          time(s"$rep: struct distinct")(
+            println(raw.select(Q.map(col): _*).distinct().count()))
+        }
+      case "floor" =>
+        // where do sub-second entries spend time? per-entry: wall vs
+        // summed task time vs job/stage/task counts (scheduler floor)
+        val names = args(1).split(",").toSeq
+        val reps = args.lift(2).map(_.toInt).getOrElse(3)
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val taskTime = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks)
+          }
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskInfo != null) taskTime.addAndGet(t.taskInfo.duration)
+        })
+        names.foreach { n => // warmup
+          SparkEntry.queries(n)(spark, sfDir).count()
+          graft.sparql.Sparql.releaseClosures()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
+        names.foreach { n =>
+          val t0 = System.nanoTime(); jobs.set(0); stages.set(0); tasks.set(0); taskTime.set(0)
+          (1 to reps).foreach { _ =>
+            SparkEntry.queries(n)(spark, sfDir).count()
+            graft.sparql.Sparql.releaseClosures()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          }
+          Thread.sleep(300) // let the listener bus drain
+          val wall = ((System.nanoTime() - t0) / 1e9 - 0.3) / reps
+          println(f"[floor] $n%-26s wall=$wall%6.3f jobs=${jobs.get / reps}%3d stages=${stages.get / reps}%3d tasks=${tasks.get / reps}%5d taskSec=${taskTime.get / 1e3 / reps}%7.2f")
         }
       case "ngramab" =>
         // in-JVM A/B: current operator vs no-checkpoint vs no-posfilter
