@@ -167,17 +167,36 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
         val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
         SegRef(f"s$nextOrd%08d-b$batchId", nextOrd, Some(batchId))
       case Some(old) =>
-        val gen = "-g(\\d+)$".r.findFirstMatchIn(old.name)
+        // strip the previous replay's adds-only marker and generation:
+        // this replay re-detects its own adds-only status
+        val plain = old.name.replaceAll("-a$", "")
+        val gen = "-g(\\d+)$".r.findFirstMatchIn(plain)
           .map(_.group(1).toInt + 1).getOrElse(1)
-        SegRef(s"${old.name.replaceAll("-g\\d+$", "")}-g$gen",
+        SegRef(s"${plain.replaceAll("-g\\d+$", "")}-g$gen",
           old.ord, Some(batchId))
     }
+    // adds-only detection RIDES the segment write via observe (zero
+    // extra passes): a delete-free segment is marked `-a` in its name,
+    // and reads over an adds-only tail skip the latest-op fold for a
+    // plain distinct (guide §6 — read less, fold less). The rename
+    // happens before the pointer swing, so readers never see the
+    // unmarked name.
+    val obs = org.apache.spark.sql.Observation()
     ops.select(OP_COLUMNS.map(col): _*)
+      .observe(obs, org.apache.spark.sql.functions
+        .count(when(col("op") =!= "A", 1)).as("nonAdds"))
       .write.mode("overwrite").parquet(dir.resolve(ref.name).toString)
+    val finalRef =
+      if (obs.get("nonAdds").asInstanceOf[Long] == 0L) {
+        val marked = ref.name + "-a"
+        Files.move(dir.resolve(ref.name), dir.resolve(marked),
+          StandardCopyOption.ATOMIC_MOVE)
+        ref.copy(name = marked, addsOnly = true)
+      } else ref
     val segs = existing match {
-      case None => v.segments :+ ref
+      case None => v.segments :+ finalRef
       // the replayed epoch keeps its ORIGINAL log position (same ord)
-      case Some(old) => v.segments.map(s => if (s.name == old.name) ref else s)
+      case Some(old) => v.segments.map(s => if (s.name == old.name) finalRef else s)
     }
     writeVersion(v.copy(segments = segs))
     if (autoCompactTail > 0 && segs.count(!_.isBase) >= autoCompactTail)
@@ -214,8 +233,18 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     * (offsets past ~1M with a 20-bit op index), which 100 TB topics
     * reach trivially.
     */
-  private def readSegments(segs: Seq[SegRef]): DataFrame = {
+  /** Epoch-segment scan WITHOUT the ordinal recovery — for reads that
+    * never order ops (adds-only folds). The op schema is fixed by
+    * [[commitOps]]'s writer, so it is passed explicitly: schema
+    * inference re-read a parquet footer per `quads()` call, a per-call
+    * driver tax every store-reading entry paid (guide §6).
+    */
+  private def readSegmentsRaw(segs: Seq[SegRef]): DataFrame = {
     val paths = segs.map(s => dir.resolve(s.name).toString)
+    spark.read.schema(OP_SCHEMA).parquet(paths: _*)
+  }
+
+  private def readSegments(segs: Seq[SegRef]): DataFrame = {
     // file path = …/s<ord>-<tag>/part-….parquet — the commit ordinal is
     // in the parent directory name, which always starts `s<digits>-`
     // (SegRef invariant), so two substring_index cuts + one substring
@@ -224,9 +253,16 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     // (measured on the 5M-op corpus).
     val dirName = substring_index(substring_index(input_file_name(), "/", -2), "/", 1)
     val ord = substring(substring_index(dirName, "-", 1), 2, 19).cast("long")
-    spark.read.parquet(paths: _*)
+    readSegmentsRaw(segs)
       .withColumn("gseq", struct(ord.as("ord"), col("seq").as("seq")))
   }
+
+  /** Whether every segment of `segs` committed as adds-only (recorded
+    * in the segment name by [[commitOps]]): the latest-op fold then
+    * degenerates to DISTINCT — no ordinal recovery from file paths, no
+    * max_by, no op/seq bytes through the exchange.
+    */
+  private def allAddsOnly(segs: Seq[SegRef]): Boolean = segs.forall(_.addsOnly)
 
   /** Latest-op-per-quad aggregation of an op DataFrame (max_by over
     * the (ord, seq) struct — lexicographic, overflow-free).
@@ -290,7 +326,8 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
       }
       mine = mine.intersect(present)
       if (mine.isEmpty) None
-      else Some(spark.read.parquet(dir.resolve(s.name).toString)
+      else Some(spark.read.schema(BASE_SCHEMA)
+        .parquet(dir.resolve(s.name).toString)
         .filter(col("bucket").isin(mine: _*))
         .select(QUAD_COLUMNS.map(col): _*))
     }
@@ -396,7 +433,12 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     if (segs.isEmpty)
       return emptyQuads().withColumn("op", lit("A")).limit(0)
         .select(col("op") +: QUAD_COLUMNS.map(col): _*)
-    readSegments(segs)
+    if (allAddsOnly(segs))
+      // every op is an add: the net op per quad is A, no fold needed
+      readSegmentsRaw(segs).select(QUAD_COLUMNS.map(col): _*)
+        .dropDuplicates(QUAD_COLUMNS)
+        .select(lit("A").as("op") +: QUAD_COLUMNS.map(col): _*)
+    else readSegments(segs)
       .groupBy(QUAD_COLUMNS.map(col): _*)
       .agg(max_by(col("op"), col("gseq")).as("op"))
       .select(col("op") +: QUAD_COLUMNS.map(col): _*)
@@ -416,16 +458,27 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
       case None => df
     }
     val tail = tail1
+    // adds-only tail (the dominant additive workload, recorded per
+    // segment by commitOps): latest-op-wins degenerates to DISTINCT —
+    // no file-path ordinal recovery, no max_by, no op/seq bytes through
+    // the exchange, and every surviving row is an add
+    def addsOnlyState(segs: Seq[SegRef]): DataFrame =
+      prune(readSegmentsRaw(segs).select(QUAD_COLUMNS.map(col): _*))
+        .dropDuplicates(QUAD_COLUMNS)
     if (bases.isEmpty && tail.isEmpty) emptyQuads()
-    else if (bases.isEmpty) prune(foldOps(readSegments(tail)))
-    else {
+    else if (bases.isEmpty) {
+      if (allAddsOnly(tail)) addsOnlyState(tail)
+      else prune(foldOps(readSegments(tail)))
+    } else {
       val base = baseQuads(bases, only)
       if (tail.isEmpty) base
       else {
         // tailState: latest op per quad key touched since compaction
-        val tailState = prune(readSegments(tail))
-          .groupBy(QUAD_COLUMNS.map(col): _*)
-          .agg(max_by(col("op"), col("gseq")).as("last_op"))
+        val tailState =
+          if (allAddsOnly(tail)) addsOnlyState(tail).withColumn("last_op", lit("A"))
+          else prune(readSegments(tail))
+            .groupBy(QUAD_COLUMNS.map(col): _*)
+            .agg(max_by(col("op"), col("gseq")).as("last_op"))
         val b = base.alias("b")
         val touched = tailState.select(QUAD_COLUMNS.map(col): _*).alias("t")
         // null-safe equality: graph is null for the default graph, and
@@ -477,12 +530,19 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
     val nextOrd = v.segments.map(_.ord).maxOption.getOrElse(-1L) + 1
     if (bases.isEmpty) {
       val ref = SegRef(f"s$nextOrd%08d-base", nextOrd, None)
-      writeBase(foldOps(readSegments(tail)), ref)
+      val state = if (allAddsOnly(tail))
+        readSegmentsRaw(tail).select(QUAD_COLUMNS.map(col): _*)
+          .dropDuplicates(QUAD_COLUMNS)
+      else foldOps(readSegments(tail))
+      writeBase(state, ref)
       writeVersion(Version(Seq(ref), hw))
     } else {
-      val tailState = readSegments(tail)
-        .groupBy(QUAD_COLUMNS.map(col): _*)
-        .agg(max_by(col("op"), col("gseq")).as("last_op"))
+      val tailState = (if (allAddsOnly(tail))
+          readSegmentsRaw(tail).select(QUAD_COLUMNS.map(col): _*)
+            .dropDuplicates(QUAD_COLUMNS).withColumn("last_op", lit("A"))
+        else readSegments(tail)
+          .groupBy(QUAD_COLUMNS.map(col): _*)
+          .agg(max_by(col("op"), col("gseq")).as("last_op")))
         .withColumn("bucket", bucketCol)
         .cache()
       try {
@@ -509,44 +569,82 @@ final class QuadStore(spark: SparkSession, path: String, numBuckets: Int = 16,
   /** Number of quads in the current state — same value as
     * `quads().count()`, computed with the count-specific shuffle
     * discipline of optimization guide §2.3: counting needs quad
-    * IDENTITY, not quad CONTENT, so the latest-op fold shuffles a pair
-    * of independent hashes (xxhash64 + murmur3 over the four term
-    * structs — 96 bits) instead of the wide structs themselves (~10x
-    * fewer exchange bytes on the 5M-op scale corpus). Same correctness
-    * basis as [[graft.pipeline.Dedup.exact]]'s hash-pair grouping: a
-    * pair collision between two DIFFERENT quads needs a simultaneous
-    * 64-bit and 32-bit collision (~n²/2^97). [[quads]] itself is
-    * untouched — only the count, which discards the quads anyway,
-    * takes this path.
+    * IDENTITY, not quad CONTENT, so the latest-op fold shuffles four
+    * per-column xxhash64 TERM IDS (32 bytes) instead of the wide term
+    * structs. Unlike round 8's unguarded (xxhash64, murmur3) pair,
+    * this identity is EXACT: the hash is first VERIFIED injective over
+    * the log's term set (one narrow aggregate — the same discipline as
+    * the closure dictionary's observe check), and on the
+    * astronomically unlikely collision the fold simply runs on the
+    * original structs. Nulls map to a null id (Spark hash functions
+    * skip null inputs, which would alias a null graph with a term
+    * hashing to the seed), so the id tuple is null-safe like merge()'s
+    * per-column `<=>`. [[quads]] itself is untouched — only the count,
+    * which discards the quads anyway, takes this path.
     */
-  def count(): Long = {
+  def count(): Long = countWith(c => xxhash64(c))
+
+  /** [[count]] with an injectable term-id hash — the id function is a
+    * parameter so a degenerate hash can exercise the collision
+    * fallback in tests (a real xxhash64 collision is not computable).
+    */
+  private[graft] def countWith(idOf: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Long = {
     val v = readVersion()
     val (bases, tail) = v.segments.partition(_.isBase)
-    def keyed(df: DataFrame): DataFrame = df.select(
-      xxhash64(QUAD_COLUMNS.map(col): _*).as("h64"),
-      hash(QUAD_COLUMNS.map(col): _*).as("h32"),
-      col("op"), col("gseq"))
-    def foldCount(log: DataFrame): DataFrame =
-      keyed(log).groupBy(col("h64"), col("h32"))
-        .agg(max_by(col("op"), col("gseq")).as("last_op"))
-    if (bases.isEmpty && tail.isEmpty) 0L
-    else if (bases.isEmpty)
-      foldCount(readSegments(tail)).filter(col("last_op") === "A").count()
-    else {
-      val base = baseQuads(bases)
-      if (tail.isEmpty) base.count()
-      else {
-        val tailState = foldCount(readSegments(tail)).cache()
-        try {
-          val touched = tailState.select(col("h64"), col("h32"))
-          val survivors = base.select(
-              xxhash64(QUAD_COLUMNS.map(col): _*).as("h64"),
-              hash(QUAD_COLUMNS.map(col): _*).as("h32"))
-            .join(touched, Seq("h64", "h32"), "left_anti")
-            .count()
-          survivors + tailState.filter(col("last_op") === "A").count()
-        } finally tailState.unpersist()
+    if (bases.isEmpty && tail.isEmpty) return 0L
+    if (tail.isEmpty) return baseQuads(bases).count()
+    def termIds(df: DataFrame, extra: Seq[String] = Seq.empty): DataFrame =
+      df.select(QUAD_COLUMNS.map(c =>
+        when(col(c).isNotNull, idOf(col(c))).as(c)) ++ extra.map(col): _*)
+    // injectivity of the term-id hash over every term the count will
+    // compare (tail ops, plus the base when the anti-join crosses the
+    // two): max terms per id, 1 = injective
+    def injective(termSources: Seq[DataFrame]): Boolean = {
+      val terms = termSources.map(df =>
+          df.select(explode(array(QUAD_COLUMNS.map(col): _*)).as("t")))
+        .reduce(_.unionByName(_))
+        .filter(col("t").isNotNull)
+      terms.groupBy(idOf(col("t")).as("tid"))
+        .agg(countDistinct(col("t")).as("nd"))
+        .agg(max(col("nd"))).head().getLong(0) == 1L
+    }
+    if (bases.isEmpty) {
+      if (allAddsOnly(tail)) {
+        // adds-only: count = DISTINCT quads, exact on the structs with
+        // no fold machinery at all. Measured on the 5M-op scale corpus
+        // the struct distinct (0.85–1.1 s warm) ties the unguarded
+        // hash-pair distinct (0.9–1.0 s) — dropping max_by/gseq was the
+        // real win, so exactness here costs nothing and needs no guard
+        readSegmentsRaw(tail).select(QUAD_COLUMNS.map(col): _*)
+          .dropDuplicates(QUAD_COLUMNS).count()
+      } else {
+        val log = readSegments(tail)
+        if (injective(Seq(log)))
+          termIds(log, Seq("op", "gseq"))
+            .groupBy(QUAD_COLUMNS.map(col): _*)
+            .agg(max_by(col("op"), col("gseq")).as("last_op"))
+            .filter(col("last_op") === "A").count()
+        else foldOps(log).count()
       }
+    } else {
+      val base = baseQuads(bases)
+      val log = readSegments(tail)
+      if (!injective(Seq(log, base))) return quads().count()
+      val tailState = termIds(log, Seq("op", "gseq"))
+        .groupBy(QUAD_COLUMNS.map(col): _*)
+        .agg(max_by(col("op"), col("gseq")).as("last_op"))
+        .cache()
+      try {
+        val touched = tailState.select(QUAD_COLUMNS.map(col): _*)
+        // id tuples may carry nulls (null graph): null-safe equality,
+        // like merge()'s anti-join
+        val b = termIds(base).alias("b")
+        val t = touched.alias("t")
+        val cond = QUAD_COLUMNS.map(c => col(s"b.$c") <=> col(s"t.$c")).reduce(_ && _)
+        val survivors = b.join(t, cond, "left_anti").count()
+        survivors + tailState.filter(col("last_op") === "A").count()
+      } finally tailState.unpersist()
     }
   }
 
@@ -676,23 +774,46 @@ object QuadStore {
   val OP_COLUMNS: Seq[String] = Seq("op", "seq") ++ QUAD_COLUMNS
 
   /** A committed segment: `s<ord>-b<batchId>` (epoch segment;
-    * `-g<n>` suffix = nth copy-on-write replay of that epoch),
-    * `s<ord>-base` (compacted base owning ALL buckets), or
-    * `s<ord>-base-k3_7` (partial base owning only the listed buckets —
-    * written by a re-compaction that touched just those).
+    * `-g<n>` suffix = nth copy-on-write replay of that epoch; trailing
+    * `-a` = the segment committed adds-only, letting reads skip the
+    * latest-op fold), `s<ord>-base` (compacted base owning ALL
+    * buckets), or `s<ord>-base-k3_7` (partial base owning only the
+    * listed buckets — written by a re-compaction that touched just
+    * those).
     */
   final case class SegRef(name: String, ord: Long, batchId: Option[Long],
-      baseBuckets: Option[Seq[Int]] = None) {
+      baseBuckets: Option[Seq[Int]] = None, addsOnly: Boolean = false) {
     def isBase: Boolean = batchId.isEmpty
   }
   object SegRef {
-    private val BatchPat = """s(\d+)-b(-?\d+)(?:-g\d+)?""".r
+    private val BatchPat = """s(\d+)-b(-?\d+)(?:-g\d+)?(-a)?""".r
     private val BasePat = """s(\d+)-base(?:-k([\d_]+))?""".r
     def parse(name: String): SegRef = name match {
-      case BatchPat(ord, b) => SegRef(name, ord.toLong, Some(b.toLong))
+      case BatchPat(ord, b, a) => SegRef(name, ord.toLong, Some(b.toLong),
+        addsOnly = a != null)
       case BasePat(ord, ks) => SegRef(name, ord.toLong, None,
         Option(ks).map(_.split("_").toSeq.map(_.toInt)))
       case other => throw new IllegalStateException(s"bad segment name '$other'")
     }
+  }
+
+  /** The fixed schema [[commitOps]] writes — passed explicitly on every
+    * segment read so no read pays per-call footer-based inference.
+    */
+  private[store] val TERM_SCHEMA: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("termType", StringType), StructField("lex", StringType),
+      StructField("datatype", StringType), StructField("lang", StringType)))
+  }
+  private[store] val OP_SCHEMA: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("op", StringType), StructField("seq", LongType)) ++
+      QUAD_COLUMNS.map(c => StructField(c, TERM_SCHEMA)))
+  }
+  /** Base-segment schema: quad columns + the `bucket` partition dir. */
+  private[store] val BASE_SCHEMA: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(QUAD_COLUMNS.map(c => StructField(c, TERM_SCHEMA)) :+
+      StructField("bucket", IntegerType))
   }
 }

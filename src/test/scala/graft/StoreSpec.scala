@@ -40,6 +40,80 @@ class StoreSpec extends AnyFunSuite {
     assert(state == Set(("http://x/a", "1"), ("http://x/b", "2"), ("http://x/d", "1")))
   }
 
+  test("adds-only segments are marked -a; delete-bearing ones are not") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1")))
+    import spark.implicits._
+    store.commitOps(1, Seq(
+      QuadStore.OpRow("D", 0L, null, Term.iri("http://x/a"),
+        Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    val segs = store.committedSegments()
+    assert(segs.head.endsWith("-a"), s"adds-only segment unmarked: $segs")
+    assert(!segs(1).endsWith("-a"), s"delete-bearing segment marked: $segs")
+    // state is unaffected by the marker; a replay that INTRODUCES a
+    // delete re-detects its own status (marker dropped)
+    store.commitOps(0, Seq(
+      QuadStore.OpRow("A", 0L, null, Term.iri("http://x/c"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("D", 1L, null, Term.iri("http://x/c"),
+        Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    val replayed = store.committedSegments().head
+    assert(replayed.contains("-g1") && !replayed.endsWith("-a"), replayed)
+    // the replay REPLACED epoch 0 (c added then deleted), and epoch 1
+    // still deletes a — nothing survives
+    val state = store.quads().collect()
+      .map(r => (r.getStruct(1).getString(1), r.getStruct(3).getString(1))).toSet
+    assert(state == Set.empty)
+    assert(store.count() == 0L)
+  }
+
+  test("adds-only fast path: quads/changes/count agree with the folded answers") {
+    val store = newStore()
+    store.addQuads(0, Seq(q("a", "1"), q("b", "1")))
+    store.addQuads(1, Seq(q("b", "1"), q("c", "1"))) // duplicate across epochs
+    assert(store.committedSegments().forall(_.endsWith("-a")))
+    val state = store.quads().collect()
+      .map(r => (r.getStruct(1).getString(1), r.getStruct(3).getString(1))).toSet
+    assert(state == Set(("http://x/a", "1"), ("http://x/b", "1"), ("http://x/c", "1")))
+    assert(store.count() == 3L)
+    val feed = store.changes(0, 1).collect()
+      .map(r => (r.getString(0), r.getStruct(2).getString(1))).toSet
+    assert(feed == Set(("A", "http://x/b"), ("A", "http://x/c")))
+    // adds-only tail over a compacted base
+    store.compact()
+    store.addQuads(2, Seq(q("a", "1"), q("d", "1")))
+    assert(store.count() == 4L)
+    assert(store.quads().count() == 4L)
+  }
+
+  test("count() stays exact when the term-id hash collides (fallback)") {
+    val store = newStore()
+    import spark.implicits._
+    // two DISTINCT terms that any constant hash maps together, plus a
+    // delete so the guarded term-id fold path (not the adds-only
+    // distinct) is exercised
+    store.commitOps(0, Seq(
+      QuadStore.OpRow("A", 0L, null, Term.iri("http://x/a"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("A", 1L, null, Term.iri("http://x/b"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("D", 2L, null, Term.iri("http://x/b"),
+        Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    // degenerate id: every term gets id 7 — the injectivity check must
+    // reject it and fall back to the exact struct fold
+    assert(store.countWith(_ => org.apache.spark.sql.functions.lit(7L)) == 1L)
+    assert(store.count() == 1L) // the real hash agrees
+    // and across a base + delete-bearing tail
+    store.compact()
+    store.commitOps(1, Seq(
+      QuadStore.OpRow("A", 0L, null, Term.iri("http://x/c"),
+        Term.iri("http://x/p"), Term.lit("1")),
+      QuadStore.OpRow("D", 1L, null, Term.iri("http://x/a"),
+        Term.iri("http://x/p"), Term.lit("1"))).toDF())
+    assert(store.countWith(_ => org.apache.spark.sql.functions.lit(7L)) == 1L)
+    assert(store.count() == 1L)
+  }
+
   test("quadsAt time-travels to any un-compacted batch; compaction is the floor") {
     val store = newStore()
     store.addQuads(0, Seq(q("a", "1")))
@@ -181,7 +255,9 @@ class StoreSpec extends AnyFunSuite {
     val now = store.quads().collect().map(_.getStruct(1).getString(1)).toSet
     assert(now == Set("http://x/a", "http://x/c"))
     assert(store.committedSegments().size == 1)
-    assert(store.committedSegments().head.endsWith("-g1"))
+    // generation bump recorded; the replay (adds-only) also re-earns
+    // its trailing -a marker
+    assert(store.committedSegments().head.contains("-g1"))
     // gc removes the retired directory once no plan needs it
     assert(store.gc() >= 1)
     val after = store.quads().collect().map(_.getStruct(1).getString(1)).toSet
