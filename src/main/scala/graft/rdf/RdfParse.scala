@@ -98,35 +98,108 @@ object RdfParse {
     else quads.map(q => Quad(scopeTerm(q.graph, scope), scopeTerm(q.subject, scope),
       q.predicate, scopeTerm(q.obj, scope)))
 
-  /** Row shape for the decoded event stream. */
+  /** Row shape of the decoded event stream (documentation; the
+    * DataFrame below is built from InternalRows with this schema).
+    */
   final case class DecodedEvent(
       topic: String, partition: Int, offset: Long,
       key: Array[Byte], contentType: String,
       kind: String, quads: Seq[Quad], ops: Seq[PatchOp], _corrupt: String)
 
+  private val TERM_SCHEMA = {
+    import org.apache.spark.sql.types._
+    StructType(Seq("termType", "lex", "datatype", "lang")
+      .map(StructField(_, StringType)))
+  }
+  private val QUAD_SCHEMA = {
+    import org.apache.spark.sql.types._
+    StructType(Seq("graph", "subject", "predicate", "obj")
+      .map(StructField(_, TERM_SCHEMA)))
+  }
+  private val PATCH_OP_SCHEMA = {
+    import org.apache.spark.sql.types._
+    StructType(StructField("op", StringType) +:
+      Seq("graph", "subject", "predicate", "obj").map(StructField(_, TERM_SCHEMA)))
+  }
+  /** Schema of [[decodeEvents]]'s output — [[DecodedEvent]] as types. */
+  val DECODED_SCHEMA: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("topic", StringType),
+      StructField("partition", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("key", BinaryType),
+      StructField("contentType", StringType),
+      StructField("kind", StringType),
+      StructField("quads", ArrayType(QUAD_SCHEMA)),
+      StructField("ops", ArrayType(PATCH_OP_SCHEMA)),
+      StructField("_corrupt", StringType)))
+  }
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def termRow(t: Term): InternalRow =
+    if (t == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(t.termType), UTF8String.fromString(t.lex),
+      UTF8String.fromString(t.datatype), UTF8String.fromString(t.lang)))
+
+  private def quadRow(q: Quad): InternalRow =
+    new GenericInternalRow(Array[Any](termRow(q.graph), termRow(q.subject),
+      termRow(q.predicate), termRow(q.obj)))
+
+  private def opRow(o: PatchOp): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(o.op),
+      termRow(o.graph), termRow(o.subject), termRow(o.predicate), termRow(o.obj)))
+
   /** DataFrame-level decode: input must have columns
     * (topic STRING, partition INT, offset LONG, key BINARY,
-    *  value BINARY, contentType STRING).
-    * Runs as mapPartitions (one pass, no shuffle); blank scope is the
+    *  value BINARY, contentType STRING); output has [[DECODED_SCHEMA]].
+    * Runs as one mapPartitions pass, no shuffle; blank scope is the
     * event identity topic:partition:offset, making the decode
     * deterministic and hence safe under Spark task retry/epoch replay
     * (SURVEY.md §2.3 row 26 exactly-once note).
+    *
+    * The parser emits InternalRows directly (via
+    * [[org.apache.spark.sql.graftbridge.InternalRows]]) instead of
+    * round-tripping Seq[Quad] through the case-class
+    * ExpressionEncoder: the serializer re-walked every nested Term
+    * object per row (MapObjects loops), a per-quad cost the parser —
+    * which already knows the exact output shape — need not pay. Same
+    * rows, same schema; only the construction layer changes.
     */
   def decodeEvents(df: DataFrame,
-      jsonLdContexts: Map[String, String] = Map.empty): Dataset[DecodedEvent] = {
+      jsonLdContexts: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     // the registry is a plain immutable map captured by the decode
     // closure — it ships once per task like any broadcast-small state
-    df.select(col("topic"), col("partition"), col("offset"), col("key"),
-        col("value"), col("contentType"))
-      .as[(String, Int, Long, Array[Byte], Array[Byte], String)]
-      .mapPartitions { it =>
-        it.map { case (topic, part, off, key, value, ct) =>
-          val scope = s"$topic:$part:$off"
-          val d = decode(value, ct, scope, jsonLdContexts)
-          DecodedEvent(topic, part, off, key, ct, d.kind, d.quads, d.ops, d._corrupt)
-        }
+    val input = df.select(col("topic"), col("partition"), col("offset"),
+      col("key"), col("value"), col("contentType"))
+    val rdd = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { row =>
+        // copy what the closure retains: toRdd yields reused UnsafeRows
+        // (getBinary and toString both copy; the output row is fresh)
+        val topic = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+        val part = row.getInt(1)
+        val off = row.getLong(2)
+        val key = if (row.isNullAt(3)) null else row.getBinary(3)
+        val value = if (row.isNullAt(4)) null else row.getBinary(4)
+        val ct = if (row.isNullAt(5)) null else row.getUTF8String(5).toString
+        val scope = s"$topic:$part:$off"
+        val d = decode(value, ct, scope, jsonLdContexts)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(topic), part, off, key,
+          UTF8String.fromString(ct), UTF8String.fromString(d.kind),
+          if (d.quads == null) null
+          else new GenericArrayData(d.quads.map(quadRow).toArray[Any]),
+          if (d.ops == null) null
+          else new GenericArrayData(d.ops.map(opRow).toArray[Any]),
+          UTF8String.fromString(d._corrupt))): InternalRow
       }
+    }
+    org.apache.spark.sql.graftbridge.InternalRows.toDataFrame(spark, rdd, DECODED_SCHEMA)
   }
 }
