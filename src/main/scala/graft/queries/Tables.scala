@@ -14,9 +14,27 @@ import org.apache.spark.sql.types.DecimalType
   * doubles, so double->decimal rounding agrees between engines.
   */
 object Tables {
+  /** File schema memo, one entry per parquet path per JVM: the input
+    * fixtures are immutable, but a bare `spark.read.parquet(path)` pays
+    * a footer-inference pass PER CALL — a per-invocation driver tax
+    * every table-reading entry paid (optimization guide §6). The memo
+    * caches metadata only (never rows or results); each read still
+    * scans the file.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Memoized physical schema of an immutable parquet fixture. */
+  def fileSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+
+  private def readFixed(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(fileSchema(spark, path)).parquet(path)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else readFixed(spark, s"$dir/$name.parquet")
 
   /** events.parquet has carried its `ts` column as TIMESTAMP(NANOS) in
     * some generator versions (which Spark 4 rejects as a timestamp type)
@@ -33,7 +51,7 @@ object Tables {
     *    `spark.sql.session.timeZone=UTC`, matching DuckDB's zoneless read.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = readFixed(spark, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),

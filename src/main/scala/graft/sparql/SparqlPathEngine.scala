@@ -62,8 +62,12 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         pathPairs(quads, graph, l).unionByName(pathPairs(quads, graph, r))
       case PPlus(i) => closure(pathPairs(quads, graph, i), leafStep(i))
       case PStar(i) =>
-        closure(pathPairs(quads, graph, i), leafStep(i))
-          .unionByName(identityPairs(quads, graph)).distinct()
+        // the zero-length identity pairs ride INTO the closure: on the
+        // dictionary-encoded path their union + dedup runs on 8-byte
+        // ids inside the fixpoint scope instead of a struct-wide
+        // distinct over the decoded closure (guide §2.3)
+        closure(pathPairs(quads, graph, i), leafStep(i),
+          zeroNodes = Some(identityNodes(quads, graph)))
       case POpt(i) =>
         pathPairs(quads, graph, i)
           .unionByName(identityPairs(quads, graph)).distinct()
@@ -239,17 +243,25 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     case _ => false
   }
 
-  private[sparql] def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
+  /** Raw (NOT deduplicated) node occurrences of the scoped graph —
+    * columns (pg?, n). [[closure]] encodes and dedups these inside its
+    * own scope; [[identityPairs]] wraps them for the struct path.
+    */
+  private[sparql] def identityNodes(quads: DataFrame, graph: Option[Node]): DataFrame = {
     val scoped = scopedQuads(quads, graph)
     if (pathGrouped(graph))
       scoped.select(col("graph").as("pg"), col("subject").as("n"))
         .unionByName(scoped.select(col("graph").as("pg"), col("obj").as("n")))
-        .distinct()
-        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
     else
       scoped.select(col("subject").as("n"))
-        .unionByName(scoped.select(col("obj").as("n"))).distinct()
-        .select(col("n").as("ps"), col("n").as("po"))
+        .unionByName(scoped.select(col("obj").as("n")))
+  }
+
+  private[sparql] def identityPairs(quads: DataFrame, graph: Option[Node]): DataFrame = {
+    val nodes = identityNodes(quads, graph).distinct()
+    if (pathGrouped(graph))
+      nodes.select(col("pg"), col("n").as("ps"), col("n").as("po"))
+    else nodes.select(col("n").as("ps"), col("n").as("po"))
   }
 
   /** Distributed transitive closure by doubling: each round joins the
@@ -283,8 +295,17 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     case _ => false // PSeq (a join), nested closures, POpt (a distinct)
   }
 
+  /** `zeroNodes`: raw (pg?, n) node occurrences whose identity pairs
+    * (n, n) must JOIN the closure result — the `*`-path zero-length
+    * component. On the encoded path they are deduplicated and unioned
+    * as 8-byte ids inside the closure scope (their terms ride the same
+    * dictionary, so the injectivity guarantee covers them), which
+    * replaces the struct-wide distinct the caller previously ran over
+    * the decoded closure.
+    */
   private[sparql] def closure(edges0: DataFrame,
-      cheapStep: Boolean = false): DataFrame = {
+      cheapStep: Boolean = false,
+      zeroNodes: Option[DataFrame] = None): DataFrame = {
     // a composite one-step relation (joins, nested closures) is
     // referenced several times below (count gate, dictionary, encode)
     // — materialize it once; a leaf step is a bare scan and re-reads
@@ -295,6 +316,18 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
     // simply joins along, so one fixpoint loop covers every graph in
     // parallel rather than looping per graph
     val grouped = edges.columns.contains("pg")
+    // struct-path zero-length union (small relations and the hash-
+    // collision fallback): the original union + distinct over term
+    // structs
+    def withZeroStruct(res: DataFrame): DataFrame = zeroNodes match {
+      case None => res
+      case Some(nodes) =>
+        val zp =
+          if (grouped) nodes.distinct()
+            .select(col("pg"), col("n").as("ps"), col("n").as("po"))
+          else nodes.distinct().select(col("n").as("ps"), col("n").as("po"))
+        res.unionByName(zp).distinct()
+    }
     // Pre-distinct edge count, COLUMN-PRUNED (count(1) lets Catalyst
     // drop the term-struct projections, so this is a near-free scan):
     // it only picks the plan shape below, a size-of-the-data test, not
@@ -320,14 +353,36 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         .observe(obs, count(lit(1)).as("n")).localCheckpoint()
       closureLoop(first, grouped, obs.get("n").asInstanceOf[Long])
     }
-    val result = if (rawCount < 65536) structLoop()
+    val result = if (rawCount < 65536) withZeroStruct(structLoop())
     else {
       val termCols = (if (grouped) Seq("pg") else Seq.empty) ++ Seq("ps", "po")
+      // zero-length nodes dedup ONCE (single-term structs — half the
+      // bytes of the old pair-level identity distinct) and the
+      // checkpointed result feeds BOTH the dictionary and the encoded
+      // union below, so the scoped-quads scan and the distinct are
+      // paid once, not per consumer
+      val zeroDistinct = zeroNodes.map { nodes =>
+        val zd = nodes
+          .dropDuplicates((if (grouped) Seq("pg") else Seq.empty) :+ "n")
+          .localCheckpoint()
+        Option(closureScope.get()) match {
+          case Some(scope) => scope += zd
+          case None => liveClosures.synchronized { liveClosures += zd }
+        }
+        zd
+      }
       // one exchange, one job: group raw term occurrences by their
       // hash id; the injectivity check (max distinct terms per id,
-      // 1 = injective) rides the dictionary's checkpoint via observe
+      // 1 = injective) rides the dictionary's checkpoint via observe.
+      // Zero-length node terms (and, under GRAPH ?var, their graph
+      // terms) join the dictionary sources so the check covers every
+      // term the encoded union below compares.
+      val zeroSources = zeroDistinct.toSeq.flatMap { nodes =>
+        (if (grouped) Seq(nodes.select(col("pg").as("t"))) else Seq.empty) :+
+          nodes.select(col("n").as("t"))
+      }
       val dictObs = org.apache.spark.sql.Observation()
-      val dict = termCols.map(c => edges.select(col(c).as("t")))
+      val dict = (termCols.map(c => edges.select(col(c).as("t"))) ++ zeroSources)
         .reduce(_.unionByName(_))
         .groupBy(xxhash64(col("t")).as("tid"))
         .agg(org.apache.spark.sql.functions.first(col("t")).as("t"),
@@ -337,7 +392,7 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
         .localCheckpoint()
       if (dictObs.get("maxNd").asInstanceOf[Long] != 1L) {
         Checkpoints.unpersist(dict)
-        structLoop()
+        withZeroStruct(structLoop())
       } else {
         Option(closureScope.get()) match {
           case Some(scope) => scope += dict
@@ -356,7 +411,27 @@ private[sparql] trait SparqlPathEngine { this: Sparql.type =>
           .localCheckpoint()
         val looped = closureLoop(encoded, grouped,
           encObs.get("n").asInstanceOf[Long])
-        termCols.foldLeft(looped) { (df, c) =>
+        // zero-length union ON ENCODED IDS: the loop result is a set
+        // and the encoded identity pairs are deduplicated, so the only
+        // possible overlap is the loop's own self-pairs (cycles) — an
+        // anti-join against just those replaces a full re-shuffle +
+        // distinct of the closure (and the decode below is id→term
+        // 1:1, so set-ness survives decoding)
+        val merged = zeroDistinct match {
+          case None => looped
+          case Some(nodes) =>
+            // already distinct structs + injective hash ⇒ distinct ids
+            val zEnc = nodes.select(
+              ((if (grouped) Seq(xxhash64(col("pg")).as("pg")) else Seq.empty) ++
+                Seq(xxhash64(col("n")).as("ps"), xxhash64(col("n")).as("po"))): _*)
+            val selfPairs = looped.filter(col("ps") === col("po"))
+            val anti =
+              if (grouped) col("z.pg") === col("c.pg") && col("z.ps") === col("c.ps")
+              else col("z.ps") === col("c.ps")
+            looped.unionByName(
+              zEnc.alias("z").join(selfPairs.alias("c"), anti, "left_anti"))
+        }
+        termCols.foldLeft(merged) { (df, c) =>
           df.join(dict.select(col("tid").as(c), col("t").as(s"${c}_t")), Seq(c))
         }.select(termCols.map(c => col(s"${c}_t").as(c)): _*)
       }

@@ -36,7 +36,8 @@ object StreamingQueries {
     val streamDir = Files.createTempDirectory("events_stream")
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsType = graft.queries.Tables
+      .fileSchema(s, s"$dir/events.parquet")("ts").dataType
     val raw = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
     tsType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -56,7 +57,8 @@ object StreamingQueries {
     val streamDir = Files.createTempDirectory("events_stream_sent")
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.schema(graft.queries.Tables
+      .fileSchema(s, s"$dir/events.parquet")).parquet(s"$dir/events.parquet")
     val tsType = raw.schema("ts").dataType
     val latest = raw.orderBy(col("ts").desc).limit(1)
     def sentinel(id: Long, kind: String) = {
@@ -143,13 +145,40 @@ object StreamingQueries {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // State-store provider: RocksDB + changelog checkpointing by
+    // default. The HDFS-backed store writes one snapshot file per
+    // partition per stateful operator per commit — the stream-stream
+    // join entries (FOUR stores per partition) paid it hardest, and
+    // the head-to-head (OPTIMIZATION_r09.md: join 5.2→4.0 s median,
+    // join_outer 5.5→3.3 s; aggregations flat; custom-state +0.3 s)
+    // favors RocksDB locally. At scale the choice is structural, not a
+    // tuning knob: the HDFS store holds state in JVM heap maps, so
+    // state beyond memory NEEDS RocksDB. SPARK_GRAFT_STREAM_STATESTORE
+    // =hdfs restores the old provider for A/Bs.
+    val provConf = "spark.sql.streaming.stateStore.providerClass"
+    val chgConf =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provConf)
+    val useRocks =
+      !sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("hdfs")
+    if (useRocks) {
+      spark.conf.set(provConf, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      spark.conf.set(chgConf, "true")
+    }
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (useRocks) prevProv match {
+        case Some(p) => spark.conf.set(provConf, p)
+        case None => spark.conf.unset(provConf)
+      }
+    }
     df.sparkSession.table(name)
   }
 

@@ -135,6 +135,41 @@ object Scratch {
           val wall = ((System.nanoTime() - t0) / 1e9 - 0.3) / reps
           println(f"[floor] $n%-26s wall=$wall%6.3f jobs=${jobs.get / reps}%3d stages=${stages.get / reps}%3d tasks=${tasks.get / reps}%5d taskSec=${taskTime.get / 1e3 / reps}%7.2f")
         }
+      case "starplan" =>
+        // PStar plan + timing: a `*` path over the scale chain graph
+        // (no declared entry uses `*`; this pins the encoded-union
+        // shape for the optimization record)
+        import graft.rdf.Term
+        val NS = "http://graft.example/"
+        val termType = "struct<termType:string,lex:string,datatype:string,lang:string>"
+        def node(c: org.apache.spark.sql.Column) = struct(
+          lit(Term.IRI).as("termType"),
+          concat(lit(s"${NS}n/"), c.cast("string")).as("lex"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang"))
+        val quads = t(spark, sfDir, "events")
+          .select(col("event_id").cast("long").as("id"))
+          .filter(col("id") % 20 =!= 19)
+          .select(
+            lit(null).cast(termType).as("graph"),
+            node(col("id")).as("subject"),
+            struct(lit(Term.IRI).as("termType"), lit(s"${NS}next").as("lex"),
+              lit(null).cast("string").as("datatype"),
+              lit(null).cast("string").as("lang")).as("predicate"),
+            node(col("id") + 1).as("obj"))
+        for (rep <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val res = graft.sparql.Sparql.execute(quads,
+            s"SELECT ?s ?o { ?s <${NS}next>* ?o }")
+          val n = res.count()
+          println(f"[starplan] rep $rep n=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          if (rep == 1) java.nio.file.Files.write(
+            java.nio.file.Paths.get(args.lift(1).getOrElse("/tmp/starplan.txt")),
+            res.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+          graft.sparql.Sparql.releaseClosures()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       case "ngramab" =>
         // in-JVM A/B: current operator vs no-checkpoint vs no-posfilter
         import org.apache.spark.sql.expressions.Window
