@@ -297,11 +297,20 @@ object Dedup {
     }).localCheckpoint()
     val a = keyed.alias("a")
     val b = keyed.alias("b")
+    // the candidate list materializes EAGERLY (it is pair-sized, far
+    // smaller than the keyed corpus relation), so the keyed checkpoint
+    // can be freed right here instead of pinning corpus-scale blocks
+    // for the JVM lifetime (guide §5); the candidate checkpoint itself
+    // registers for scoped release (Checkpoints.withScope callers —
+    // harnesses sweep the block manager between entries either way)
     val within = a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id") &&
         hamming(col("a.chunks"), col("b.chunks")) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .localCheckpoint()
+    graft.plans.Checkpoints.unpersist(keyed)
+    graft.plans.Checkpoints.register(within)
     rerank(within, withSh, threshold)
   }
 

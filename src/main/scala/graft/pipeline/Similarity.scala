@@ -438,15 +438,23 @@ object Similarity {
     // without the checkpoint each read re-runs the full brute-force
     // scan+window — the most expensive plan in every recall entry
     val brute = brute0.localCheckpoint()
-    val perQuery = brute
-      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    val truth = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
-    truth.join(perQuery, Seq("query_id"), "left_outer")
-      .select(col("n_true"), coalesce(col("hits"), lit(0L)).as("hits"))
-      .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"),
-        (sum(col("hits")).cast("double") / sum(col("n_true"))).as("mean_recall"))
-      .select(col("n_queries"), col("total_hits"),
-        (col("mean_recall") >= 0.9).as("mean_recall_ge_09"))
+    try {
+      val perQuery = brute
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+        .join(perQuery, Seq("query_id"), "left_outer")
+        .select(col("n_true"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"),
+          (sum(col("hits")).cast("double") / sum(col("n_true"))).as("mean_recall"))
+        .select(col("n_queries"), col("total_hits"),
+          (col("mean_recall") >= 0.9).as("mean_recall_ge_09"))
+      // the recall summary is ONE row: materialize it now so the
+      // checkpointed truth side — the largest intermediate in every
+      // recall entry — is freed in-function instead of pinned for the
+      // JVM lifetime (guide §5)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      out.sparkSession.createDataFrame(rows, out.schema)
+    } finally graft.plans.Checkpoints.unpersist(brute)
   }
 }

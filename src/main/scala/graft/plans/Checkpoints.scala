@@ -31,4 +31,34 @@ object Checkpoints {
     */
   def unpersist(df: DataFrame, blocking: Boolean = false): Unit =
     pinnedRdd(df).foreach(_.unpersist(blocking))
+
+  private val scope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** Register a checkpointed frame for release when the enclosing
+    * [[withScope]] completes; with no enclosing scope the frame stays
+    * pinned for the caller to release (the bench/verify harnesses
+    * sweep the block manager between entries). Mirrors the SPARQL
+    * engine's closureScope discipline for pipeline operators whose
+    * returned plan still reads a checkpoint.
+    */
+  def register(df: DataFrame): DataFrame = {
+    Option(scope.get()).foreach(_ += df)
+    df
+  }
+
+  /** Run `f` with every [[register]]ed checkpoint on THIS thread freed
+    * when `f` completes — the per-request discipline for long-running
+    * callers: compile AND consume the result inside `f`.
+    */
+  def withScope[T](f: => T): T = {
+    val outer = scope.get()
+    val mine = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    scope.set(mine)
+    try f
+    finally {
+      scope.set(outer)
+      mine.foreach(unpersist(_))
+    }
+  }
 }

@@ -30,6 +30,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.size == 5, s"unexpected extra pairs: $pairs")
   }
 
+  test("checkpoint hygiene: near-dup and recall leave no pinned blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"),
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    // simhash frees its corpus-scale keyed checkpoint in-function and
+    // registers the (small) candidate checkpoint for scoped release
+    graft.plans.Checkpoints.withScope {
+      Dedup.nearDupSimhash(docs, threshold = 0.3).count()
+    }
+    // recallOf materializes its one-row summary and frees the
+    // brute-force truth checkpoint before returning — no scope needed
+    val rnd = new scala.util.Random(3)
+    val embs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = embs.limit(3)
+    Similarity.lshRecall(embs, queries, k = 3).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"pinned RDDs leaked: ${after -- before}")
+  }
+
   test("ngram-Jaccard candidate join partitions on prefix tokens, not raw text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Dedup.nearDupNgramJaccard(docs).queryExecution.executedPlan.toString
